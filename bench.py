@@ -1,0 +1,81 @@
+"""Benchmark runner: times the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query is fully materialized (count of the result) so the timing
+covers scan → shuffle → action, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+#: headline set: one per operator family (join+agg, topk, windows,
+#: sessionization, rolling, dedup, asof, json) — extend as operators land.
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_by_revenue",
+    "customer_order_distribution",
+    "hourly_event_aggregate",
+    "sessionize_events",
+    "rolling_5min_event_count",
+    "latest_event_per_user",
+    "json_extract_events",
+    "asof_latest_order_before_event",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
+
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY
+    from elb_log_etl_enrichment_spark.session import get_spark
+
+    spark = get_spark(app_name="engine-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # guess sf from the directory name for the report
+    sf = None
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            sf = float(base[2:])
+        except ValueError:
+            pass
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    # warm-up: JVM/codegen/parquet-footer caches on the smallest query
+    REGISTRY["pricing_summary"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

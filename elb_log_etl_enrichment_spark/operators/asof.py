@@ -1,0 +1,70 @@
+"""Backward as-of join (nearest earlier match per key).
+
+The reference has no as-of join; this is part of the engine's
+generalized operator inventory (SURVEY.md §2.4 note). Implemented as a
+union + ``last(..., ignorenulls=True)`` running window rather than a
+range self-join: one shuffle on the key, linear in rows, no pair
+explosion — the plan survives a 100× scale-up where a
+``right_time <= left_time`` theta-join would not.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: Sequence[str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """For every left row, attach the payload of the latest right row
+    with the same key and ``right_time <= left_time`` (inclusive);
+    NULL payload when no such row exists (left-outer as-of).
+
+    Ties on ``right_time`` resolve to the greatest ``right_tiebreak``.
+    """
+    lcols = list(left.columns)
+    r = right.select(
+        F.col(right_on).alias(left_on),
+        F.col(right_time).alias("__t"),
+        *[F.col(c) for c in payload_cols],
+    )
+    l2 = left.withColumn("__t", F.col(left_time)).withColumn("__is_left", F.lit(1))
+    for c in payload_cols:
+        l2 = l2.withColumn(c, F.lit(None).cast(r.schema[c].dataType))
+    r2 = r.withColumn("__is_left", F.lit(0))
+    for c in lcols:
+        if c not in r2.columns:
+            r2 = r2.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l2.unionByName(r2.select(l2.columns))
+
+    # right rows sort before left rows at equal time → inclusive <=;
+    # among equal-time right rows the last (max tiebreak) wins.
+    order = [F.col("__t").asc(), F.col("__is_left").asc()]
+    if right_tiebreak is not None:
+        order.append(F.col(right_tiebreak).asc_nulls_first())
+    w = (
+        Window.partitionBy(left_on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *lcols,
+        F.col("__is_left"),
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in payload_cols
+        ],
+    )
+    return filled.filter(F.col("__is_left") == 1).select(
+        *lcols, *[F.col(f"__asof_{c}").alias(c) for c in payload_cols]
+    )

@@ -1,0 +1,72 @@
+"""Deduplication operators.
+
+Reference-grounded core: keep-latest-per-key (the geo-cache upsert
+dedup, reference elb_logs.py:220-224, SURVEY.md J4/W7). Extended with
+the exact-dedup operator a large-scale training-data pipeline needs;
+near-duplicate detection (MinHash-LSH, n-gram Jaccard, SimHash) lives
+in ``text_dedup.py``.
+
+Scale notes: keep-latest is a single hash-partition + in-partition
+sort (window ``row_number``), no global sort; exact dedup is a
+map-side-combinable hash aggregation on a fixed-width digest rather
+than a shuffle of full document bodies.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def keep_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Last-write-wins dedup: one row per key, max ``order_col``
+    (reference upsert semantics, elb_logs.py:222-224: sort desc by
+    fetch timestamp, keep first per index)."""
+    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert_keep_latest(
+    old: DataFrame, new: DataFrame, keys: Sequence[str], order_col: str
+) -> DataFrame:
+    """Union + keep-latest = the reference's cache upsert
+    (elb_logs.py:212-228, S8/J4): ``pd.concat`` → sort desc → drop
+    duplicate keys keeping newest."""
+    return keep_latest(old.unionByName(new, allowMissingColumns=True), keys, order_col)
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_cols: Sequence[str],
+    id_col: str,
+) -> DataFrame:
+    """Exact deduplication by content hash: keeps the row with the
+    minimum id per distinct content (deterministic survivor).
+
+    Hashes (xxhash64 + md5 guard against 64-bit collisions at the
+    ~10^10-document scale) so the shuffle carries a 48-byte digest
+    instead of the document body.
+    """
+    digest = F.struct(
+        F.xxhash64(*[F.col(c) for c in content_cols]).alias("h64"),
+        F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols])).alias("h128"),
+    )
+    w = Window.partitionBy("__digest").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__digest", digest)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__digest")
+    )

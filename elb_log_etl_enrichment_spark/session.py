@@ -1,0 +1,81 @@
+"""SparkSession factory and engine configuration.
+
+Scale design notes (target: 1000-executor cluster, ~100 TB inputs):
+
+* AQE is on: runtime shuffle-partition coalescing, skew-join splitting
+  and dynamic broadcast-join conversion replace hand-tuned partition
+  counts. Locally we still pin ``spark.sql.shuffle.partitions`` to the
+  core count so small tests don't pay 200-partition overhead.
+* Session timezone is pinned to UTC so timestamp part extraction
+  (``year``/``hour``/``unix_millis``) is deterministic and matches the
+  DuckDB oracle, which treats naive parquet timestamps as UTC.
+* ``spark.sql.legacy.parquet.nanosAsLong`` lets us scan parquet
+  TIMESTAMP(NANOS) columns (the driver's ``events`` table) as raw
+  nanosecond longs; ``sources.tables`` converts them to microsecond
+  timestamps, the same truncation DuckDB applies.
+* Arrow is enabled for the few Pandas-UDF paths (user-agent
+  classification, HTTP enrichment, multimodal plumbing). Everything
+  else stays JVM-side in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe to (re)apply to an externally provided session at
+#: runtime — e.g. the driver's own SparkSession handed to ``queries()``.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: casts of malformed strings yield NULL, matching the
+    # reference's NaN-on-bad-input parse semantics (elb_logs.py:94-97).
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable confs to an existing session.
+
+    Idempotent; called by every public entry point so the engine works
+    with a SparkSession it did not create.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - static conf on some builds
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "elb-log-etl-enrichment-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    return ensure_engine_confs(builder.getOrCreate())

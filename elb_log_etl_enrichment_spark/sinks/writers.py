@@ -1,0 +1,29 @@
+"""Sinks (SURVEY.md §2.1 S5-S7).
+
+Hive-partitioned parquet for the cleaned log table — the same
+``y/m/d/countryCode`` layout the reference writes
+(elb_logs.py:343-348) so downstream readers get partition pruning —
+plus flat parquet and headered CSV for reports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: reference partition layout (elb_logs.py:346)
+CLEANED_PARTITIONS = ["request_year", "request_month", "request_day", "countryCode"]
+
+
+def write_cleaned_logs(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Partitioned parquet sink (S5, elb_logs.py:343-349)."""
+    df.write.mode(mode).partitionBy(*CLEANED_PARTITIONS).parquet(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Flat parquet sink (S6, elb_logs.py:367)."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Headered CSV sink (S7, elb_logs.py:377,391)."""
+    df.write.mode(mode).option("header", True).csv(path)

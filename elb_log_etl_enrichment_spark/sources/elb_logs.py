@@ -1,0 +1,239 @@
+"""ALB access-log text source: raw log lines → typed DataFrame.
+
+Spark-first reimplementation of the reference parser
+(``reference/elb_logs.py:44-147``): where the reference runs
+``shlex.split`` + per-row Python casts inside a driver loop
+(``elb_logs.py:74-132,141-144``), this source expresses the entire
+parse as ONE declarative projection over ``from_csv`` — space
+separator + double-quote quoting replicates the ALB grammar — so the
+whole thing runs inside whole-stage codegen with zero Python in the
+hot path, scales with input splits, and pushes column pruning into the
+scan.
+
+Semantics preserved from the reference:
+
+* 29 declared columns (``elb_logs.py:44-53``); lines with fewer fields
+  are dropped (``elb_logs.py:77-78``) — here: required trailing field
+  NULL after CSV parse.
+* strict ``time`` parse ``%Y-%m-%dT%H:%M:%S.%fZ``; an unparseable
+  ``time`` drops the whole line (exception path ``elb_logs.py:130-132``).
+* lenient ``request_creation_time`` (NULL on failure,
+  ``elb_logs.py:85-88``).
+* ``'-'``/non-digit numerics → NULL (``elb_logs.py:91-97``); Spark's
+  nullable long replaces pandas' NaN-poisoned float64 columns.
+* derived request/URL/UA/bot/lineage columns (``elb_logs.py:100-128``).
+
+Timezone: the reference converts UTC→US/Eastern with pytz
+(``elb_logs.py:83``). Spark timestamps are instants; we parse as UTC
+and expose ``time_local = from_utc_timestamp(time, ZONE)`` for
+wall-clock feature extraction (SURVEY.md §7.4 trap 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..functions.ua import ua_classify
+
+#: AWS ALB access-log columns, in file order (reference elb_logs.py:44-53).
+ELB_COLUMNS = [
+    "type", "time", "elb", "client_ip_port", "target_ip_port",
+    "request_processing_time", "target_processing_time", "response_processing_time",
+    "elb_status_code", "target_status_code", "received_bytes", "sent_bytes",
+    "request", "user_agent", "ssl_cipher", "ssl_protocol",
+    "target_group_arn", "trace_id", "domain_name", "chosen_cert_arn",
+    "matched_rule_priority", "request_creation_time", "actions_executed",
+    "redirect_url", "error_reason", "target_port_list", "target_status_code_list",
+    "classification", "classification_reason",
+]
+
+#: All fields arrive as strings; typed casts happen in the projection.
+RAW_SCHEMA = StructType([StructField(c, StringType(), True) for c in ELB_COLUMNS])
+RAW_DDL = ", ".join(f"`{c}` STRING" for c in ELB_COLUMNS)
+
+#: Reference timezone (elb_logs.py:83, pytz 'US/Eastern').
+LOCAL_TZ = "America/New_York"
+
+#: Substrings marking bot traffic (elb_logs.py:122-125); plain-text
+#: alternation, applied to the lowercased UA like the reference's
+#: ``any(kw in ua.lower() ...)``.
+BOT_PATTERN = (
+    "bot|crawler|spider|googlebot|python-urllib|datadog|pingdom|"
+    "uptimerobot|newrelic|monitoring|nagios"
+)
+
+#: Health-check agents filtered out of analytics (elb_logs.py:245-248).
+HEALTH_CHECK_PATTERN = "datadog|healthchecker|kube-probe|aws-elb"
+
+_FLOAT_COLS = ["request_processing_time", "target_processing_time", "response_processing_time"]
+_INT_COLS = ["elb_status_code", "target_status_code", "received_bytes", "sent_bytes"]
+
+#: Typed schema of the parsed table (drives downstream Catalyst plans).
+PARSED_SCHEMA = StructType(
+    [StructField("type", StringType()), StructField("time", TimestampType()),
+     StructField("elb", StringType()), StructField("client_ip_port", StringType()),
+     StructField("target_ip_port", StringType())]
+    + [StructField(c, DoubleType()) for c in _FLOAT_COLS]
+    + [StructField(c, LongType()) for c in _INT_COLS]
+    + [StructField(c, StringType()) for c in (
+        "request", "user_agent", "ssl_cipher", "ssl_protocol", "target_group_arn",
+        "trace_id", "domain_name", "chosen_cert_arn", "matched_rule_priority")]
+    + [StructField("request_creation_time", TimestampType())]
+    + [StructField(c, StringType()) for c in (
+        "actions_executed", "redirect_url", "error_reason", "target_port_list",
+        "target_status_code_list", "classification", "classification_reason",
+        "client_ip", "http_method", "full_url", "http_version", "protocol",
+        "hostname")]
+    + [StructField("port", LongType())]
+    + [StructField(c, StringType()) for c in ("path", "query_params",
+                                              "ua_browser_family", "ua_os_family")]
+    + [StructField("is_bot", BooleanType()), StructField("log_source_file", StringType())]
+)
+
+
+def read_raw_lines(spark, path: str) -> DataFrame:
+    """Scan gzip/plain ALB log files: one ``value`` column per line plus
+    source-object lineage (reference S1-S3, elb_logs.py:68-71,128,135-144).
+
+    Globbing + gzip decompression come from the Hadoop file source —
+    this also removes the reference's un-paginated 1000-key S3 listing
+    cap (elb_logs.py:69-70).
+    """
+    return spark.read.text(path).withColumn("log_source_file", F.input_file_name())
+
+
+def _int_guard(c: str) -> Column:
+    # reference: int(x) if x.isdigit() else NaN (elb_logs.py:96-97);
+    # `isdigit` rejects signs/decimals, so keep the same digits-only guard.
+    col = F.col(c)
+    return F.when(col.rlike(r"^[0-9]+$"), col.cast("long")).alias(c)
+
+
+def parse_elb_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse raw log lines into the typed 36-column table.
+
+    Single whole-stage-codegen projection; no Python UDF except the
+    user-agent family classifier (P11, the reference's `user_agents`
+    dependency) which is an Arrow-batched pandas UDF.
+    """
+    has_lineage = "log_source_file" in lines.columns
+    rec = F.from_csv(
+        F.col(value_col), RAW_DDL,
+        {"sep": " ", "quote": '"', "mode": "PERMISSIVE"},
+    )
+    df = lines.withColumn("r", rec)
+
+    cols: list[Column] = []
+    for c in ["type", "elb", "client_ip_port", "target_ip_port"]:
+        cols.append(F.col(f"r.{c}").alias(c))
+    # strict timestamp: elb_logs.py:83 — non-matching lines dropped below.
+    time_col = F.to_timestamp(F.col("r.time"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    cols.append(time_col.alias("time"))
+    for c in _FLOAT_COLS:
+        # '-' sentinel → NULL (elb_logs.py:94-95); cast of other
+        # non-numerics also NULLs (non-ANSI), strictly more tolerant.
+        cols.append(F.col(f"r.{c}").cast("double").alias(c))
+    for c in _INT_COLS:
+        cols.append(_int_guard(f"r.{c}").alias(c))
+    for c in ["request", "user_agent", "ssl_cipher", "ssl_protocol",
+              "target_group_arn", "trace_id", "domain_name", "chosen_cert_arn",
+              "matched_rule_priority"]:
+        cols.append(F.col(f"r.{c}").alias(c))
+    # lenient parse (elb_logs.py:85-88): try the ALB format then ISO fallback.
+    rct = F.col("r.request_creation_time")
+    cols.append(
+        F.coalesce(
+            F.to_timestamp(rct, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+            F.to_timestamp(rct, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+            F.to_timestamp(rct),
+        ).alias("request_creation_time")
+    )
+    for c in ["actions_executed", "redirect_url", "error_reason",
+              "target_port_list", "target_status_code_list", "classification",
+              "classification_reason"]:
+        cols.append(F.col(f"r.{c}").alias(c))
+
+    # derived: client ip (elb_logs.py:100; same IPv4 ip:port split —
+    # IPv6 caveat shared with the reference, see SURVEY.md P8)
+    cols.append(F.split(F.col("r.client_ip_port"), ":").getItem(0).alias("client_ip"))
+
+    # request triplet + URL decomposition (elb_logs.py:104-114)
+    req = F.split(F.col("r.request"), " ")
+    url = req.getItem(1)
+    cols += [
+        req.getItem(0).alias("http_method"),
+        url.alias("full_url"),
+        req.getItem(2).alias("http_version"),
+        F.lower(F.parse_url(url, F.lit("PROTOCOL"))).alias("protocol"),
+        F.lower(F.parse_url(url, F.lit("HOST"))).alias("hostname"),
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:(\d+)", 1)
+        .cast("long").alias("port"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query_params"),
+    ]
+
+    # UA classification (P11) + bot flag (P12, elb_logs.py:119-126)
+    ua = ua_classify(F.col("r.user_agent"))
+    cols += [
+        ua.getField("browser").alias("ua_browser_family"),
+        ua.getField("os").alias("ua_os_family"),
+        F.coalesce(F.lower(F.col("r.user_agent")).rlike(BOT_PATTERN), F.lit(False))
+        .alias("is_bot"),
+    ]
+    if has_lineage:
+        cols.append(F.col("log_source_file"))
+    else:
+        cols.append(F.lit("inline").alias("log_source_file"))
+
+    parsed = df.select(*cols)
+    # arity guard (elb_logs.py:77-78): short lines leave the trailing
+    # column NULL; strict-time failures drop the line (elb_logs.py:130-132).
+    return parsed.filter(
+        F.col("classification_reason").isNotNull() & F.col("time").isNotNull()
+    )
+
+
+def categorize_status(code: Column) -> Column:
+    """Status-code bucketing (P13, reference elb_logs.py:260-268) as a
+    CASE WHEN chain — replaces the per-row Python ``apply``."""
+    return (
+        F.when(code.isNull(), "Unknown")
+        .when((code >= 100) & (code < 200), "1xx_Informational")
+        .when((code >= 200) & (code < 300), "2xx_Success")
+        .when((code >= 300) & (code < 400), "3xx_Redirection")
+        .when((code >= 400) & (code < 500), "4xx_ClientError")
+        .when((code >= 500) & (code < 600), "5xx_ServerError")
+        .otherwise("Other")
+    )
+
+
+def filter_categorize(df: DataFrame) -> DataFrame:
+    """Filters + categorical columns (reference elb_logs.py:241-257):
+    drop null ip/request rows (F1), drop health-check agents (F2), add
+    ``status_code_type`` (P13) and ``waf_blocked`` (P14)."""
+    return (
+        df.filter(F.col("client_ip").isNotNull() & F.col("request").isNotNull())
+        .filter(
+            ~F.coalesce(
+                F.lower(F.col("user_agent")).rlike(HEALTH_CHECK_PATTERN), F.lit(False)
+            )
+        )
+        .withColumn("status_code_type", categorize_status(F.col("elb_status_code")))
+        .withColumn(
+            "waf_blocked",
+            F.coalesce(
+                F.lower(F.col("classification_reason")).rlike("waf|blocked|deny"),
+                F.lit(False),
+            ),
+        )
+    )

@@ -1,0 +1,111 @@
+"""Rate-limited HTTP geolocation fan-out (SURVEY.md §2.1 S9).
+
+The reference loops serially over new IPs calling ip-api.com with a
+0.6 s sleep (elb_logs.py:166-209, 413-419) — a ≤100 lookups/min
+ceiling. Here the fan-out is a ``mapInPandas`` table function: each
+partition issues its own throttled request stream, so aggregate
+throughput scales with ``coalesce(n)``-controlled parallelism while
+still honoring a per-partition rate limit.
+
+The HTTP transport is injectable: tests (and this offline container)
+use a deterministic fake; the real transport is only constructed on
+demand. Error responses produce the reference's ``"Error"`` sentinel
+row (elb_logs.py:186-209).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .geo_cache import GEO_SCHEMA
+
+#: fields mirrored from the ip-api.com response (elb_logs.py:167,174-184)
+_FIELDS = ["countryCode", "countryName", "regionName", "city", "lat", "lon", "isp"]
+
+
+def error_sentinel(ip: str) -> dict:
+    """The reference's failure row (elb_logs.py:186-209)."""
+    row = {"client_ip": ip, "lat": None, "lon": None}
+    for f in ("countryCode", "countryName", "regionName", "city", "isp"):
+        row[f] = "Error"
+    return row
+
+
+def fake_fetch(ip: str) -> dict:
+    """Deterministic offline stand-in for ip-api.com used in tests."""
+    octet = sum(int(p) for p in ip.split(".") if p.isdigit()) % 5
+    return {
+        "client_ip": ip,
+        "countryCode": f"C{octet}",
+        "countryName": f"Country{octet}",
+        "regionName": f"Region{octet}",
+        "city": f"City{octet}",
+        "lat": float(octet) * 10.0,
+        "lon": float(octet) * -10.0,
+        "isp": f"ISP{octet}",
+    }
+
+
+def http_fetch(ip: str) -> dict:  # pragma: no cover - network edge
+    """Real transport (reference fetch_geolocation_data,
+    elb_logs.py:166-209): ip-api.com JSON with 5 s timeout."""
+    import json
+    import urllib.request
+
+    url = (
+        f"http://ip-api.com/json/{ip}?fields=status,message,country,countryCode,"
+        "region,regionName,city,lat,lon,isp,query"
+    )
+    try:
+        with urllib.request.urlopen(url, timeout=5) as resp:
+            data = json.loads(resp.read().decode("utf-8"))
+        if data.get("status") == "success":
+            return {
+                "client_ip": data.get("query", ip),
+                "countryCode": data.get("countryCode"),
+                "countryName": data.get("country"),
+                "regionName": data.get("regionName"),
+                "city": data.get("city"),
+                "lat": data.get("lat"),
+                "lon": data.get("lon"),
+                "isp": data.get("isp"),
+            }
+        return error_sentinel(ip)
+    except Exception:
+        return error_sentinel(ip)
+
+
+def fetch_geolocations(
+    new_ips: DataFrame,
+    fetch_fn: Callable[[str], dict] = fake_fetch,
+    rate_limit_s: float = 0.0,
+    parallelism: int = 1,
+) -> DataFrame:
+    """Distributed, throttled lookup of geolocation rows for a frame of
+    distinct ``client_ip`` keys. Returns rows in ``GEO_SCHEMA`` with
+    ``api_fetch_timestamp`` stamped at fetch time.
+
+    ``parallelism`` bounds concurrent API clients (free-tier etiquette:
+    keep ``parallelism / rate_limit_s`` under the provider cap).
+    """
+
+    def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ip in pdf["client_ip"]:
+                row = dict(fetch_fn(ip))
+                row["api_fetch_timestamp"] = pd.Timestamp.now()
+                rows.append(row)
+                if rate_limit_s:
+                    time.sleep(rate_limit_s)
+            yield pd.DataFrame(
+                rows, columns=["client_ip", *_FIELDS, "api_fetch_timestamp"]
+            )
+
+    return new_ips.coalesce(max(parallelism, 1)).mapInPandas(
+        fetch_batches, schema=GEO_SCHEMA
+    )

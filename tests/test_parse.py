@@ -1,0 +1,110 @@
+"""Parser unit tests mirroring the reference's own test suite
+(reference/tests/test_elb_logs.py) against the Spark parser."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from elb_log_etl_enrichment_spark.sources.elb_logs import (
+    categorize_status,
+    filter_categorize,
+    parse_elb_lines,
+)
+
+# Real captured ALB line (reference tests/test_elb_logs.py:8-18).
+GOLDEN_LINE = (
+    "https 2025-05-26T23:55:12.664047Z app/erank-app/88dfa9dc536560af "
+    "34.217.80.200:44256 172.31.37.43:80 0.003 0.035 0.000 200 200 157 4408 "
+    '"GET https://members.erank.com:443/ HTTP/1.1" "Datadog Agent/7.54.0" '
+    "TLS_AES_128_GCM_SHA256 TLSv1.3 "
+    "arn:aws:elasticloadbalancing:us-west-2:848357551741:targetgroup/"
+    "erank-app-v3-production/902b52047b6f4e28 "
+    '"Root=1-6834ff60-6082aea9622eb93162ebf591" "members.erank.com" '
+    '"arn:aws:acm:us-west-2:848357551741:certificate/'
+    'c5395ea3-7277-455d-bd7f-9369ac9eed6c" '
+    '1 2025-05-26T23:55:12.625000Z "waf,forward" "-" "-" "172.31.37.43:80" '
+    '"200" "-" "-" TID_62b60b871f1a3146acf08aec25fc1aed'
+)
+
+
+def _parse(spark, lines):
+    df = spark.createDataFrame([Row(value=ln) for ln in lines])
+    return parse_elb_lines(df)
+
+
+def test_parse_real_elb_log_line(spark):
+    rows = _parse(spark, [GOLDEN_LINE]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # golden expectations (reference tests/test_elb_logs.py:22-27)
+    assert r.elb_status_code == 200
+    assert r.http_method == "GET"
+    assert r.hostname == "members.erank.com"
+    assert r.ua_browser_family == "Other"
+    assert r.is_bot is True
+    # additional typed-field checks
+    assert r.client_ip == "34.217.80.200"
+    assert r.request_processing_time == pytest.approx(0.003)
+    assert r.target_processing_time == pytest.approx(0.035)
+    assert r.received_bytes == 157
+    assert r.sent_bytes == 4408
+    assert r.port == 443
+    assert r.path == "/"
+    assert r.protocol == "https"
+    assert r.http_version == "HTTP/1.1"
+    assert r.time is not None and r.time.year == 2025
+    assert r.request_creation_time is not None
+
+
+def test_categorize_status(spark):
+    df = spark.createDataFrame(
+        [Row(code=100), Row(code=200), Row(code=300), Row(code=404),
+         Row(code=500), Row(code=999), Row(code=None)]
+    )
+    out = {
+        r.code: r.bucket
+        for r in df.select(
+            "code", categorize_status(df.code).alias("bucket")
+        ).collect()
+    }
+    # reference tests/test_elb_logs.py:29-35 + Unknown branch
+    assert out[100] == "1xx_Informational"
+    assert out[200] == "2xx_Success"
+    assert out[300] == "3xx_Redirection"
+    assert out[404] == "4xx_ClientError"
+    assert out[500] == "5xx_ServerError"
+    assert out[999] == "Other"
+    assert out[None] == "Unknown"
+
+
+def test_parse_invalid_log_line(spark):
+    assert _parse(spark, ["invalid log line without expected fields"]).count() == 0
+
+
+def test_parse_empty_log_line(spark):
+    assert _parse(spark, [""]).count() == 0
+
+
+def test_parse_log_line_with_missing_fields(spark):
+    truncated = "https 2025-05-26T23:55:12.664047Z app/erank-app/88dfa9dc536560af "
+    assert _parse(spark, [truncated]).count() == 0
+
+
+def test_filter_categorize_drops_health_checks_and_flags_waf(spark):
+    parsed = _parse(spark, [GOLDEN_LINE])
+    # Datadog UA is a health-check agent (elb_logs.py:245-248) → dropped
+    assert filter_categorize(parsed).count() == 0
+    # non-healthcheck browser line passes and gets categorized
+    browser_line = GOLDEN_LINE.replace(
+        '"Datadog Agent/7.54.0"',
+        '"Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 '
+        '(KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36"',
+    )
+    out = filter_categorize(_parse(spark, [browser_line])).collect()
+    assert len(out) == 1
+    assert out[0].status_code_type == "2xx_Success"
+    assert out[0].waf_blocked is False
+    assert out[0].ua_browser_family == "Chrome"
+    assert out[0].ua_os_family == "Windows"
+    assert out[0].is_bot is False
