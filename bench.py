@@ -29,6 +29,11 @@ HEADLINE = [
     "latest_event_per_user",
     "json_extract_events",
     "asof_latest_order_before_event",
+    "text_quality_scores",
+    "minhash_lsh_near_dup",
+    "simhash_documents",
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
 ]
 
 
@@ -37,8 +42,13 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
 
-    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
     from elb_log_etl_enrichment_spark.session import get_spark
+
+    all_queries()  # load extension registries
+    missing = [n for n in HEADLINE if n not in REGISTRY]
+    if missing:  # never silently shrink the bench set
+        raise SystemExit(f"headline queries missing from registry: {missing}")
 
     spark = get_spark(app_name="engine-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")

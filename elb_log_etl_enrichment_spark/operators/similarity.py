@@ -1,0 +1,81 @@
+"""Embedding similarity search (BASELINE.json north-star tier).
+
+Two tiers, same output contract (query_id, rank, neighbor, cosine):
+
+* **Brute force** — broadcast the (small) query set against every
+  candidate; exact top-k. O(|Q|·N) dot products, the correctness
+  baseline.
+* **Sign-LSH bucketed** — assign every vector to a random-hyperplane
+  bucket; candidates are same-bucket vectors only, so the join is a
+  shuffled equi-join on the bucket id and per-query work drops to the
+  bucket population (~N/2^planes). This is the 100 TB path: buckets
+  partition the corpus, no broadcast of the corpus side, approximate
+  recall traded for a 2^planes fan-in reduction. (An IVF variant
+  would learn centroids instead of random planes; same join shape.)
+
+Ranking is over the ROUNDED cosine with vec_id tiebreak so Spark and
+the DuckDB oracle order identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double_array, dot, lsh_bucket, norm
+
+
+def _prepared(emb: DataFrame) -> DataFrame:
+    v = as_double_array(F.col("embedding"))
+    return emb.select(
+        F.col("vec_id"), v.alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+
+
+def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
+    cos = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+    ).alias("cosine")
+    scored = pairs.select("query_id", "neighbor", cos)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col("rnk").cast("long").alias("rnk"), "neighbor", "cosine")
+    )
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame, query_pred, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k: queries = rows matching ``query_pred``
+    (a Column predicate over vec_id), candidates = all other vectors."""
+    p = _prepared(emb)
+    q = p.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = p.select(
+        F.col("vec_id").alias("neighbor"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor"))
+    return _ranked_topk(pairs, k)
+
+
+def cosine_topk_lsh(emb: DataFrame, query_pred, k: int = 3) -> DataFrame:
+    """Approximate cosine top-k within the query's sign-LSH bucket.
+    A same-bucket equi-join replaces the full-corpus scan; queries
+    whose bucket holds no other vector produce no rows (identical
+    semantics in the oracle)."""
+    p = _prepared(emb).withColumn("bkt", lsh_bucket(F.col("v")))
+    q = p.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "bkt",
+    )
+    c = p.select(
+        F.col("vec_id").alias("neighbor"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), "bkt",
+    )
+    pairs = q.join(c, on="bkt").filter(F.col("query_id") != F.col("neighbor"))
+    return _ranked_topk(pairs, k)

@@ -1,0 +1,191 @@
+"""Near-duplicate detection over document corpora: word-shingle
+Jaccard, MinHash+LSH, and SimHash (BASELINE.json north-star tier).
+
+Scale design:
+
+* **Shingle Jaccard** prunes candidates with token-count banding (an
+  equi-join on exploded size buckets — no O(n²) cross join reaches
+  the cluster); exact Jaccard runs only on survivors. Size banding is
+  sound for high thresholds: J(A,B) ≥ t ⇒ ||A|−|B|| ≤ (1−t)/t·min.
+* **MinHash+LSH** is the unblocked path: 16 min-hashes → 4 bands of
+  4 → candidates are pairs sharing a band key (equi-join on the band
+  bucket), then exact-Jaccard verification. Shuffle volume is
+  O(docs·bands), never O(docs²).
+* **SimHash** produces a 32-bit locality-sensitive signature per doc
+  from md5-derived bit contributions; Hamming-ball mining can then
+  block on signature bytes.
+
+Min-hash values are lexicographic minima of md5 hex strings — a total
+order both Spark and DuckDB implement identically, so the oracle can
+replay the exact construction (no engine-specific hash functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import TOKEN_RE
+
+NGRAM_N = 3
+MINHASH_SEEDS = 16
+LSH_BANDS = 4  # 4 bands × 4 rows
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram (n=3) shingle set per document; documents
+    with fewer than n tokens are excluded (no shingles exist)."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
+        F.size("toks") >= NGRAM_N
+    )
+    t = F.col("toks")
+    # 1-based element_at over a 1-based index sequence
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (NGRAM_N - 1)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(t, i),
+            F.element_at(t, i + 1),
+            F.element_at(t, i + 2),
+        ),
+    )
+    return base.select("doc_id", F.array_distinct(sh).alias("sh"))
+
+
+def _jaccard(a, b):
+    inter = F.size(F.array_intersect(a, b))
+    return inter * 1.0 / (F.size(a) + F.size(b) - inter)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.8, bucket_width: int = 16
+) -> DataFrame:
+    """Exact 3-gram-Jaccard near-dup pairs (doc_a < doc_b) with
+    token-count-band candidate pruning.
+
+    Each doc is probed into its size bucket ±1 (explode side) and
+    joined on bucket equality — a plain shuffled equi-join; a pair is
+    generated exactly once because only one probe bucket can equal the
+    build bucket.
+    """
+    sh = shingles(docs)
+    sized = sh.withColumn("bkt", (F.size("sh") / bucket_width).cast("long"))
+    probe = sized.select(
+        "doc_id",
+        F.col("sh").alias("sh_a"),
+        F.explode(
+            F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
+        ).alias("bkt"),
+    )
+    build = sized.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "bkt"
+    )
+    pairs = probe.join(build, on="bkt").filter(F.col("doc_id") < F.col("doc_b"))
+    return (
+        pairs.select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_band_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — the LSH bucket assignment.
+
+    sig(doc, seed) = min(md5(seed || '|' || shingle)); band key =
+    md5 of the band's 4 signatures joined in seed order.
+    """
+    sh = shingles(docs)
+    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    seeds = exploded.sparkSession.range(MINHASH_SEEDS).select(
+        F.col("id").cast("int").alias("seed")
+    )
+    sigs = (
+        exploded.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("s")))
+            ).alias("sig")
+        )
+    )
+    rows_per_band = MINHASH_SEEDS // LSH_BANDS
+    return (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "sig"))),
+                        lambda x: x.getField("sig"),
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """MinHash-LSH near-dup pairs: candidates share ≥1 of 4 band keys,
+    then exact-Jaccard verified at ``threshold``. No size blocking —
+    catches cross-block pairs the banded join can't see."""
+    bands = minhash_band_keys(docs)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), on=["band", "band_key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = shingles(docs)
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def _simhash_bit_sql(j: int, engine: str) -> str:
+    """Bit j of the 32-bit hash of one token, from its md5 hex string
+    column ``h``: nibble j//4, bit (3 − j%4). Engine-portable integer
+    div: Spark ``div`` / DuckDB ``//``."""
+    nib = f"substr(h, {1 + j // 4}, 1)"
+    val = f"(instr('0123456789abcdef', {nib}) - 1)"
+    div = "div" if engine == "spark" else "//"
+    return f"(({val} {div} {1 << (3 - j % 4)}) % 2)"
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per document: each token's md5 contributes ±1 to
+    32 bit positions; the sign of each accumulated position becomes
+    one output bit. One explode + one hash-aggregate — fully
+    distributed, no pairwise work."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("h"))
+    aggs = [
+        F.sum(F.expr(f"({_simhash_bit_sql(j, 'spark')}) * 2 - 1")).alias(f"s{j}")
+        for j in range(32)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*aggs)
+    bits = sum(
+        (
+            F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(32)
+        ),
+        F.lit(0),
+    )
+    return per_doc.select("doc_id", bits.cast("long").alias("simhash"))

@@ -748,8 +748,16 @@ def asof_latest_order_before_event(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def all_queries() -> dict[str, QueryFn]:
+    _load_extensions()
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def all_oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}
+
+
+def _load_extensions() -> None:
+    """Pull in the registry modules that live in separate files (they
+    self-register via @register on import)."""
+    from . import queries_text  # noqa: F401

@@ -1,0 +1,382 @@
+"""Registry entries for the training-data-pipeline tier: text
+analysis, deduplication (exact / n-gram Jaccard / MinHash-LSH /
+SimHash) and embedding similarity search (brute-force + sign-LSH).
+
+Oracle SQL here is partially *generated* from the same Python
+constants the Spark operators use (stopword lists, hyperplane
+literals, SimHash bit expressions) so both engines evaluate the exact
+same formulas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    fingerprint,
+    predict_lang,
+    quality_score,
+    token_count,
+    tokens,
+)
+from ..functions.vectors import HYPERPLANES, LSH_PLANES
+from ..operators.dedup import exact_dedup
+from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from ..operators.text_dedup import (
+    _simhash_bit_sql,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .queries import _t, register
+
+# shared CTE: distinct word-3-gram shingle sets (mirrors
+# operators.text_dedup.shingles)
+_SH_CTE = """
+    sh AS (
+        SELECT doc_id,
+               list_distinct([concat(t[i], ' ', t[i+1], ' ', t[i+2])
+                              for i in range(1, len(t) - 1)]) AS s
+        FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents)
+        WHERE len(t) >= 3
+    )
+"""
+
+_JACCARD = (
+    "ROUND(len(list_intersect({a}, {b})) * 1.0 / "
+    "(len({a}) + len({b}) - len(list_intersect({a}, {b}))), 6)"
+)
+
+
+# --------------------------------------------------------------------------
+# Token counting (whitespace-run tokens; identical regex both engines).
+# --------------------------------------------------------------------------
+@register(
+    "token_count_documents",
+    sql="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS text_len
+    FROM documents
+    """,
+    tags=("text", "tokenize"),
+)
+def token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring: character-class ratios + composite score.
+# --------------------------------------------------------------------------
+@register(
+    "text_quality_scores",
+    sql="""
+    SELECT doc_id,
+           ROUND(alpha_ratio, 6) AS alpha_ratio,
+           ROUND(digit_ratio, 6) AS digit_ratio,
+           ROUND(avg_token_len, 6) AS avg_token_len,
+           ROUND(alpha_ratio * 0.5 + (1.0 - digit_ratio) * 0.3
+                 + least(1.0, n_tokens / 50.0) * 0.2, 6) AS quality
+    FROM (
+        SELECT doc_id,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                   / length(text) AS alpha_ratio,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                   / length(text) AS digit_ratio,
+               length(regexp_replace(text, '\\s', '', 'g')) * 1.0
+                   / len(regexp_extract_all(text, '\\S+')) AS avg_token_len,
+               len(regexp_extract_all(text, '\\S+')) AS n_tokens
+        FROM documents
+        WHERE length(text) > 0
+    ) t
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    alpha = (
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")) * 1.0 / F.length("text")
+    )
+    digit = (
+        F.length(F.regexp_replace("text", "[^0-9]", "")) * 1.0 / F.length("text")
+    )
+    avg_tok = (
+        F.length(F.regexp_replace("text", r"\s", "")) * 1.0
+        / F.size(tokens(F.col("text")))
+    )
+    return d.select(
+        "doc_id",
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(digit, 6).alias("digit_ratio"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic: stopword-hit argmax vs the declared label.
+# --------------------------------------------------------------------------
+def _langid_sql() -> str:
+    def hits(lang: str) -> str:
+        lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return (
+            "len(list_filter(regexp_extract_all(lower(text), '\\S+'), "
+            f"x -> list_contains([{lst}], x)))"
+        )
+
+    return f"""
+    SELECT pred_lang, lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT lang,
+               CASE
+                 WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+                 WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                 WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                 WHEN s_de >= s_fr THEN 'de'
+                 ELSE 'fr'
+               END AS pred_lang
+        FROM (
+            SELECT lang,
+                   {hits('en')} AS s_en,
+                   {hits('es')} AS s_es,
+                   {hits('de')} AS s_de,
+                   {hits('fr')} AS s_fr
+            FROM documents
+        ) s
+    ) p
+    GROUP BY pred_lang, lang
+    """
+
+
+@register("langid_confusion", sql=_langid_sql(), tags=("text", "langid"))
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(predict_lang(F.col("text")).alias("pred_lang"), "lang")
+        .groupBy("pred_lang", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Content fingerprinting (normalized md5) — near-exact identity.
+# --------------------------------------------------------------------------
+@register(
+    "doc_fingerprint_summary",
+    sql="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))
+                AS BIGINT) AS n_distinct_fp
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("text", "fingerprint", "dedup"),
+)
+def doc_fingerprint_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("fp")).alias("n_distinct_fp"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup (operators/dedup.exact_dedup): survivors per source.
+# --------------------------------------------------------------------------
+@register(
+    "exact_dedup_documents",
+    sql="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_survivors
+    FROM (
+        SELECT source, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+    ) d
+    WHERE rn = 1
+    GROUP BY source
+    """,
+    tags=("dedup", "exact"),
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    survivors = exact_dedup(d, ["text"], "doc_id")
+    return survivors.groupBy("source").agg(F.count(F.lit(1)).alias("n_survivors"))
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs with size-band candidate pruning.
+# --------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_near_dup",
+    sql=f"""
+    WITH {_SH_CTE},
+    sized AS (SELECT doc_id, s, len(s) // 16 AS bkt FROM sh),
+    probe AS (SELECT doc_id, s AS s_a, unnest([bkt - 1, bkt, bkt + 1]) AS bkt
+              FROM sized),
+    pairs AS (
+        SELECT p.doc_id AS doc_a, b.doc_id AS doc_b,
+               {_JACCARD.format(a='p.s_a', b='b.s')} AS jaccard
+        FROM probe p JOIN sized b USING (bkt)
+        WHERE p.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
+    """,
+    tags=("dedup", "jaccard", "ngram"),
+)
+def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.8, bucket_width=16)
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH near-dup pairs (16 sigs, 4 bands × 4) + exact verify.
+# --------------------------------------------------------------------------
+@register(
+    "minhash_lsh_near_dup",
+    sql=f"""
+    WITH {_SH_CTE},
+    ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+    seeds AS (SELECT unnest(range(16)) AS seed),
+    sigs AS (
+        SELECT doc_id, seed,
+               min(md5(concat(CAST(seed AS VARCHAR), '|', sg))) AS sig
+        FROM ex CROSS JOIN seeds
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(sig, ',' ORDER BY seed)) AS band_key
+        FROM sigs GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x
+        JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+                    AND x.doc_id < y.doc_id
+    ),
+    verified AS (
+        SELECT doc_a, doc_b, {_JACCARD.format(a='a.s', b='b.s')} AS jaccard
+        FROM cand
+        JOIN sh a ON a.doc_id = doc_a
+        JOIN sh b ON b.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.8
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# SimHash signatures (32-bit, md5-derived — generated SQL mirrors the
+# Spark bit expressions exactly).
+# --------------------------------------------------------------------------
+def _simhash_sql() -> str:
+    sums = ",\n               ".join(
+        f"SUM(({_simhash_bit_sql(j, 'duckdb')}) * 2 - 1) AS s{j}" for j in range(32)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(t) AS h FROM tok),
+    s AS (
+        SELECT doc_id,
+               {sums}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM s
+    """
+
+
+@register("simhash_documents", sql=_simhash_sql(), tags=("dedup", "simhash"))
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d)
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity: exact brute-force top-k and sign-LSH bucketed.
+# Query set = vec_id % 100 == 0.
+# --------------------------------------------------------------------------
+@register(
+    "cosine_topk_bruteforce",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    p AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor,
+               ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % 100 = 0
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor ASC) AS rk
+        FROM p
+    )
+    SELECT query_id, CAST(rk AS BIGINT) AS rnk, neighbor, cosine
+    FROM r WHERE rk <= 5
+    """,
+    tags=("similarity", "knn"),
+)
+def cosine_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(e, F.col("vec_id") % 100 == 0, k=5)
+
+
+def _lsh_topk_sql() -> str:
+    plane_rows = ",\n               ".join(
+        f"({i}, {HYPERPLANES[i]}::DOUBLE[])" for i in range(LSH_PLANES)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    planes AS (
+        SELECT * FROM (VALUES
+               {plane_rows}
+        ) AS pl(i, w)
+    ),
+    b AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN list_dot_product(n.v, planes.w) > 0
+                             THEN (1 << i) ELSE 0 END) AS BIGINT) AS bkt
+        FROM n CROSS JOIN planes GROUP BY vec_id
+    ),
+    nb AS (SELECT n.vec_id, n.v, n.nrm, b.bkt FROM n JOIN b USING (vec_id)),
+    p AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor,
+               ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM nb q JOIN nb c ON q.bkt = c.bkt AND c.vec_id <> q.vec_id
+        WHERE q.vec_id % 100 = 0
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor ASC) AS rk
+        FROM p
+    )
+    SELECT query_id, CAST(rk AS BIGINT) AS rnk, neighbor, cosine
+    FROM r WHERE rk <= 3
+    """
+
+
+@register("cosine_topk_lsh", sql=_lsh_topk_sql(), tags=("similarity", "lsh", "ann"))
+def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(e, F.col("vec_id") % 100 == 0, k=3)

@@ -7,7 +7,9 @@ import os
 
 import pytest
 
-from elb_log_etl_enrichment_spark.plans.queries import REGISTRY
+from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+all_queries()  # force extension registries to load before parametrize
 
 from .oracle_harness import compare, duckdb_connection
 
