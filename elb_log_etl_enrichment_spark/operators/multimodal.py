@@ -1,0 +1,118 @@
+"""Multimodal column plumbing (BASELINE.json north-star tier).
+
+Media assets ride through the engine as opaque ``binary`` payload
+columns plus a typed metadata struct — the schema/partitioning layer
+is real and tested; the actual codec work (image decode, audio
+resample, video frame extraction) is STUBBED because no media
+libraries exist in this container:
+
+* ``decode_media`` with ``real=True`` raises ``NotImplementedError``
+  at the point where Pillow/ffmpeg would be invoked;
+* the default deterministic fake derives metadata purely from the
+  payload bytes, so the Arrow batch shapes, UDF signatures and
+  downstream aggregations are exercised end-to-end.
+
+Scale notes: payloads stay in executor-side Arrow batches
+(``mapInPandas``), never on the driver; batch size is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so a partition of
+large blobs can't blow Python memory; derived metadata is columnar so
+downstream filters/groupBys never touch the payload again (column
+pruning drops the binary column at the scan when only metadata is
+referenced).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FORMATS = ["png", "jpeg", "webp"]
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_format", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Wrap a source column as an opaque binary payload (stand-in for
+    reading real media blobs from object storage)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def fake_decode(payload: bytes) -> tuple[str, int, int]:
+    """Deterministic stand-in for an image decoder: format and
+    dimensions derived from the payload bytes."""
+    n = len(payload)
+    return (FORMATS[n % 3], 64 + n % 256, 64 + (n * 7) % 256)
+
+
+def decode_media(media: DataFrame, real: bool = False) -> DataFrame:
+    """Arrow-batched "decode": payload → typed metadata columns.
+
+    ``real=True`` marks where an actual codec (Pillow/ffmpeg) plugs
+    in; unavailable in this environment by design.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real:
+                raise NotImplementedError(
+                    "real media decoding requires codec libraries (Pillow/"
+                    "ffmpeg) that are not installed; use the deterministic "
+                    "fake decoder (real=False) for plumbing tests"
+                )
+            meta = [fake_decode(p) for p in pdf["payload"]]
+            out = pdf[["media_id", "payload"]].copy()
+            out["media_format"] = [m[0] for m in meta]
+            out["width"] = [m[1] for m in meta]
+            out["height"] = [m[2] for m in meta]
+            out["n_bytes"] = [len(p) for p in pdf["payload"]]
+            yield out
+
+    return media.mapInPandas(decode_batches, schema=MEDIA_SCHEMA)
+
+
+def resize_stub(decoded: DataFrame, max_side: int = 128) -> DataFrame:
+    """Resize planning: computes target dims columnar-side (the real
+    pixel work would be another mapInPandas over the payload)."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest(F.col("width"), F.col("height")),
+    )
+    return decoded.withColumns(
+        {
+            "target_width": F.floor(F.col("width") * scale).cast("long"),
+            "target_height": F.floor(F.col("height") * scale).cast("long"),
+        }
+    )
+
+
+def frame_sample_stub(decoded: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video-style frame sampling plumbing: explode a deterministic
+    frame index per asset (real path would demux the payload)."""
+    n_frames = (F.col("n_bytes") % 30 + 1).cast("int")
+    return decoded.select(
+        "media_id",
+        "media_format",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).filter(F.col("frame_idx") % every_n == 0)

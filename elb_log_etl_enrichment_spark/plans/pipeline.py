@@ -1,0 +1,120 @@
+"""The full ELB ETL pipeline, composed (reference main(),
+elb_logs.py:398-437 / SURVEY.md §3.1).
+
+Where the reference eagerly materializes a pandas frame between every
+stage, this composition is ONE lazy logical plan per sink: Catalyst
+fuses parse→enrich→filter→features into a handful of codegen stages,
+the enriched frame is ``persist()``-ed once before the 4-sink fan-out,
+and the only shuffles are the two the semantics require (the
+``client_ip`` window partitioning, reused by sessionization and both
+rolling features, and the aggregate exchanges).
+
+Incremental state: the geo cache round-trips through parquet exactly
+like the reference (anti-join detects new IPs, upsert keeps the
+newest row per IP), so a second run over the same logs fetches zero
+new IPs.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregate import bot_traffic, error_summary, hourly_geo_aggregates
+from ..operators.enrich import enrich_with_geo, new_keys
+from ..operators.features import (
+    add_path_features,
+    add_rolling_features,
+    calculate_processing_times,
+    extract_time_features,
+    sessionize,
+)
+from ..sinks.writers import write_cleaned_logs, write_csv, write_parquet
+from ..sources.elb_logs import LOCAL_TZ, filter_categorize, parse_elb_lines, read_raw_lines
+from ..sources.geo_cache import load_geo_cache, update_geo_cache
+from ..sources.http_geo import fake_fetch, fetch_geolocations
+
+
+def enrich_and_featurize(
+    spark: SparkSession,
+    parsed: DataFrame,
+    geo_cache_path: str,
+    fetch_fn: Callable[[str], dict] = fake_fetch,
+) -> DataFrame:
+    """Steps 2-6 of the reference main(): geo lookup/cache/join, then
+    the feature chain. Pure plan construction except the cache upsert
+    (which, as in the reference, is a materialized side effect)."""
+    cache = load_geo_cache(spark, geo_cache_path)
+    new_ips = new_keys(parsed, cache)
+    fetched = fetch_geolocations(new_ips, fetch_fn=fetch_fn)
+    cache = update_geo_cache(spark, fetched, geo_cache_path)
+
+    enriched = filter_categorize(enrich_with_geo(parsed, cache))
+    # reference extracts calendar features from US/Eastern wall-clock
+    # (elb_logs.py:83,295-303); windows order by the underlying instant.
+    enriched = enriched.withColumn(
+        "time_local", F.from_utc_timestamp(F.col("time"), LOCAL_TZ)
+    )
+    enriched = extract_time_features(enriched, ts="time_local")
+    enriched = calculate_processing_times(enriched)
+    enriched = sessionize(enriched, key="client_ip", ts="time", tiebreak="time")
+    enriched = add_rolling_features(enriched, key="client_ip", ts="time")
+    enriched = add_path_features(enriched)
+    return enriched.drop("time_local")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    logs_path: str | DataFrame,
+    output_dir: str,
+    geo_cache_path: str | None = None,
+    fetch_fn: Callable[[str], dict] = fake_fetch,
+) -> dict[str, DataFrame]:
+    """End-to-end ETL: raw log lines → 4 sinks (reference Step 1-7).
+
+    ``logs_path`` may be a glob of (gzip) log files or a pre-built
+    lines DataFrame (tests). Returns the intermediate frames for
+    inspection; sinks land under ``output_dir`` in the reference's
+    layout (cleaned_logs/ aggregated_stats/ reports/).
+    """
+    geo_cache_path = geo_cache_path or os.path.join(
+        output_dir, "ip_geolocation_cache.parquet"
+    )
+    lines = (
+        logs_path
+        if isinstance(logs_path, DataFrame)
+        else read_raw_lines(spark, logs_path)
+    )
+    parsed = parse_elb_lines(lines)
+    enriched = enrich_and_featurize(spark, parsed, geo_cache_path, fetch_fn)
+
+    enriched = enriched.persist()
+    try:
+        write_cleaned_logs(enriched, os.path.join(output_dir, "cleaned_logs"))
+        hourly = hourly_geo_aggregates(enriched)
+        write_parquet(
+            hourly,
+            os.path.join(output_dir, "aggregated_stats", "hourly_traffic_by_geo.parquet"),
+        )
+        errors = error_summary(enriched)
+        write_csv(errors, os.path.join(output_dir, "reports", "error_summary_geo.csv"))
+        bot_detail, bot_summary = bot_traffic(enriched)
+        write_parquet(
+            bot_detail, os.path.join(output_dir, "reports", "bot_traffic_details.parquet")
+        )
+        write_csv(
+            bot_summary,
+            os.path.join(output_dir, "reports", "bot_traffic_by_origin_summary.csv"),
+        )
+        return {
+            "enriched": enriched,
+            "hourly": hourly,
+            "errors": errors,
+            "bot_detail": bot_detail,
+            "bot_summary": bot_summary,
+        }
+    finally:
+        enriched.unpersist()

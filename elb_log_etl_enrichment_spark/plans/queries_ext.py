@@ -1,0 +1,406 @@
+"""Registry entries extending relational-inventory breadth (SURVEY.md
+§2.4 note: join/window/agg shapes beyond the reference's own surface)
+plus the streaming, multimodal and full-ELB-pipeline entries.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, Row, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import attach_payload, decode_media
+from .queries import _t, register
+
+
+# --------------------------------------------------------------------------
+# Full-outer join: per-nation customer vs supplier presence.
+# --------------------------------------------------------------------------
+@register(
+    "full_outer_nation_presence",
+    sql="""
+    SELECT CAST(COALESCE(a.k, b.k) AS BIGINT) AS nationkey,
+           CAST(COALESCE(a.n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(COALESCE(b.n_supp, 0) AS BIGINT) AS n_supp
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) a
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1) b
+    ON a.k = b.k
+    """,
+    tags=("join", "full_outer"),
+)
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    a = c.groupBy(F.col("c_nationkey").alias("ka")).agg(F.count(F.lit(1)).alias("n_cust"))
+    b = s.groupBy(F.col("s_nationkey").alias("kb")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return a.join(b, a.ka == b.kb, "full").select(
+        F.coalesce(F.col("ka"), F.col("kb")).cast("long").alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).cast("long").alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).cast("long").alias("n_supp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross join (small dims only — both engines materialize |A|·|B|).
+# --------------------------------------------------------------------------
+@register(
+    "cross_join_region_priority",
+    sql="""
+    SELECT r_name, o_orderpriority
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    """,
+    tags=("join", "cross"),
+)
+def cross_join_region_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").select("r_name")
+    p = _t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    return r.crossJoin(p)
+
+
+# --------------------------------------------------------------------------
+# Correlated subquery: orders above their own customer's average.
+# (Spark expresses the correlation as a per-key window — one shuffle,
+# no join back; the oracle keeps the literal correlated form.)
+# --------------------------------------------------------------------------
+@register(
+    "orders_above_customer_avg",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(AVG(o_totalprice), 6) AS avg_price
+    FROM orders o
+    WHERE o_totalprice > (
+        SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    GROUP BY o_orderpriority
+    """,
+    tags=("subquery", "correlated", "window"),
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("__cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("__cust_avg"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# lead/lag/first_value neighbors (SURVEY §2.6 breadth).
+# --------------------------------------------------------------------------
+@register(
+    "event_neighbors",
+    sql="""
+    SELECT event_id,
+           lag(event_type)  OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           first_value(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "lead", "lag", "first_value"),
+)
+def event_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(wf).alias("first_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ntile quartiles within a partition (deterministic tiebreak).
+# --------------------------------------------------------------------------
+@register(
+    "order_price_quartiles",
+    sql="""
+    SELECT o_orderpriority, CAST(q AS BIGINT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM (
+        SELECT o_orderpriority, o_totalprice,
+               ntile(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS q
+        FROM orders
+    ) t
+    GROUP BY o_orderpriority, q
+    """,
+    tags=("window", "ntile"),
+)
+def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Interpolated percentiles (exact, oracle-checked; percentile_approx is
+# the documented 100 TB substitute — SURVEY §7.4 trap 6).
+# --------------------------------------------------------------------------
+@register(
+    "value_percentiles_by_type",
+    sql="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) AS p25,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.75), 6) AS p75,
+           ROUND(quantile_cont(value, 0.90), 6) AS p90
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "percentile"),
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.25), 6).alias("p25"),
+        F.round(F.percentile("value", 0.50), 6).alias("p50"),
+        F.round(F.percentile("value", 0.75), 6).alias("p75"),
+        F.round(F.percentile("value", 0.90), 6).alias("p90"),
+    )
+
+
+# --------------------------------------------------------------------------
+# min_by / max_by (argmin/argmax) aggregates.
+# --------------------------------------------------------------------------
+@register(
+    "extreme_events_by_type",
+    sql="""
+    SELECT event_type,
+           CAST(arg_min(event_id, value) AS BIGINT) AS min_value_event,
+           CAST(arg_max(event_id, value) AS BIGINT) AS max_value_event,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "argminmax"),
+)
+def extreme_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.min_by("event_id", "value").cast("long").alias("min_value_event"),
+        F.max_by("event_id", "value").cast("long").alias("max_value_event"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# explode/unnest word count with deterministic top-k.
+# --------------------------------------------------------------------------
+@register(
+    "top_tokens_wordcount",
+    sql="""
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents) t
+    GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT 10
+    """,
+    tags=("explode", "agg", "topk"),
+)
+def top_tokens_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    return (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot (explicit value list → deterministic columns; oracle uses
+# conditional aggregation, the same plan Spark lowers pivot into).
+# --------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_event_type_counts",
+    sql=f"""
+    SELECT user_id,
+           {", ".join(f"CAST(count_if(event_type = '{t}') AS BIGINT) AS {t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+    tags=("pivot", "agg"),
+)
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    pivoted = (
+        e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    )
+    return pivoted.na.fill(0, _EVENT_TYPES)
+
+
+# --------------------------------------------------------------------------
+# Date arithmetic: truncation, distinct active days, day spans.
+# --------------------------------------------------------------------------
+@register(
+    "user_activity_calendar",
+    sql="""
+    SELECT user_id,
+           strftime(date_trunc('week', MIN(ts)), '%Y-%m-%d') AS first_week,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+           CAST(datediff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+                AS BIGINT) AS span_days
+    FROM events GROUP BY user_id
+    """,
+    tags=("datetime", "agg"),
+)
+def user_activity_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.date_format(F.date_trunc("week", F.min("ts")), "yyyy-MM-dd").alias(
+            "first_week"
+        ),
+        F.count_distinct(F.to_date("ts")).alias("n_active_days"),
+        F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts")))
+        .cast("long")
+        .alias("span_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing: binary payload → mapInPandas fake decode →
+# metadata aggregation. The oracle mirrors the deterministic fake
+# formula (operators/multimodal.fake_decode), so the Arrow round-trip
+# is fully hash-checked.
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_decode_stats",
+    sql="""
+    SELECT CASE strlen(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                ELSE 'webp' END AS media_format,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(64 + strlen(text) % 256), 6) AS avg_width,
+           ROUND(AVG(64 + (strlen(text) * 7) % 256), 6) AS avg_height,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("multimodal", "udf", "mapInPandas"),
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    decoded = decode_media(attach_payload(d, "doc_id", "text"))
+    return decoded.groupBy("media_format").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("width"), 6).alias("avg_width"),
+        F.round(F.avg("height"), 6).alias("avg_height"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming sessionization (session_window) — oracle-checked
+# against the batch lag/cumsum construction: gap-based session windows
+# are semantically identical to the reference's sessionizer.
+# --------------------------------------------------------------------------
+@register(
+    "streaming_sessionize_events",
+    sql="""
+    WITH t AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+    d AS (
+        SELECT *, CASE WHEN ms - lag(ms) OVER (
+                   PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+               THEN 1 ELSE 0 END AS brk
+        FROM t
+    ),
+    s AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        FROM d
+    )
+    SELECT user_id,
+           MIN(ms) AS session_start_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sess
+    """,
+    tags=("streaming", "session_window"),
+)
+def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream import read_events_stream, run_available_now, sessionized_stream
+
+    events = read_events_stream(spark, sf_dir)
+    sessions = sessionized_stream(events, gap="30 minutes")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sessionize_")
+    result = run_available_now(sessions, spark, "mem_stream_sessions", ckpt)
+    return result.select(
+        "user_id",
+        F.unix_millis("session_start").alias("session_start_ms"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming tumbling hourly aggregate — oracle-checked
+# against the equivalent batch GROUP BY on the truncated hour (exact
+# counts; the approx-distinct column stays engine-side and is omitted).
+# --------------------------------------------------------------------------
+@register(
+    "streaming_hourly_counts",
+    sql="""
+    SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "tumbling_window"),
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream import hourly_stream_agg, read_events_stream, run_available_now
+
+    events = read_events_stream(spark, sf_dir)
+    hourly = hourly_stream_agg(events)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_hourly_")
+    result = run_available_now(hourly, spark, "mem_stream_hourly", ckpt)
+    return result.select(
+        F.unix_millis("hour_start").alias("hour_start_ms"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Full ELB pipeline over the packaged fixture lines (rows-only: the
+# input is synthesized, not a driver table, so no oracle view exists).
+# --------------------------------------------------------------------------
+@register("elb_pipeline_hourly", sql=None, tags=("pipeline", "e2e", "elb"))
+def elb_pipeline_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregate import hourly_geo_aggregates
+    from ..plans.pipeline import enrich_and_featurize
+    from ..sources.alb_fixtures import fixture_lines
+    from ..sources.elb_logs import parse_elb_lines
+
+    lines = spark.createDataFrame([Row(value=ln) for ln in fixture_lines()])
+    parsed = parse_elb_lines(lines)
+    cache_dir = tempfile.mkdtemp(prefix="geo_cache_") + "/cache.parquet"
+    enriched = enrich_and_featurize(spark, parsed, cache_dir)
+    return hourly_geo_aggregates(enriched)

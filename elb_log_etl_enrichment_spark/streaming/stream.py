@@ -1,0 +1,170 @@
+"""Structured Streaming tier (SURVEY.md §2.8).
+
+The reference's "streaming" is cron re-running the batch every ~2
+minutes over the FULL S3 prefix (cron_test.txt, elb_logs.py:402) —
+100% re-read amplification and no late-data semantics. This tier maps
+that cadence onto real incremental primitives:
+
+| reference behavior            | here                                   |
+|-------------------------------|----------------------------------------|
+| re-scan prefix per cron tick  | file source + checkpoint (exactly-once |
+|                               | file tracking) / Trigger.AvailableNow  |
+| 30-min-gap sessionization     | ``session_window(ts, '30 minutes')``   |
+| hourly aggregates             | tumbling ``window(ts, '1 hour')``      |
+| geo cache upsert across runs  | ``foreachBatch`` keep-latest upsert    |
+| (none)                        | watermarks bound state for late data   |
+
+Scale note: session_window/tumbling aggs are stateful operators whose
+state is partitioned by key — the same hash partitioning as the batch
+window tier, but with watermark-driven state eviction, so unbounded
+streams run in bounded memory.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..session import ensure_engine_confs
+
+#: on-disk schema of the driver's events table (ts = raw parquet NANOS,
+#: scanned as long via nanosAsLong — see sources/tables.py).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch unit; checkpointing gives exactly-once file tracking —
+    the incremental read the reference's cron loop lacks).
+
+    The streaming file source wants a *directory*; when pointed at the
+    driver's single-file table we stage a symlink dir (read-only
+    testdata stays untouched).
+    """
+    ensure_engine_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isfile(path):
+        staged = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(path, os.path.join(staged, "events.parquet"))
+        path = staged
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def sessionized_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming equivalent of operators.features.sessionize (W1-W4):
+    per-user session windows with a 30-min inactivity gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def hourly_stream_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming equivalent of the hourly aggregate (A1-A7): tumbling
+    1-hour windows per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "approx_users",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(
+    result: DataFrame, spark: SparkSession, name: str, checkpoint_dir: str
+) -> DataFrame:
+    """Drain all available input through a streaming plan into an
+    in-memory sink (Trigger.AvailableNow — the reference's cron tick,
+    minus the re-read) and return the materialized table."""
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+def foreach_batch_cache_upsert(
+    stream: DataFrame,
+    spark: SparkSession,
+    cache_path: str,
+    checkpoint_dir: str,
+    fetch_fn: Callable[[str], dict],
+) -> None:
+    """Streaming version of the geo-cache maintenance loop (reference
+    Step 3-4): per micro-batch, anti-join the cache, fetch only new
+    keys, upsert with last-write-wins."""
+    from ..operators.enrich import new_keys
+    from ..sources.geo_cache import load_geo_cache, update_geo_cache
+    from ..sources.http_geo import fetch_geolocations
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        cache = load_geo_cache(spark, cache_path)
+        fresh = fetch_geolocations(new_keys(batch, cache), fetch_fn=fetch_fn)
+        update_geo_cache(spark, fresh, cache_path)
+
+    query = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
