@@ -63,6 +63,28 @@ def cosine_topk_bruteforce(
     return _ranked_topk(pairs, k)
 
 
+def embedding_near_dup(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b) within
+    sign-LSH buckets — the vector analog of MinHash-LSH text dedup:
+    candidate generation is the same-bucket equi-join, verification is
+    the exact (rounded) cosine against ``threshold``."""
+    p = _prepared(emb).withColumn("bkt", lsh_bucket(F.col("v")))
+    a = p.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "bkt",
+    )
+    b = p.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), "bkt",
+    )
+    pairs = a.join(b, on="bkt").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def cosine_topk_lsh(emb: DataFrame, query_pred, k: int = 3) -> DataFrame:
     """Approximate cosine top-k within the query's sign-LSH bucket.
     A same-bucket equi-join replaces the full-corpus scan; queries

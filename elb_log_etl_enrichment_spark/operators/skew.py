@@ -1,0 +1,62 @@
+"""Skew-mitigation operators.
+
+AQE's skew-join splitting handles most runtime skew automatically
+(session.py turns it on), but aggregation skew on a pathological hot
+key still serializes one reducer. ``salted_agg`` is the classic
+manual fix: explode each key into ``n_salts`` sub-keys, aggregate
+partially per (key, salt), then combine partials per key. The second
+stage shuffles one row per (key, salt) — bounded regardless of how
+hot the key is.
+
+Only aggregates with a decomposition into (partial, combine) are
+supported; results are identical to the unsalted plan (the oracle
+checks this with a plain GROUP BY).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: partial-aggregate spec: output_name -> (partial_fn, combine_fn)
+SALTABLE = {
+    "count": (lambda c: F.count(c), lambda p: F.sum(p)),
+    "sum": (lambda c: F.sum(c), lambda p: F.sum(p)),
+    "min": (lambda c: F.min(c), lambda p: F.min(p)),
+    "max": (lambda c: F.max(c), lambda p: F.max(p)),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Two-stage skew-safe aggregation.
+
+    ``aggs`` maps output column name → (agg_name, input_col) with
+    agg_name in SALTABLE. The salt is derived deterministically from
+    ``salt_source`` (default: a stable hash of all non-key columns
+    via xxhash64) so re-runs produce identical partials.
+    """
+    if salt_source is None:
+        value_cols = [c for c in df.columns if c not in keys]
+        salt_source = F.xxhash64(*[F.col(c) for c in value_cols])
+    salted = df.withColumn("__salt", F.pmod(salt_source, F.lit(n_salts)))
+
+    partials = salted.groupBy(*keys, "__salt").agg(
+        *[
+            SALTABLE[agg][0](F.col(col)).alias(f"__p_{out}")
+            for out, (agg, col) in aggs.items()
+        ]
+    )
+    return partials.groupBy(*keys).agg(
+        *[
+            SALTABLE[agg][1](F.col(f"__p_{out}")).alias(out)
+            for out, (agg, col) in aggs.items()
+        ]
+    )

@@ -92,49 +92,53 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_band_keys(docs: DataFrame) -> DataFrame:
+def minhash_band_keys(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, band, band_key) — the LSH bucket assignment.
 
-    sig(doc, seed) = min(md5(seed || '|' || shingle)); band key =
-    md5 of the band's 4 signatures joined in seed order.
+    sig(doc, seed) = min(md5('{seed}|' || shingle)); band key = md5 of
+    the band's 4 signatures joined in seed order.
+
+    All 16 signatures are computed as 16 ``min`` aggregates over ONE
+    shingle explosion — no seed cross-join, so the shuffle carries one
+    row of 16 digests per (doc, map-task) partial instead of 16×
+    exploded rows. At 50k docs × ~50 shingles that is the difference
+    between ~2.7M and ~43M shuffled rows.
     """
-    sh = shingles(docs)
+    sh = shingles(docs) if sh is None else sh
     exploded = sh.select("doc_id", F.explode("sh").alias("s"))
-    seeds = exploded.sparkSession.range(MINHASH_SEEDS).select(
-        F.col("id").cast("int").alias("seed")
-    )
-    sigs = (
-        exploded.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("s")))
-            ).alias("sig")
-        )
+    sigs = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("s")))).alias(f"g{seed}")
+            for seed in range(MINHASH_SEEDS)
+        ]
     )
     rows_per_band = MINHASH_SEEDS // LSH_BANDS
-    return (
-        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
                 F.concat_ws(
                     ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "sig"))),
-                        lambda x: x.getField("sig"),
-                    ),
+                    *[
+                        F.col(f"g{b * rows_per_band + i}")
+                        for i in range(rows_per_band)
+                    ],
                 )
-            ).alias("band_key")
+            ).alias("band_key"),
         )
-    )
+        for b in range(LSH_BANDS)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """MinHash-LSH near-dup pairs: candidates share ≥1 of 4 band keys,
     then exact-Jaccard verified at ``threshold``. No size blocking —
     catches cross-block pairs the banded join can't see."""
-    bands = minhash_band_keys(docs)
+    sh = shingles(docs).persist()  # reused by band-gen and both verify joins
+    bands = minhash_band_keys(docs, sh=sh)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), on=["band", "band_key"])
@@ -144,7 +148,6 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
         )
         .distinct()
     )
-    sh = shingles(docs)
     verified = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")

@@ -389,6 +389,165 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Skew-safe two-stage salted aggregation (operators/skew.py) — result
+# must equal the plain GROUP BY, which is exactly what the oracle runs.
+# --------------------------------------------------------------------------
+@register(
+    "salted_user_event_totals",
+    sql="""
+    SELECT user_id,
+           CAST(COUNT(event_id) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("agg", "skew", "salting"),
+)
+def salted_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        e.select("user_id", "event_id", "value"),
+        keys=["user_id"],
+        aggs={
+            "n_events": ("count", "event_id"),
+            "__sum_value": ("sum", "value"),
+            "__max_value": ("max", "value"),
+        },
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("__sum_value", 2).alias("sum_value"),
+        F.round("__max_value", 6).alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# applyInPandas grouped custom operator (operators/grouped.py): the
+# oracle replays the same math in SQL, hash-checking the whole Arrow
+# grouped-map round trip.
+# --------------------------------------------------------------------------
+@register(
+    "zscore_outlier_events",
+    sql="""
+    SELECT user_id, event_id, value, ROUND((value - m) / s, 6) AS zscore
+    FROM (
+        SELECT user_id, event_id, value,
+               AVG(value)         OVER (PARTITION BY user_id) AS m,
+               stddev_samp(value) OVER (PARTITION BY user_id) AS s,
+               COUNT(*)           OVER (PARTITION BY user_id) AS n
+        FROM events
+    ) t
+    WHERE n >= 2 AND s IS NOT NULL AND s <> 0
+      AND abs((value - m) / s) > 2.0
+    """,
+    tags=("udf", "applyInPandas", "grouped"),
+)
+def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.grouped import zscore_outliers
+
+    e = _t(spark, sf_dir, "events")
+    out = zscore_outliers(e, threshold=2.0)
+    return out.select(
+        "user_id", "event_id", "value", F.round("zscore", 6).alias("zscore")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (vector analog of MinHash-LSH).
+# --------------------------------------------------------------------------
+@register(
+    "embedding_near_dup_pairs",
+    sql=None,  # replaced below: SQL shares the hyperplane literals
+    tags=("similarity", "dedup", "lsh"),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup(e, threshold=0.3)
+
+
+def _embedding_near_dup_sql() -> str:
+    from ..functions.vectors import HYPERPLANES, LSH_PLANES
+
+    plane_rows = ",\n               ".join(
+        f"({i}, {HYPERPLANES[i]}::DOUBLE[])" for i in range(LSH_PLANES)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    planes AS (SELECT * FROM (VALUES
+               {plane_rows}
+        ) AS pl(i, w)),
+    b AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN list_dot_product(n.v, planes.w) > 0
+                             THEN (1 << i) ELSE 0 END) AS BIGINT) AS bkt
+        FROM n CROSS JOIN planes GROUP BY vec_id
+    ),
+    nb AS (SELECT n.vec_id, n.v, n.nrm, b.bkt FROM n JOIN b USING (vec_id)),
+    p AS (
+        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+               ROUND(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6) AS cosine
+        FROM nb a JOIN nb c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.3
+    """
+
+
+from .queries import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY["embedding_near_dup_pairs"].sql = _embedding_near_dup_sql()
+
+
+# --------------------------------------------------------------------------
+# Approximate aggregates — the documented 100 TB substitutes for exact
+# count-distinct/median (SURVEY §7.4 trap 6). Engine-specific sketches
+# (HLL++/KLL) cannot match DuckDB bit-for-bit → rows-only check.
+# --------------------------------------------------------------------------
+@register("approx_aggregates_events", sql=None, tags=("agg", "approx", "sketch"))
+def approx_aggregates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Custom stateful streaming operator (applyInPandasWithState): per-user
+# running totals in keyed state. Non-SQL-expressible → rows-only.
+# --------------------------------------------------------------------------
+@register("streaming_stateful_user_totals", sql=None, tags=("streaming", "stateful", "udf"))
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream import (
+        read_events_stream,
+        stateful_user_totals,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    totals = stateful_user_totals(events)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stateful_")
+    for q in spark.streams.active:
+        if q.name == "mem_stream_stateful":
+            q.stop()
+    query = (
+        totals.writeStream.format("memory")
+        .queryName("mem_stream_stateful")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("mem_stream_stateful")
+
+
+# --------------------------------------------------------------------------
 # Full ELB pipeline over the packaged fixture lines (rows-only: the
 # input is synthesized, not a driver table, so no oracle view exists).
 # --------------------------------------------------------------------------

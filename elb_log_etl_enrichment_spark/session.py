@@ -57,6 +57,7 @@ def get_spark(
     app_name: str = "elb-log-etl-enrichment-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
@@ -77,5 +78,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return ensure_engine_confs(builder.getOrCreate())

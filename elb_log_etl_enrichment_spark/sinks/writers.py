@@ -27,3 +27,25 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Headered CSV sink (S7, elb_logs.py:377,391)."""
     df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink — the co-location primitive for
+    100 TB fact tables the reference has no analog of: two tables
+    bucketed on the same key join WITHOUT a shuffle exchange (Spark
+    reads bucket i of each side into the same task). Bucket count
+    should be sized so one bucket of the larger table fits an executor
+    (e.g. 100 TB / 4096 buckets ≈ 25 GB/bucket)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )

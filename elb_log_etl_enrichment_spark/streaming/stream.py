@@ -142,6 +142,55 @@ def run_available_now(
     return spark.table(name)
 
 
+STATEFUL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("batch_events", LongType()),
+        StructField("cum_events", LongType()),
+        StructField("cum_value", DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY.md §2.8): per-user running event count/value total carried
+    across micro-batches in keyed state — the streaming analog of the
+    reference's cross-run geo cache, but inside the engine's state
+    store instead of a side parquet."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        batch_n = 0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+            total += float(pdf["value"].sum())
+        n += batch_n
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "batch_events": [batch_n],
+                "cum_events": [n],
+                "cum_value": [total],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=STATEFUL_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def foreach_batch_cache_upsert(
     stream: DataFrame,
     spark: SparkSession,
