@@ -63,6 +63,42 @@ def cosine_topk_bruteforce(
     return _ranked_topk(pairs, k)
 
 
+def cosine_topk_ivf(
+    emb: DataFrame, query_pred, k: int = 3, n_cells: int = 16
+) -> DataFrame:
+    """IVF-style approximate top-k: KMeans-learned centroids partition
+    the corpus into cells; each query searches only its own cell
+    (n_probe=1; probe more cells for recall by unioning the next
+    nearest centroids).
+
+    vs sign-LSH: centroids adapt to the data distribution, so cell
+    populations are balanced even when vectors cluster — at 100 TB the
+    cell id becomes the partition key of a bucketed table and each
+    query touches one bucket. Training runs on a sample; assignment is
+    one broadcast-join of the centroid table. Not oracle-replayable
+    (iterative training) → registered rows-only.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    p = _prepared(emb)
+    featurized = p.withColumn("features", array_to_vector(F.col("v")))
+    model = KMeans(k=n_cells, seed=42, featuresCol="features").fit(
+        featurized.select("features")
+    )
+    assigned = model.transform(featurized).withColumnRenamed("prediction", "cell")
+    q = assigned.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "cell",
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), "cell",
+    )
+    pairs = q.join(c, on="cell").filter(F.col("query_id") != F.col("neighbor"))
+    return _ranked_topk(pairs, k)
+
+
 def embedding_near_dup(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b) within
     sign-LSH buckets — the vector analog of MinHash-LSH text dedup:

@@ -504,6 +504,18 @@ _REGISTRY["embedding_near_dup_pairs"].sql = _embedding_near_dup_sql()
 
 
 # --------------------------------------------------------------------------
+# IVF approximate nearest neighbors (KMeans cells). Iterative training
+# is not SQL-replayable → rows-only.
+# --------------------------------------------------------------------------
+@register("cosine_topk_ivf", sql=None, tags=("similarity", "ann", "ivf", "kmeans"))
+def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(e, F.col("vec_id") % 100 == 0, k=3)
+
+
+# --------------------------------------------------------------------------
 # Approximate aggregates — the documented 100 TB substitutes for exact
 # count-distinct/median (SURVEY §7.4 trap 6). Engine-specific sketches
 # (HLL++/KLL) cannot match DuckDB bit-for-bit → rows-only check.

@@ -119,12 +119,20 @@ def _int_guard(c: str) -> Column:
     return F.when(col.rlike(r"^[0-9]+$"), col.cast("long")).alias(c)
 
 
-def parse_elb_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_elb_lines(
+    lines: DataFrame, value_col: str = "value", ua_via_broadcast: bool = False
+) -> DataFrame:
     """Parse raw log lines into the typed 36-column table.
 
     Single whole-stage-codegen projection; no Python UDF except the
     user-agent family classifier (P11, the reference's `user_agents`
     dependency) which is an Arrow-batched pandas UDF.
+
+    ``ua_via_broadcast=True`` is the 100 TB hot-path variant: UA
+    cardinality is orders of magnitude below row count, so the pandas
+    UDF runs once per DISTINCT UA string and the result is
+    broadcast-joined back — the fact side never crosses the
+    JVM/Python boundary. Identical output (tested).
     """
     has_lineage = "log_source_file" in lines.columns
     rec = F.from_csv(
@@ -182,14 +190,23 @@ def parse_elb_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query_params"),
     ]
 
-    # UA classification (P11) + bot flag (P12, elb_logs.py:119-126)
-    ua = ua_classify(F.col("r.user_agent"))
-    cols += [
-        ua.getField("browser").alias("ua_browser_family"),
-        ua.getField("os").alias("ua_os_family"),
-        F.coalesce(F.lower(F.col("r.user_agent")).rlike(BOT_PATTERN), F.lit(False))
-        .alias("is_bot"),
-    ]
+    # bot flag (P12, elb_logs.py:122-126)
+    bot_col = F.coalesce(
+        F.lower(F.col("r.user_agent")).rlike(BOT_PATTERN), F.lit(False)
+    ).alias("is_bot")
+    deferred_ua = False
+    if ua_via_broadcast:
+        # UA families joined in after the projection (see below)
+        deferred_ua = True
+        cols.append(bot_col)
+    else:
+        # UA classification (P11, elb_logs.py:119-121) inline
+        ua = ua_classify(F.col("r.user_agent"))
+        cols += [
+            ua.getField("browser").alias("ua_browser_family"),
+            ua.getField("os").alias("ua_os_family"),
+            bot_col,
+        ]
     if has_lineage:
         cols.append(F.col("log_source_file"))
     else:
@@ -198,9 +215,36 @@ def parse_elb_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     parsed = df.select(*cols)
     # arity guard (elb_logs.py:77-78): short lines leave the trailing
     # column NULL; strict-time failures drop the line (elb_logs.py:130-132).
-    return parsed.filter(
+    parsed = parsed.filter(
         F.col("classification_reason").isNotNull() & F.col("time").isNotNull()
     )
+    if deferred_ua:
+        ua_map = parsed.select("user_agent").distinct()
+        ua = ua_classify(F.col("user_agent"))
+        ua_map = ua_map.select(
+            "user_agent",
+            ua.getField("browser").alias("ua_browser_family"),
+            ua.getField("os").alias("ua_os_family"),
+        )
+        parsed = parsed.join(F.broadcast(ua_map), on="user_agent", how="left")
+    # present the canonical column order either way
+    return parsed.select([f.name for f in PARSED_SCHEMA.fields])
+
+
+def corrupt_records(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """The lines the parser rejects (P2 malformed-line accounting —
+    the reference logs-and-skips them, elb_logs.py:130-132; at scale,
+    route this frame to a quarantine sink and alert on its volume
+    instead of grepping logs)."""
+    rec = F.from_csv(
+        F.col(value_col), RAW_DDL, {"sep": " ", "quote": '"', "mode": "PERMISSIVE"}
+    )
+    t = F.to_timestamp(rec.getField("time"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    bad = rec.getField("classification_reason").isNull() | t.isNull()
+    out_cols = [F.col(value_col).alias("raw_line")]
+    if "log_source_file" in lines.columns:
+        out_cols.append(F.col("log_source_file"))
+    return lines.filter(F.trim(F.col(value_col)) != "").filter(bad).select(*out_cols)
 
 
 def categorize_status(code: Column) -> Column:

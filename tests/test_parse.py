@@ -91,6 +91,33 @@ def test_parse_log_line_with_missing_fields(spark):
     assert _parse(spark, [truncated]).count() == 0
 
 
+def test_ua_broadcast_variant_is_identical(spark):
+    """The distinct-UA broadcast path (the 100 TB variant) must yield
+    byte-identical rows to the inline pandas-UDF path."""
+    from elb_log_etl_enrichment_spark.sources.alb_fixtures import fixture_lines
+
+    df = spark.createDataFrame([Row(value=ln) for ln in fixture_lines()])
+    inline = parse_elb_lines(df).collect()
+    broadcast = parse_elb_lines(df, ua_via_broadcast=True).collect()
+    key = lambda r: (r.time, r.client_ip, r.request)  # noqa: E731
+    assert sorted(map(str, sorted(inline, key=key))) == sorted(
+        map(str, sorted(broadcast, key=key))
+    )
+
+
+def test_corrupt_records_accounting(spark):
+    from elb_log_etl_enrichment_spark.sources.alb_fixtures import fixture_lines
+    from elb_log_etl_enrichment_spark.sources.elb_logs import corrupt_records
+
+    lines = fixture_lines()
+    df = spark.createDataFrame([Row(value=ln) for ln in lines])
+    good = parse_elb_lines(df).count()
+    bad = corrupt_records(df).count()
+    nonempty = sum(1 for ln in lines if ln.strip())
+    assert good + bad == nonempty  # every non-blank line lands somewhere
+    assert bad == 2  # 'not a log line' + truncated header line
+
+
 def test_filter_categorize_drops_health_checks_and_flags_waf(spark):
     parsed = _parse(spark, [GOLDEN_LINE])
     # Datadog UA is a health-check agent (elb_logs.py:245-248) → dropped

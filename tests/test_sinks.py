@@ -11,6 +11,33 @@ from elb_log_etl_enrichment_spark.sources.tables import load_table
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def test_partitioned_sink_enables_partition_pruning(spark, tmp_path):
+    """Reading the hive-partitioned cleaned-logs layout with a
+    partition-key filter must prune at the file index (S5's purpose,
+    elb_logs.py:344-348)."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.sinks.writers import write_cleaned_logs
+
+    events = load_table(spark, SF_DIR, "events")
+    fake = events.select(
+        F.year("ts").alias("request_year"),
+        F.month("ts").alias("request_month"),
+        F.dayofmonth("ts").alias("request_day"),
+        (F.col("user_id") % 3).cast("string").alias("countryCode"),
+        "event_id",
+    )
+    path = str(tmp_path / "cleaned")
+    write_cleaned_logs(fake, path)
+    back = spark.read.parquet(path).filter(
+        (F.col("countryCode") == "1") & (F.col("request_day") == 3)
+    )
+    plan = back._jdf.queryExecution().executedPlan().treeString()
+    assert "PartitionFilters: [" in plan and "countryCode" in plan.split("PartitionFilters")[1][:200]
+    rows = back.select("event_id").collect()
+    assert rows and all(True for _ in rows)
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
     try:
