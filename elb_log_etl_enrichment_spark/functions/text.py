@@ -25,6 +25,13 @@ STOPWORDS = {
 }
 
 
+#: GPT-2-style pretokenizer, ASCII-simplified and lookahead-free so
+#: the exact same pattern runs in Java regex and DuckDB's RE2:
+#: contraction suffixes, space-prefixed letter runs, digit runs,
+#: punctuation runs, residual whitespace.
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
 def tokens(text: Column) -> Column:
     """All whitespace-delimited tokens, in order."""
     return F.regexp_extract_all(text, F.lit(TOKEN_RE), 0)
@@ -32,6 +39,13 @@ def tokens(text: Column) -> Column:
 
 def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate LLM-token count: number of BPE-pretokenizer pieces
+    (a cheap, vectorized stand-in for a real tokenizer's length — the
+    usual budget/pricing proxy in training-data pipelines)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0)).cast("long")
 
 
 def char_class_ratio(text: Column, keep_class: str) -> Column:

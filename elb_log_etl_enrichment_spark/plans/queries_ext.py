@@ -504,6 +504,61 @@ _REGISTRY["embedding_near_dup_pairs"].sql = _embedding_near_dup_sql()
 
 
 # --------------------------------------------------------------------------
+# Bucketized range self-join (operators/rangejoin.py): pairs of events
+# by the same user within 5 minutes. The oracle states the range
+# predicate directly (DuckDB plans an IEJoin); Spark computes the
+# identical set via the cell ±1 equi-join.
+# --------------------------------------------------------------------------
+@register(
+    "events_within_5min_pairs",
+    sql="""
+    SELECT a.user_id,
+           a.event_id AS id_a, b.event_id AS id_b,
+           CAST(abs(epoch_ms(a.ts) - epoch_ms(b.ts)) AS BIGINT) AS gap_ms
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 300000
+    """,
+    tags=("join", "range", "custom"),
+)
+def events_within_5min_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import range_self_join
+
+    e = _t(spark, sf_dir, "events")
+    return range_self_join(e, key="user_id", ts="ts", id_col="event_id", max_gap_ms=300000)
+
+
+# --------------------------------------------------------------------------
+# Hypertable-style hierarchical rollup (minute → hour → day, coarser
+# tiers from finer partials). Oracle: three direct GROUP BYs unioned.
+# --------------------------------------------------------------------------
+@register(
+    "hierarchical_time_rollup",
+    sql="""
+    SELECT 'minute' AS level, epoch_ms(date_trunc('minute', ts)) AS bucket_start_ms,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'hour', epoch_ms(date_trunc('hour', ts)),
+           CAST(COUNT(*) AS BIGINT), ROUND(SUM(value), 2)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', epoch_ms(date_trunc('day', ts)),
+           CAST(COUNT(*) AS BIGINT), ROUND(SUM(value), 2)
+    FROM events GROUP BY 2
+    """,
+    tags=("agg", "rollup", "hypertable", "custom"),
+)
+def hierarchical_time_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import hierarchical_time_rollup
+
+    e = _t(spark, sf_dir, "events")
+    return hierarchical_time_rollup(e, ts="ts", value="value")
+
+
+# --------------------------------------------------------------------------
 # IVF approximate nearest neighbors (KMeans cells). Iterative training
 # is not SQL-replayable → rows-only.
 # --------------------------------------------------------------------------

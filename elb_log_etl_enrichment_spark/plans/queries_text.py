@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     STOPWORDS,
+    bpe_token_count,
     fingerprint,
     predict_lang,
     quality_score,
@@ -58,16 +59,20 @@ _JACCARD = (
     sql="""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+                '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
+                AS BIGINT) AS n_bpe_tokens,
            CAST(length(text) AS BIGINT) AS text_len
     FROM documents
     """,
-    tags=("text", "tokenize"),
+    tags=("text", "tokenize", "bpe"),
 )
 def token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("text_len"),
     )
 
