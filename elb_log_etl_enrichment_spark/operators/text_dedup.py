@@ -162,6 +162,94 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     return verified
 
 
+def simhash_near_dup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash pair mining: documents whose 32-bit signatures differ in
+    at most ``max_hamming`` bits.
+
+    Candidate generation blocks on the 4 signature bytes — by
+    pigeonhole, any pair within Hamming distance 3 shares at least one
+    untouched byte, so the byte-block equi-join is EXACT for the
+    default threshold (and loses nothing until distance ≥ 4). Shuffle
+    is O(docs · 4), verification is a bit_count on candidates only.
+    """
+    sig = simhash(docs)
+    probe = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        ((F.col("simhash") / (256**k)).cast("long") % 256).alias("byte"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "simhash", F.col("blk.k").alias("k"), F.col("blk.byte").alias("byte"))
+    a = probe.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "k", "byte"
+    )
+    b = probe.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "k", "byte"
+    )
+    cand = (
+        a.join(b, on=["k", "byte"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+#: winnowing parameters (MOSS-style): k-char rolling hashes, minimum
+#: kept per w-hash window. Integer math is exact and identical in both
+#: engines (values bounded far below 2^63 before the mod).
+WINNOW_K = 8
+WINNOW_W = 16
+WINNOW_BASE = 131
+WINNOW_MOD = 1_000_003
+
+
+def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
+    """Rolling-hash document fingerprints (winnowing): polynomial
+    k-gram hashes over characters, keeping the minimum of each
+    w-window; the distinct minima are the document's fingerprint set.
+
+    Computed entirely with array higher-order functions — the rolling
+    hash never explodes to one row per character position, so there is
+    no O(len) row duplication and ZERO shuffle (per-row computation).
+    Returns (doc_id, n_fps, min_fp, max_fp).
+    """
+    poly = " + ".join(
+        f"CAST(ascii(substr(text, p + {j}, 1)) AS BIGINT) * {WINNOW_BASE ** j}"
+        for j in range(WINNOW_K)
+    )
+    rhs = F.expr(
+        f"transform(sequence(1, length(text) - {WINNOW_K - 1}), p -> ({poly}) % {WINNOW_MOD})"
+    )
+    fps = F.expr(
+        f"array_distinct(transform(sequence(1, size(__rhs) - {WINNOW_W - 1}), "
+        f"p -> array_min(slice(__rhs, p, {WINNOW_W}))))"
+    )
+    return (
+        docs.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+        .select("doc_id", rhs.alias("__rhs"))
+        .select("doc_id", fps.alias("__fps"))
+        .select(
+            "doc_id",
+            F.size("__fps").cast("long").alias("n_fps"),
+            F.array_min("__fps").cast("long").alias("min_fp"),
+            F.array_max("__fps").cast("long").alias("max_fp"),
+        )
+    )
+
+
 def _simhash_bit_sql(j: int, engine: str) -> str:
     """Bit j of the 32-bit hash of one token, from its md5 hex string
     column ``h``: nibble j//4, bit (3 − j%4). Engine-portable integer

@@ -317,6 +317,75 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SimHash pair mining: byte-blocked Hamming join (exact for distance
+# ≤ 3 by pigeonhole). Oracle states the raw bit_count predicate.
+# --------------------------------------------------------------------------
+def _simhash_near_dup_sql() -> str:
+    return f"""
+    WITH s AS ({_simhash_sql()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@register(
+    "simhash_near_dup", sql=_simhash_near_dup_sql(), tags=("dedup", "simhash", "hamming")
+)
+def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_dedup import simhash_near_dup
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dup(d, max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# Rolling-hash winnowing fingerprints (MOSS-style). Oracle replays the
+# identical integer polynomial with list comprehensions.
+# --------------------------------------------------------------------------
+def _winnowing_sql() -> str:
+    from ..operators.text_dedup import WINNOW_BASE, WINNOW_K, WINNOW_MOD, WINNOW_W
+
+    poly = " + ".join(
+        f"CAST(ascii(substr(text, p + {j}, 1)) AS BIGINT) * {WINNOW_BASE ** j}"
+        for j in range(WINNOW_K)
+    )
+    return f"""
+    WITH r AS (
+        SELECT doc_id,
+               [({poly}) % {WINNOW_MOD}
+                for p in range(1, length(text) - {WINNOW_K - 1} + 1)] AS rhs
+        FROM documents
+        WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
+    ),
+    f AS (
+        SELECT doc_id,
+               list_distinct([list_min(rhs[p : p + {WINNOW_W - 1}])
+                              for p in range(1, len(rhs) - {WINNOW_W - 1} + 1)]) AS fps
+        FROM r
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fps,
+           CAST(list_min(fps) AS BIGINT) AS min_fp,
+           CAST(list_max(fps) AS BIGINT) AS max_fp
+    FROM f
+    """
+
+
+@register(
+    "winnowing_fingerprints",
+    sql=_winnowing_sql(),
+    tags=("text", "fingerprint", "rolling_hash"),
+)
+def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_dedup import winnowing_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(d)
+
+
+# --------------------------------------------------------------------------
 # Embedding similarity: exact brute-force top-k and sign-LSH bucketed.
 # Query set = vec_id % 100 == 0.
 # --------------------------------------------------------------------------
