@@ -58,38 +58,50 @@ def _jaccard(a, b):
     return inter * 1.0 / (F.size(a) + F.size(b) - inter)
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.8, bucket_width: int = 16
-) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Exact 3-gram-Jaccard near-dup pairs (doc_a < doc_b) with
-    token-count-band candidate pruning.
-
-    Each doc is probed into its size bucket ±1 (explode side) and
-    joined on bucket equality — a plain shuffled equi-join; a pair is
-    generated exactly once because only one probe bucket can equal the
-    build bucket.
+    PREFIX-FILTER candidate pruning (Chaudhuri et al.): order each
+    document's shingle digests canonically (md5 ascending) and keep
+    the first ``|X| − ⌈t·|X|⌉ + 1``; any pair with J ≥ t must share a
+    digest inside both prefixes, so the equi-join on prefix digests is
+    EXACT (no missed pairs) while candidate volume scales with
+    per-digest document frequency instead of O(block²) — at 100 TB the
+    join key is a 32-char digest, never the shingle text.
     """
-    sh = shingles(docs)
-    sized = sh.withColumn("bkt", (F.size("sh") / bucket_width).cast("long"))
-    probe = sized.select(
-        "doc_id",
-        F.col("sh").alias("sh_a"),
-        F.explode(
-            F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
-        ).alias("bkt"),
+    sh = shingles(docs).persist()  # reused: prefix gen + 2 verify joins
+    hs = F.array_sort(F.transform(F.col("sh"), F.md5))
+    prefix_len = (
+        F.size("sh") - F.ceil(F.size("sh") * F.lit(threshold)) + 1
+    ).cast("int")
+    # candidates carry ONLY (digest, doc_id): the 32-char digest is the
+    # join key and the dedup shuffles bare id pairs, never shingle sets
+    pref = sh.select(
+        "doc_id", F.explode(F.slice(hs, F.lit(1), prefix_len)).alias("digest")
     )
-    build = sized.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "bkt"
+    cand = (
+        pref.select(F.col("doc_id").alias("doc_a"), "digest")
+        .join(pref.select(F.col("doc_id").alias("doc_b"), "digest"), on="digest")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    pairs = probe.join(build, on="bkt").filter(F.col("doc_id") < F.col("doc_b"))
-    return (
-        pairs.select(
-            F.col("doc_id").alias("doc_a"),
+    verified = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
             "doc_b",
             F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return verified
 
 
 def minhash_band_keys(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:

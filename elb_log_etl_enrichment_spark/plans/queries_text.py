@@ -226,22 +226,30 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_near_dup",
     sql=f"""
     WITH {_SH_CTE},
-    sized AS (SELECT doc_id, s, len(s) // 16 AS bkt FROM sh),
-    probe AS (SELECT doc_id, s AS s_a, unnest([bkt - 1, bkt, bkt + 1]) AS bkt
-              FROM sized),
+    wp AS (
+        SELECT doc_id, s,
+               list_sort(list_transform(s, x -> md5(x)))
+                   [1 : len(s) - CAST(ceil(len(s) * 0.8) AS INT) + 1] AS pref
+        FROM sh
+    ),
+    probe AS (SELECT doc_id, s, unnest(pref) AS digest FROM wp),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.s AS s_a, b.s AS s_b
+        FROM probe a JOIN probe b ON a.digest = b.digest
+        WHERE a.doc_id < b.doc_id
+    ),
     pairs AS (
-        SELECT p.doc_id AS doc_a, b.doc_id AS doc_b,
-               {_JACCARD.format(a='p.s_a', b='b.s')} AS jaccard
-        FROM probe p JOIN sized b USING (bkt)
-        WHERE p.doc_id < b.doc_id
+        SELECT doc_a, doc_b, {_JACCARD.format(a='s_a', b='s_b')} AS jaccard
+        FROM cand
     )
     SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
     """,
-    tags=("dedup", "jaccard", "ngram"),
+    tags=("dedup", "jaccard", "ngram", "prefix_filter"),
 )
 def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, threshold=0.8, bucket_width=16)
+    return ngram_jaccard_pairs(d, threshold=0.8)
 
 
 # --------------------------------------------------------------------------
