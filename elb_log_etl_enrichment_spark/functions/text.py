@@ -83,7 +83,9 @@ def predict_lang(text: Column) -> Column:
     }
     s = scores
     return (
-        F.when(
+        F.when(text.isNull(), "und")  # NULL scores skip every branch →
+        # would otherwise fall through to the otherwise('fr') default
+        .when(
             (s["en"] == 0) & (s["es"] == 0) & (s["de"] == 0) & (s["fr"] == 0), "und"
         )
         .when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]), "en")

@@ -57,14 +57,17 @@ def asof_join_backward(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Fill the WHOLE payload as one struct (NULL on left-side rows):
+    # per-column last(ignorenulls) would stitch a composite "row" from
+    # different right rows whenever a payload column is NULL.
+    payload_struct = F.when(
+        F.col("__is_left") == 0, F.struct(*[F.col(c) for c in payload_cols])
+    )
     filled = u.select(
         *lcols,
         F.col("__is_left"),
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in payload_cols
-        ],
+        F.last(payload_struct, ignorenulls=True).over(w).alias("__p"),
     )
     return filled.filter(F.col("__is_left") == 1).select(
-        *lcols, *[F.col(f"__asof_{c}").alias(c) for c in payload_cols]
+        *lcols, *[F.col("__p").getField(c).alias(c) for c in payload_cols]
     )

@@ -57,11 +57,15 @@ def exact_dedup(
 
     Hashes (xxhash64 + md5 guard against 64-bit collisions at the
     ~10^10-document scale) so the shuffle carries a 48-byte digest
-    instead of the document body.
+    instead of the document body. Hash input is ``to_json`` of a named
+    struct: NULLs and column boundaries stay distinguishable —
+    ``("a", NULL)`` and ``(NULL, "a")`` hash differently (raw
+    xxhash64/concat_ws both silently skip NULLs).
     """
+    packed = F.to_json(F.struct(*[F.col(c).alias(c) for c in content_cols]))
     digest = F.struct(
-        F.xxhash64(*[F.col(c) for c in content_cols]).alias("h64"),
-        F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols])).alias("h128"),
+        F.xxhash64(packed).alias("h64"),
+        F.md5(packed).alias("h128"),
     )
     w = Window.partitionBy("__digest").orderBy(F.col(id_col).asc())
     return (

@@ -55,12 +55,6 @@ def calculate_processing_times(df: DataFrame) -> DataFrame:
     return df.withColumn("total_processing_time", total)
 
 
-def session_break_flag(ts_seconds: Column, gap_seconds: int, order_window: Window) -> Column:
-    """gap > threshold → 1 (reference elb_logs.py:312-313, W2/W3)."""
-    diff = ts_seconds - F.lag(ts_seconds, 1).over(order_window)
-    return F.when(F.coalesce(diff, F.lit(0)) > gap_seconds, 1).otherwise(0)
-
-
 def sessionize(
     df: DataFrame,
     key: str = "client_ip",
@@ -78,13 +72,17 @@ def sessionize(
     order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    secs = F.unix_timestamp(F.col(ts)) if dict(df.dtypes)[ts].startswith("timestamp") \
-        else F.col(ts)
-    diff = secs - F.lag(secs, 1).over(w)
+    # millisecond gaps: unix_timestamp() truncates to seconds, which
+    # would flip the break decision for gaps within 1s of the
+    # threshold vs the reference's float total_seconds() comparison
+    # (and vs the epoch_ms oracle SQL).
+    ms = F.unix_millis(F.col(ts)) if dict(df.dtypes)[ts].startswith("timestamp") \
+        else F.col(ts) * 1000
+    diff_ms = F.coalesce(ms - F.lag(ms, 1).over(w), F.lit(0))
     return (
-        df.withColumn("time_diff_s", F.coalesce(diff, F.lit(0)).cast("long"))
+        df.withColumn("time_diff_s", (diff_ms / 1000.0).alias("time_diff_s"))
         .withColumn(
-            "new_session", (F.col("time_diff_s") > gap_minutes * 60).cast("int")
+            "new_session", (diff_ms > gap_minutes * 60 * 1000).cast("int")
         )
         .withColumn(
             "session_number",

@@ -151,7 +151,11 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """MinHash-LSH near-dup pairs: candidates share ≥1 of 4 band keys,
     then exact-Jaccard verified at ``threshold``. No size blocking —
     catches cross-block pairs the banded join can't see."""
-    sh = shingles(docs).persist()  # reused by band-gen and both verify joins
+    # Persisted because band-gen and both verify joins reuse it. The
+    # cache entry is LRU-evictable (MEMORY_AND_DISK), so repeated calls
+    # degrade to recomputation rather than OOM; long-lived sessions
+    # invoking this in a loop should clear via spark.catalog.clearCache().
+    sh = shingles(docs).persist()
     bands = minhash_band_keys(docs, sh=sh)
     cand = (
         bands.alias("x")
@@ -220,8 +224,11 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 #: winnowing parameters (MOSS-style): k-char rolling hashes, minimum
-#: kept per w-hash window. Integer math is exact and identical in both
-#: engines (values bounded far below 2^63 before the mod).
+#: kept per w-hash window. Each polynomial term is reduced mod
+#: WINNOW_MOD before summing, so intermediate values stay ≤ 8·MOD²
+#: (< 2^63) for ANY codepoint — ascii() returns full codepoints in
+#: both engines, and unreduced codepoint·131^7 would overflow BIGINT
+#: for CJK/emoji text.
 WINNOW_K = 8
 WINNOW_W = 16
 WINNOW_BASE = 131
@@ -239,7 +246,8 @@ def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
     Returns (doc_id, n_fps, min_fp, max_fp).
     """
     poly = " + ".join(
-        f"CAST(ascii(substr(text, p + {j}, 1)) AS BIGINT) * {WINNOW_BASE ** j}"
+        f"(CAST(ascii(substr(text, p + {j}, 1)) AS BIGINT) % {WINNOW_MOD})"
+        f" * {WINNOW_BASE ** j % WINNOW_MOD}"
         for j in range(WINNOW_K)
     )
     rhs = F.expr(

@@ -60,7 +60,9 @@ def enrich_and_featurize(
     )
     enriched = extract_time_features(enriched, ts="time_local")
     enriched = calculate_processing_times(enriched)
-    enriched = sessionize(enriched, key="client_ip", ts="time", tiebreak="time")
+    # trace_id is per-request-unique → deterministic order among rows
+    # with identical timestamps (SURVEY.md §7.4 trap 7)
+    enriched = sessionize(enriched, key="client_ip", ts="time", tiebreak="trace_id")
     enriched = add_rolling_features(enriched, key="client_ip", ts="time")
     enriched = add_path_features(enriched)
     return enriched.drop("time_local")

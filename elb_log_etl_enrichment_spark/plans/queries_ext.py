@@ -325,8 +325,11 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH t AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
     d AS (
+        -- session_window's gap is half-open: an event EXACTLY gap after
+        -- the previous one starts a new session, hence >= (the batch
+        -- sessionizer and its oracle use the reference's strict >).
         SELECT *, CASE WHEN ms - lag(ms) OVER (
-                   PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+                   PARTITION BY user_id ORDER BY ms, event_id) >= 1800000
                THEN 1 ELSE 0 END AS brk
         FROM t
     ),

@@ -141,6 +141,7 @@ def _langid_sql() -> str:
     FROM (
         SELECT lang,
                CASE
+                 WHEN s_en IS NULL THEN 'und'
                  WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
                  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
                  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
@@ -356,7 +357,8 @@ def _winnowing_sql() -> str:
     from ..operators.text_dedup import WINNOW_BASE, WINNOW_K, WINNOW_MOD, WINNOW_W
 
     poly = " + ".join(
-        f"CAST(ascii(substr(text, p + {j}, 1)) AS BIGINT) * {WINNOW_BASE ** j}"
+        f"(CAST(ascii(substr(text, p + {j}, 1)) AS BIGINT) % {WINNOW_MOD})"
+        f" * {WINNOW_BASE ** j % WINNOW_MOD}"
         for j in range(WINNOW_K)
     )
     return f"""

@@ -227,6 +227,14 @@ def parse_elb_lines(
             ua.getField("os").alias("ua_os_family"),
         )
         parsed = parsed.join(F.broadcast(ua_map), on="user_agent", how="left")
+        # NULL user_agent never matches the equality join; the inline
+        # path classifies NULL as ('Other','Other') — keep parity.
+        parsed = parsed.withColumns(
+            {
+                "ua_browser_family": F.coalesce("ua_browser_family", F.lit("Other")),
+                "ua_os_family": F.coalesce("ua_os_family", F.lit("Other")),
+            }
+        )
     # present the canonical column order either way
     return parsed.select([f.name for f in PARSED_SCHEMA.fields])
 

@@ -106,6 +106,9 @@ def fetch_geolocations(
                 rows, columns=["client_ip", *_FIELDS, "api_fetch_timestamp"]
             )
 
-    return new_ips.coalesce(max(parallelism, 1)).mapInPandas(
+    # repartition, not coalesce: the distinct key set usually arrives
+    # as one small partition, and coalesce can only shrink — it would
+    # silently serialize the whole fan-out into a single task.
+    return new_ips.repartition(max(parallelism, 1)).mapInPandas(
         fetch_batches, schema=GEO_SCHEMA
     )

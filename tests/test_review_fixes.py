@@ -1,0 +1,96 @@
+"""Regression tests for the round-1 self-review findings — each test
+pins the exact failure scenario of a fixed bug."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from elb_log_etl_enrichment_spark.functions.text import predict_lang
+from elb_log_etl_enrichment_spark.operators.asof import asof_join_backward
+from elb_log_etl_enrichment_spark.operators.dedup import exact_dedup
+from elb_log_etl_enrichment_spark.operators.features import sessionize
+from elb_log_etl_enrichment_spark.operators.text_dedup import winnowing_fingerprints
+
+
+def test_asof_payload_not_torn_across_right_rows(spark):
+    """last(ignorenulls) per column would stitch (a=1, b=2) from two
+    different right rows; the struct fill must return the latest row
+    as-is: (a=NULL, b=2)."""
+    left = spark.createDataFrame([Row(k=1, t=3)])
+    right = spark.createDataFrame(
+        [Row(k=1, rt=1, a=1, b=None), Row(k=1, rt=2, a=None, b=2)],
+        schema="k long, rt long, a long, b long",
+    )
+    out = asof_join_backward(
+        left, right, left_on="k", right_on="k",
+        left_time="t", right_time="rt", payload_cols=["a", "b"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0].a is None and out[0].b == 2  # the t=2 row, untorn
+
+
+def test_exact_dedup_distinguishes_null_positions(spark):
+    """("a", NULL) and (NULL, "a") are different contents — both must
+    survive (raw xxhash64/concat_ws would collide them)."""
+    df = spark.createDataFrame(
+        [Row(id=1, x="a", y=None), Row(id=2, x=None, y="a")],
+        schema="id long, x string, y string",
+    )
+    assert exact_dedup(df, ["x", "y"], "id").count() == 2
+
+
+def test_sessionize_subsecond_gap_boundary(spark):
+    """Gap of 1800.5 s must break the session: second-truncated
+    unix_timestamp would see 1800 and merge."""
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [
+            Row(k="a", time=base, eid=0),
+            Row(k="a", time=base + datetime.timedelta(seconds=1800, milliseconds=500), eid=1),
+        ]
+    )
+    out = sessionize(df, key="k", ts="time", tiebreak="eid").orderBy("eid").collect()
+    assert [r.session_number for r in out] == [0, 1]
+    # exact 1800.0s gap: strict > keeps one session (reference semantics)
+    df2 = spark.createDataFrame(
+        [
+            Row(k="a", time=base, eid=0),
+            Row(k="a", time=base + datetime.timedelta(seconds=1800), eid=1),
+        ]
+    )
+    out2 = sessionize(df2, key="k", ts="time", tiebreak="eid").orderBy("eid").collect()
+    assert [r.session_number for r in out2] == [0, 0]
+
+
+def test_winnowing_no_overflow_on_non_ascii(spark):
+    """CJK codepoints (ascii() returns the full codepoint) must not
+    overflow the polynomial: fingerprints stay in [0, MOD)."""
+    text = ("一二三 " * 10) + "abcdefgh " * 5
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    row = winnowing_fingerprints(df).collect()[0]
+    assert row.n_fps > 0
+    assert 0 <= row.min_fp <= row.max_fp < 1_000_003
+
+
+def test_predict_lang_null_is_und(spark):
+    df = spark.createDataFrame([Row(text=None)], schema="text string")
+    assert df.select(predict_lang(F.col("text")).alias("p")).first().p == "und"
+
+
+def test_ua_broadcast_null_user_agent_classified_other(spark):
+    """A parsed line with NULL user_agent must classify as
+    ('Other','Other') on the broadcast path, matching the inline path."""
+    from elb_log_etl_enrichment_spark.sources.alb_fixtures import make_line
+    from elb_log_etl_enrichment_spark.sources.elb_logs import parse_elb_lines
+
+    # empty quoted UA field parses to NULL (CSV nullValue)
+    line = make_line(datetime.datetime(2025, 5, 26, 12, 0, 0), "10.1.1.1", ua="")
+    df = spark.createDataFrame([Row(value=line)])
+    for broadcast in (False, True):
+        rows = parse_elb_lines(df, ua_via_broadcast=broadcast).collect()
+        assert len(rows) == 1, f"broadcast={broadcast}"
+        assert rows[0].ua_browser_family == "Other", f"broadcast={broadcast}"
+        assert rows[0].ua_os_family == "Other", f"broadcast={broadcast}"
