@@ -45,6 +45,28 @@ def lit_vector(values: list[float]) -> Column:
     return F.array(*[F.lit(v) for v in values])
 
 
+def lsh_sql_ctes() -> str:
+    """DuckDB CTE fragment defining ``planes``/``b``/``nb`` over an
+    existing ``n(vec_id, v, nrm)`` CTE — the single source of the
+    hyperplane literals and the ``> 0`` bucket rule for every sign-LSH
+    oracle query (keeps the SQL in lock-step with ``lsh_bucket``)."""
+    plane_rows = ",\n               ".join(
+        f"({i}, {HYPERPLANES[i]}::DOUBLE[])" for i in range(LSH_PLANES)
+    )
+    return f"""planes AS (
+        SELECT * FROM (VALUES
+               {plane_rows}
+        ) AS pl(i, w)
+    ),
+    b AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN list_dot_product(n.v, planes.w) > 0
+                             THEN (1 << i) ELSE 0 END) AS BIGINT) AS bkt
+        FROM n CROSS JOIN planes GROUP BY vec_id
+    ),
+    nb AS (SELECT n.vec_id, n.v, n.nrm, b.bkt FROM n JOIN b USING (vec_id))"""
+
+
 def lsh_bucket(vec: Column) -> Column:
     """Sign-LSH bucket id in [0, 2^planes): bit i set iff
     dot(vec, hyperplane_i) > 0."""

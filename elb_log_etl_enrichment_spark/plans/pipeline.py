@@ -93,30 +93,32 @@ def run_pipeline(
     parsed = parse_elb_lines(lines)
     enriched = enrich_and_featurize(spark, parsed, geo_cache_path, fetch_fn)
 
+    # Persisted across the sink fan-out AND the returned frames: the
+    # caller inspects them after we return (unpersisting here would
+    # silently re-run the whole enrichment per caller action). The
+    # cache entry is LRU-evictable; callers that are done can
+    # `frames["enriched"].unpersist()`.
     enriched = enriched.persist()
-    try:
-        write_cleaned_logs(enriched, os.path.join(output_dir, "cleaned_logs"))
-        hourly = hourly_geo_aggregates(enriched)
-        write_parquet(
-            hourly,
-            os.path.join(output_dir, "aggregated_stats", "hourly_traffic_by_geo.parquet"),
-        )
-        errors = error_summary(enriched)
-        write_csv(errors, os.path.join(output_dir, "reports", "error_summary_geo.csv"))
-        bot_detail, bot_summary = bot_traffic(enriched)
-        write_parquet(
-            bot_detail, os.path.join(output_dir, "reports", "bot_traffic_details.parquet")
-        )
-        write_csv(
-            bot_summary,
-            os.path.join(output_dir, "reports", "bot_traffic_by_origin_summary.csv"),
-        )
-        return {
-            "enriched": enriched,
-            "hourly": hourly,
-            "errors": errors,
-            "bot_detail": bot_detail,
-            "bot_summary": bot_summary,
-        }
-    finally:
-        enriched.unpersist()
+    write_cleaned_logs(enriched, os.path.join(output_dir, "cleaned_logs"))
+    hourly = hourly_geo_aggregates(enriched)
+    write_parquet(
+        hourly,
+        os.path.join(output_dir, "aggregated_stats", "hourly_traffic_by_geo.parquet"),
+    )
+    errors = error_summary(enriched)
+    write_csv(errors, os.path.join(output_dir, "reports", "error_summary_geo.csv"))
+    bot_detail, bot_summary = bot_traffic(enriched)
+    write_parquet(
+        bot_detail, os.path.join(output_dir, "reports", "bot_traffic_details.parquet")
+    )
+    write_csv(
+        bot_summary,
+        os.path.join(output_dir, "reports", "bot_traffic_by_origin_summary.csv"),
+    )
+    return {
+        "enriched": enriched,
+        "hourly": hourly,
+        "errors": errors,
+        "bot_detail": bot_detail,
+        "bot_summary": bot_summary,
+    }

@@ -13,6 +13,25 @@ from pyspark.sql import functions as F
 from ..operators.multimodal import attach_payload, decode_media
 from .queries import _t, register
 
+#: per-query checkpoint memo (name → last dir); see _fresh_checkpoint
+_CKPT_DIRS: dict[str, str] = {}
+
+
+def _fresh_checkpoint(name: str) -> str:
+    """New checkpoint dir per invocation — a REUSED checkpoint would
+    mark the source files already-processed and drain an empty batch,
+    so freshness is semantically required; the previous invocation's
+    dir is removed so repeated registry runs don't accumulate state."""
+    import os
+    import shutil
+
+    old = _CKPT_DIRS.get(name)
+    if old and os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)
+    new = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    _CKPT_DIRS[name] = new
+    return new
+
 
 # --------------------------------------------------------------------------
 # Full-outer join: per-nation customer vs supplier presence.
@@ -188,8 +207,10 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "extreme_events_by_type",
     sql="""
     SELECT event_type,
-           CAST(arg_min(event_id, value) AS BIGINT) AS min_value_event,
-           CAST(arg_max(event_id, value) AS BIGINT) AS max_value_event,
+           CAST(first(event_id ORDER BY value, event_id) AS BIGINT)
+               AS min_value_event,
+           CAST(first(event_id ORDER BY value DESC, event_id DESC) AS BIGINT)
+               AS max_value_event,
            ROUND(MIN(value), 6) AS min_value,
            ROUND(MAX(value), 6) AS max_value
     FROM events GROUP BY event_type
@@ -197,10 +218,15 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "argminmax"),
 )
 def extreme_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # min_by/max_by over a (value, event_id) struct: equal values are
+    # tie-broken by event_id (min side → lowest id, max side → highest
+    # id) — raw min_by(event_id, value) is nondeterministic on ties,
+    # and the sf0.1 data does contain exact value ties.
     e = _t(spark, sf_dir, "events")
+    order = F.struct(F.col("value"), F.col("event_id"))
     return e.groupBy("event_type").agg(
-        F.min_by("event_id", "value").cast("long").alias("min_value_event"),
-        F.max_by("event_id", "value").cast("long").alias("max_value_event"),
+        F.min_by("event_id", order).cast("long").alias("min_value_event"),
+        F.max_by("event_id", order).cast("long").alias("max_value_event"),
         F.round(F.min("value"), 6).alias("min_value"),
         F.round(F.max("value"), 6).alias("max_value"),
     )
@@ -351,7 +377,7 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_events_stream(spark, sf_dir)
     sessions = sessionized_stream(events, gap="30 minutes")
-    ckpt = tempfile.mkdtemp(prefix="ckpt_sessionize_")
+    ckpt = _fresh_checkpoint("sessionize")
     result = run_available_now(sessions, spark, "mem_stream_sessions", ckpt)
     return result.select(
         "user_id",
@@ -381,7 +407,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_events_stream(spark, sf_dir)
     hourly = hourly_stream_agg(events)
-    ckpt = tempfile.mkdtemp(prefix="ckpt_hourly_")
+    ckpt = _fresh_checkpoint("hourly")
     result = run_available_now(hourly, spark, "mem_stream_hourly", ckpt)
     return result.select(
         F.unix_millis("hour_start").alias("hour_start_ms"),
@@ -461,37 +487,13 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Embedding-cosine near-dup pairs (vector analog of MinHash-LSH).
 # --------------------------------------------------------------------------
-@register(
-    "embedding_near_dup_pairs",
-    sql=None,  # replaced below: SQL shares the hyperplane literals
-    tags=("similarity", "dedup", "lsh"),
-)
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import embedding_near_dup
-
-    e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup(e, threshold=0.3)
-
-
 def _embedding_near_dup_sql() -> str:
-    from ..functions.vectors import HYPERPLANES, LSH_PLANES
+    from ..functions.vectors import lsh_sql_ctes
 
-    plane_rows = ",\n               ".join(
-        f"({i}, {HYPERPLANES[i]}::DOUBLE[])" for i in range(LSH_PLANES)
-    )
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-    planes AS (SELECT * FROM (VALUES
-               {plane_rows}
-        ) AS pl(i, w)),
-    b AS (
-        SELECT vec_id,
-               CAST(SUM(CASE WHEN list_dot_product(n.v, planes.w) > 0
-                             THEN (1 << i) ELSE 0 END) AS BIGINT) AS bkt
-        FROM n CROSS JOIN planes GROUP BY vec_id
-    ),
-    nb AS (SELECT n.vec_id, n.v, n.nrm, b.bkt FROM n JOIN b USING (vec_id)),
+    {lsh_sql_ctes()},
     p AS (
         SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
                ROUND(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6) AS cosine
@@ -501,9 +503,16 @@ def _embedding_near_dup_sql() -> str:
     """
 
 
-from .queries import REGISTRY as _REGISTRY  # noqa: E402
+@register(
+    "embedding_near_dup_pairs",
+    sql=_embedding_near_dup_sql(),
+    tags=("similarity", "dedup", "lsh"),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup
 
-_REGISTRY["embedding_near_dup_pairs"].sql = _embedding_near_dup_sql()
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup(e, threshold=0.3)
 
 
 # --------------------------------------------------------------------------
@@ -596,25 +605,16 @@ def approx_aggregates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stream import (
         read_events_stream,
+        run_available_now,
         stateful_user_totals,
     )
 
     events = read_events_stream(spark, sf_dir)
     totals = stateful_user_totals(events)
-    ckpt = tempfile.mkdtemp(prefix="ckpt_stateful_")
-    for q in spark.streams.active:
-        if q.name == "mem_stream_stateful":
-            q.stop()
-    query = (
-        totals.writeStream.format("memory")
-        .queryName("mem_stream_stateful")
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    ckpt = _fresh_checkpoint("stateful")
+    return run_available_now(
+        totals, spark, "mem_stream_stateful", ckpt, output_mode="update"
     )
-    query.awaitTermination()
-    return spark.table("mem_stream_stateful")
 
 
 # --------------------------------------------------------------------------
@@ -630,6 +630,6 @@ def elb_pipeline_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lines = spark.createDataFrame([Row(value=ln) for ln in fixture_lines()])
     parsed = parse_elb_lines(lines)
-    cache_dir = tempfile.mkdtemp(prefix="geo_cache_") + "/cache.parquet"
+    cache_dir = _fresh_checkpoint("elb_geo_cache") + "/cache.parquet"
     enriched = enrich_and_featurize(spark, parsed, cache_dir)
     return hourly_geo_aggregates(enriched)

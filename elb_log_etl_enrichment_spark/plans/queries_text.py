@@ -22,7 +22,6 @@ from ..functions.text import (
     token_count,
     tokens,
 )
-from ..functions.vectors import HYPERPLANES, LSH_PLANES
 from ..operators.dedup import exact_dedup
 from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
 from ..operators.text_dedup import (
@@ -426,24 +425,12 @@ def cosine_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_topk_sql() -> str:
-    plane_rows = ",\n               ".join(
-        f"({i}, {HYPERPLANES[i]}::DOUBLE[])" for i in range(LSH_PLANES)
-    )
+    from ..functions.vectors import lsh_sql_ctes
+
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-    planes AS (
-        SELECT * FROM (VALUES
-               {plane_rows}
-        ) AS pl(i, w)
-    ),
-    b AS (
-        SELECT vec_id,
-               CAST(SUM(CASE WHEN list_dot_product(n.v, planes.w) > 0
-                             THEN (1 << i) ELSE 0 END) AS BIGINT) AS bkt
-        FROM n CROSS JOIN planes GROUP BY vec_id
-    ),
-    nb AS (SELECT n.vec_id, n.v, n.nrm, b.bkt FROM n JOIN b USING (vec_id)),
+    {lsh_sql_ctes()},
     p AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor,
                ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine

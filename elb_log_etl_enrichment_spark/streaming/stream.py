@@ -38,6 +38,9 @@ from pyspark.sql.types import (
 
 from ..session import ensure_engine_confs
 
+#: staging-dir memo for single-file streaming sources (path → tempdir)
+_STAGED_DIRS: dict[str, str] = {}
+
 #: on-disk schema of the driver's events table (ts = raw parquet NANOS,
 #: scanned as long via nanosAsLong — see sources/tables.py).
 EVENTS_RAW_SCHEMA = StructType(
@@ -66,8 +69,13 @@ def read_events_stream(
     ensure_engine_confs(spark)
     path = f"{sf_dir}/events.parquet"
     if os.path.isfile(path):
-        staged = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(path, os.path.join(staged, "events.parquet"))
+        # memoized per source file: repeated registry invocations reuse
+        # one staging dir instead of leaking a tempdir per call
+        staged = _STAGED_DIRS.get(path)
+        if staged is None or not os.path.isdir(staged):
+            staged = tempfile.mkdtemp(prefix="events_stream_")
+            os.symlink(path, os.path.join(staged, "events.parquet"))
+            _STAGED_DIRS[path] = staged
         path = staged
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
     if max_files_per_trigger:
@@ -122,7 +130,11 @@ def hourly_stream_agg(events: DataFrame, watermark: str = "2 hours") -> DataFram
 
 
 def run_available_now(
-    result: DataFrame, spark: SparkSession, name: str, checkpoint_dir: str
+    result: DataFrame,
+    spark: SparkSession,
+    name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Drain all available input through a streaming plan into an
     in-memory sink (Trigger.AvailableNow — the reference's cron tick,
@@ -133,7 +145,7 @@ def run_available_now(
     query = (
         result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
