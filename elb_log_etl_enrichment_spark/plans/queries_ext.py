@@ -516,6 +516,88 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# HAVING over a join+agg (TPC-H Q18 shape): large orders by total
+# line quantity.
+# --------------------------------------------------------------------------
+@register(
+    "large_orders_having",
+    sql="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           ROUND(o_totalprice, 2) AS total_price,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM(l_quantity) > 200
+    """,
+    tags=("agg", "having", "join"),
+)
+def large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("__sum_qty"))
+        .filter(F.col("__sum_qty") > 200)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round("__sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Disjunctive compound predicate (TPC-H Q19 shape): OR of AND-blocks
+# across two tables — Catalyst pushes the part-only/lineitem-only
+# conjuncts below the join (common-factor extraction).
+# --------------------------------------------------------------------------
+@register(
+    "promo_revenue_disjunctive_filter",
+    sql="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 5 AND l_quantity <= 25)
+       OR (p_type = 'PROMO' AND p_size BETWEEN 10 AND 40
+           AND l_quantity >= 10 AND l_quantity <= 45)
+       OR (p_type = 'ECONOMY' AND l_discount > 0.05)
+    """,
+    tags=("filter", "disjunction", "join", "pushdown"),
+)
+def promo_revenue_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & (qty >= 5) & (qty <= 25)
+        )
+        | (
+            (F.col("p_type") == "PROMO")
+            & F.col("p_size").between(10, 40)
+            & (qty >= 10) & (qty <= 45)
+        )
+        | ((F.col("p_type") == "ECONOMY") & (F.col("l_discount") > 0.05))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Bucketized range self-join (operators/rangejoin.py): pairs of events
 # by the same user within 5 minutes. The oracle states the range
 # predicate directly (DuckDB plans an IEJoin); Spark computes the
