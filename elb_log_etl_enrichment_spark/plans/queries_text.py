@@ -23,6 +23,7 @@ from ..functions.text import (
     tokens,
 )
 from ..operators.dedup import exact_dedup
+from ..operators.graph import cluster_sizes, connected_components
 from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
 from ..operators.text_dedup import (
     _simhash_bit_sql,
@@ -255,10 +256,10 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # MinHash-LSH near-dup pairs (16 sigs, 4 bands × 4) + exact verify.
 # --------------------------------------------------------------------------
-@register(
-    "minhash_lsh_near_dup",
-    sql=f"""
-    WITH {_SH_CTE},
+#: full CTE chain producing ``verified(doc_a, doc_b, jaccard)`` —
+#: shared by the pair query and the connected-components clustering
+#: query so both oracles mine the identical edge set.
+_MINHASH_CTES = f"""{_SH_CTE},
     ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
     seeds AS (SELECT unnest(range(16)) AS seed),
     sigs AS (
@@ -283,7 +284,13 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cand
         JOIN sh a ON a.doc_id = doc_a
         JOIN sh b ON b.doc_id = doc_b
-    )
+    )"""
+
+
+@register(
+    "minhash_lsh_near_dup",
+    sql=f"""
+    WITH {_MINHASH_CTES}
     SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.8
     """,
     tags=("dedup", "minhash", "lsh"),
@@ -451,3 +458,106 @@ def _lsh_topk_sql() -> str:
 def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return cosine_topk_lsh(e, F.col("vec_id") % 100 == 0, k=3)
+
+
+# --------------------------------------------------------------------------
+# Near-dup CLUSTERING: connected components over the MinHash-LSH pair
+# graph (operators/graph.py — iterative min-label propagation, one
+# shuffle per round, lineage cut per round). The oracle computes the
+# same transitive closure with a recursive CTE over the identical edge
+# CTE chain, so both engines cluster the exact same graph.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_cluster_sizes",
+    sql=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    edges AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
+    undirected AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION
+        SELECT doc_b, doc_a FROM edges
+    ),
+    reach(id, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT u.dst, r.root FROM reach r JOIN undirected u ON u.src = r.id
+    ),
+    comp AS (SELECT id, MIN(root) AS cluster_id FROM reach GROUP BY id)
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM comp GROUP BY cluster_id
+    """,
+    tags=("dedup", "minhash", "graph", "connected_components", "iterative"),
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.8).select("doc_a", "doc_b")
+    nodes = d.select("doc_id")
+    labels = connected_components(
+        nodes, pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    return cluster_sizes(labels)
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/test split: hash-mod on md5 of the document text
+# (no RNG → reproducible across runs, engines, and partitionings; the
+# split follows the *content*, so re-ingesting the corpus re-derives
+# the same membership). First hex nibble <= 'c' ⇒ 13/16 ≈ 81% train.
+# --------------------------------------------------------------------------
+@register(
+    "deterministic_split_counts",
+    sql="""
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM (
+      SELECT CASE WHEN substr(md5(text), 1, 1) <= 'c'
+                  THEN 'train' ELSE 'test' END AS split,
+             n_chars
+      FROM documents
+    ) s
+    GROUP BY split
+    """,
+    tags=("text", "split", "hash"),
+)
+def deterministic_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    split = F.when(F.substring(F.md5("text"), 1, 1) <= "c", "train").otherwise("test")
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Document-length histogram (fixed-width buckets): the length-profile
+# view a corpus pipeline checks before choosing truncation limits.
+# Map-side combinable — the shuffle carries one row per bucket.
+# --------------------------------------------------------------------------
+@register(
+    "doc_length_histogram",
+    sql="""
+    SELECT CAST(FLOOR(n_chars / 64) * 64 AS BIGINT) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY bucket_lo
+    """,
+    tags=("text", "histogram", "agg"),
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 64) * 64).cast("bigint")
+    return (
+        d.groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )

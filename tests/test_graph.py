@@ -1,0 +1,49 @@
+"""Unit tests for operators/graph.py (connected components)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elb_log_etl_enrichment_spark.operators.graph import (
+    cluster_sizes,
+    connected_components,
+)
+
+
+def test_components_chain_singleton_and_pair(spark):
+    # graph: 1-2-3-4 chain, 5-6 pair, 7 isolated
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "src long, dst long"
+    )
+    labels = {
+        r["id"]: r["label"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_components_orientation_and_duplicates_irrelevant(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    # same component described with mixed orientations + duplicate edges
+    edges = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 2), (4, 3), (4, 3)], "src long, dst long"
+    )
+    labels = connected_components(nodes, edges)
+    assert [r["label"] for r in labels.orderBy("id").collect()] == [1, 1, 1, 1]
+    sizes = {
+        r["cluster_id"]: r["cluster_size"]
+        for r in cluster_sizes(labels).collect()
+    }
+    assert sizes == {1: 4}
+
+
+def test_components_long_chain_converges(spark):
+    # diameter 40 chain — exercises the iteration/convergence loop
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    labels = connected_components(nodes, edges)
+    assert labels.filter(F.col("label") != 0).count() == 0
