@@ -49,3 +49,17 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format for downstream
+    training-data tooling; one object per line, gzip-friendly,
+    schema-on-read."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — second columnar format for engines that prefer ORC
+    readers; same predicate-pushdown / column-pruning behavior as the
+    parquet sink."""
+    df.write.mode(mode).orc(path)

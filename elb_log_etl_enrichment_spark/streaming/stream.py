@@ -108,6 +108,26 @@ def sessionized_stream(
     )
 
 
+def deduped_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once dedup on a business key.
+
+    The reference deduplicates only its geo cache, batch-side
+    (elb_logs.py:220-224); a streaming ingest needs dedup at the edge —
+    at-least-once sources (Kinesis/Kafka replay, the reference's own
+    re-scanned S3 prefix) deliver the same record twice.
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes, so state is bounded by (key cardinality ×
+    watermark horizon), not by stream length — the property that makes
+    this safe on an unbounded 100 TB/day stream.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def hourly_stream_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming equivalent of the hourly aggregate (A1-A7): tumbling
     1-hour windows per event type."""

@@ -56,3 +56,28 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_json_sink_round_trip(spark, tmp_path):
+    from elb_log_etl_enrichment_spark.sinks.writers import write_json
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "id long, s string, v double"
+    )
+    path = str(tmp_path / "out_json")
+    write_json(df, path)
+    back = spark.read.json(path, schema=df.schema)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_orc_sink_round_trip_with_pruning(spark, tmp_path):
+    from elb_log_etl_enrichment_spark.sinks.writers import write_orc
+
+    df = spark.range(1000).selectExpr("id", "id % 7 AS k", "CAST(id AS DOUBLE) AS v")
+    path = str(tmp_path / "out_orc")
+    write_orc(df, path)
+    back = spark.read.orc(path).filter("k = 3").select("id")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == df.filter("id % 7 = 3").count()
+    # filter reaches the ORC scan; projection prunes to the 2 used cols
+    assert "PushedFilters: [" in plan and "k" in plan.split("PushedFilters")[1][:80]
