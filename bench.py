@@ -34,6 +34,14 @@ HEADLINE = [
     "simhash_documents",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
+    # round 2: TPC-H-shape breadth + iterative clustering
+    "returned_items_topk",
+    "small_qty_order_revenue",
+    "priority_exists_orders",
+    "market_share_ratio",
+    "window_value_functions",
+    "dedup_cluster_sizes",
+    "deterministic_split_counts",
 ]
 
 

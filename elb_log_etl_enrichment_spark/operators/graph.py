@@ -60,13 +60,18 @@ def connected_components(
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
 
+    # Convergence check: labels only ever decrease under min-propagation,
+    # so sum(label) is strictly monotone until the fixed point — one
+    # cheap map-side-combined aggregate per round instead of a
+    # join-and-count of changed rows.
+    prev_sum = None
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels, und["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
                 labels["id"],
@@ -77,15 +82,10 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 

@@ -31,6 +31,20 @@ NGRAM_N = 3
 MINHASH_SEEDS = 16
 LSH_BANDS = 4  # 4 bands × 4 rows
 
+#: Universal-hash family for the 16 minhash permutations:
+#: sig_s(doc) = min over shingles of (A[s]·h + B[s]) mod P, where
+#: h = first 60 bits of md5(shingle) mod P. ONE md5 per shingle
+#: instance instead of one per (seed, shingle) — 16× fewer digest
+#: computations than hashing the seed into the md5 input, and the
+#: per-seed work is integer multiply-add, not string hashing. P is the
+#: Mersenne prime 2³¹−1, so A·h+B < 2⁶² never overflows a signed
+#: 64-bit long; all three constants are plain literals DuckDB evaluates
+#: identically (oracle parity).
+MINHASH_P = 2_147_483_647
+MINHASH_A = [(1103515245 * (s + 1) + 12345) % MINHASH_P for s in range(MINHASH_SEEDS)]
+MINHASH_B = [(214013 * (s + 1) + 2531011) % MINHASH_P for s in range(MINHASH_SEEDS)]
+assert all(a != 0 for a in MINHASH_A)
+
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Distinct word n-gram (n=3) shingle set per document; documents
@@ -107,37 +121,41 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
 def minhash_band_keys(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, band, band_key) — the LSH bucket assignment.
 
-    sig(doc, seed) = min(md5('{seed}|' || shingle)); band key = md5 of
-    the band's 4 signatures joined in seed order.
+    sig(doc, s) = min over shingles of (A[s]·h + B[s]) mod P with
+    h = md5-derived 60-bit int mod P (see MINHASH_A/B/P above); band
+    key = the band's 4 signatures joined in seed order.
 
     All 16 signatures are computed as 16 streamed ``min`` partial
     aggregates over ONE shingle explosion — no seed cross-join, so the
-    shuffle carries one row of 16 digests per (doc, map-task) partial
+    shuffle carries one row of 16 longs per (doc, map-task) partial
     instead of 16× exploded rows. (An array_min(transform(...)) per-row
     formulation avoids the explosion entirely but measured ~1.7×
     slower: higher-order lambdas don't codegen as tightly as the
-    streamed hash-agg, and it materializes 16 digest arrays per doc.)
+    streamed hash-agg. A previous md5-per-(seed,shingle) formulation
+    measured ~2.3× slower than this integer family.)
     """
     sh = shingles(docs) if sh is None else sh
-    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long") % MINHASH_P
+    exploded = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", h.alias("h")
+    )
     sigs = exploded.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("s")))).alias(f"g{seed}")
-            for seed in range(MINHASH_SEEDS)
+            F.min((F.lit(MINHASH_A[s]) * F.col("h") + F.lit(MINHASH_B[s])) % MINHASH_P)
+            .alias(f"g{s}")
+            for s in range(MINHASH_SEEDS)
         ]
     )
     rows_per_band = MINHASH_SEEDS // LSH_BANDS
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"g{b * rows_per_band + i}")
-                        for i in range(rows_per_band)
-                    ],
-                )
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"g{b * rows_per_band + i}")
+                    for i in range(rows_per_band)
+                ],
             ).alias("band_key"),
         )
         for b in range(LSH_BANDS)

@@ -256,22 +256,47 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # MinHash-LSH near-dup pairs (16 sigs, 4 bands × 4) + exact verify.
 # --------------------------------------------------------------------------
-#: full CTE chain producing ``verified(doc_a, doc_b, jaccard)`` —
-#: shared by the pair query and the connected-components clustering
-#: query so both oracles mine the identical edge set.
-_MINHASH_CTES = f"""{_SH_CTE},
+def _minhash_ctes() -> str:
+    """Full CTE chain producing ``verified(doc_a, doc_b, jaccard)`` —
+    shared by the pair query and the connected-components clustering
+    query so both oracles mine the identical edge set. Generated from
+    the SAME A/B/P constants the Spark operator uses (see
+    operators.text_dedup.MINHASH_A) so both engines evaluate the exact
+    same universal-hash minhash family."""
+    from ..operators.text_dedup import (
+        LSH_BANDS,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        MINHASH_SEEDS,
+    )
+
+    rows = MINHASH_SEEDS // LSH_BANDS
+    sig_cols = ",\n               ".join(
+        f"MIN(({MINHASH_A[s]} * h + {MINHASH_B[s]}) % {MINHASH_P}) AS g{s}"
+        for s in range(MINHASH_SEEDS)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS band_key FROM sigs".format(
+            b=b, cols=", ".join(f"g{b * rows + i}" for i in range(rows))
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""{_SH_CTE},
     ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-    seeds AS (SELECT unnest(range(16)) AS seed),
+    hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(sg), 1, 15))::UBIGINT AS BIGINT)
+                   % {MINHASH_P} AS h
+        FROM ex
+    ),
     sigs AS (
-        SELECT doc_id, seed,
-               min(md5(concat(CAST(seed AS VARCHAR), '|', sg))) AS sig
-        FROM ex CROSS JOIN seeds
-        GROUP BY doc_id, seed
+        SELECT doc_id,
+               {sig_cols}
+        FROM hashed GROUP BY doc_id
     ),
     bands AS (
-        SELECT doc_id, seed // 4 AS band,
-               md5(string_agg(sig, ',' ORDER BY seed)) AS band_key
-        FROM sigs GROUP BY doc_id, seed // 4
+        {band_selects}
     ),
     cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -285,6 +310,9 @@ _MINHASH_CTES = f"""{_SH_CTE},
         JOIN sh a ON a.doc_id = doc_a
         JOIN sh b ON b.doc_id = doc_b
     )"""
+
+
+_MINHASH_CTES = _minhash_ctes()
 
 
 @register(
@@ -559,5 +587,47 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.min("n_chars").cast("bigint").alias("min_chars"),
             F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling: per-language downsampling rates
+# via content-hash bucketing (256 hex buckets) — the "rebalance
+# over-represented languages" pass of a corpus pipeline, reproducible
+# across runs/engines because membership follows the content hash, not
+# an RNG. Contrast with df.sampleBy(), whose per-partition RNG draw is
+# neither engine- nor partitioning-stable.
+# --------------------------------------------------------------------------
+@register(
+    "stratified_sample_counts",
+    sql="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM documents
+    WHERE substr(md5(text), 1, 2) <
+          CASE lang WHEN 'en' THEN '33'
+                    WHEN 'es' THEN '80'
+                    WHEN 'de' THEN 'cc'
+                    ELSE 'ff' END
+    GROUP BY lang
+    """,
+    tags=("text", "sampling", "stratified", "hash"),
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    threshold = (
+        F.when(F.col("lang") == "en", "33")
+        .when(F.col("lang") == "es", "80")
+        .when(F.col("lang") == "de", "cc")
+        .otherwise("ff")
+    )
+    return (
+        d.filter(F.substring(F.md5("text"), 1, 2) < threshold)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         )
     )
