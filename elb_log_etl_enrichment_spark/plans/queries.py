@@ -760,4 +760,10 @@ def all_oracle_sql() -> dict[str, str]:
 def _load_extensions() -> None:
     """Pull in the registry modules that live in separate files (they
     self-register via @register on import)."""
-    from . import queries_ext, queries_text, queries_tpch, queries_tpch2  # noqa: F401
+    from . import (  # noqa: F401
+        queries_ext,
+        queries_functions,
+        queries_text,
+        queries_tpch,
+        queries_tpch2,
+    )
