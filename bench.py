@@ -42,6 +42,14 @@ HEADLINE = [
     "window_value_functions",
     "dedup_cluster_sizes",
     "deterministic_split_counts",
+    # round 2b: remaining TPC-H shapes + function surfaces
+    "shipping_priority_topk",
+    "local_supplier_volume",
+    "profit_by_nation_year",
+    "sole_fault_suppliers",
+    "stat_moments_by_returnflag",
+    "token_explode_topk",
+    "array_function_battery",
 ]
 
 

@@ -53,11 +53,17 @@ def connected_components(
     und = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
-    und = (
-        und.unionByName(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
+    # No distinct: duplicate edges are harmless under min-aggregation,
+    # and deduping would cost a full edge-list shuffle up front.
+    und = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    # The checkpoint materialized the edge list, so its cardinality is
+    # known for free; a small edge set (near-dup graphs are sparse —
+    # edges ≪ nodes) gets broadcast so no loop round ever shuffles the
+    # node-sized `labels` side. Large graphs keep the shuffle join.
+    if und.count() <= 2_000_000:
+        und = F.broadcast(und)
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
 
     # Convergence check: labels only ever decrease under min-propagation,

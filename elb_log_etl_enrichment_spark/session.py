@@ -50,6 +50,19 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:  # pragma: no cover - static conf on some builds
             pass
+    try:
+        # Right-size shuffles for the session we were handed: a vanilla
+        # session defaults to 200 shuffle partitions, which at local/test
+        # scale is pure scheduling overhead and at cluster scale is
+        # usually too few. Cores-based sizing + AQE coalescing covers
+        # both; skip if the user tuned it away from the default.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(spark.sparkContext.defaultParallelism, 8)),
+            )
+    except Exception:  # pragma: no cover
+        pass
     return spark
 
 
