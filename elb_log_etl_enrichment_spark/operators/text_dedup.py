@@ -253,23 +253,29 @@ WINNOW_BASE = 131
 WINNOW_MOD = 1_000_003
 
 
-def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
-    """Rolling-hash document fingerprints (winnowing): polynomial
-    k-gram hashes over characters, keeping the minimum of each
-    w-window; the distinct minima are the document's fingerprint set.
+def winnowing_fp_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, fps: array<long>) — each document's distinct winnowing
+    fingerprint set (min rolling hash per w-window).
 
     Computed entirely with array higher-order functions — the rolling
     hash never explodes to one row per character position, so there is
     no O(len) row duplication and ZERO shuffle (per-row computation).
-    Returns (doc_id, n_fps, min_fp, max_fp).
+
+    The character codes are materialized once via ``split(text, '')``
+    (one O(len) pass) and the polynomial reads them with O(1)
+    ``element_at``. The naive ``substr(text, p+j, 1)`` formulation is
+    O(len) per access (UTF-8 offset scan), i.e. O(len²) per document —
+    measured 4-8× slower at sf0.1 than this array form.
     """
+    chars = F.expr(
+        f"transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT) % {WINNOW_MOD})"
+    )
     poly = " + ".join(
-        f"(CAST(ascii(substr(text, p + {j}, 1)) AS BIGINT) % {WINNOW_MOD})"
-        f" * {WINNOW_BASE ** j % WINNOW_MOD}"
+        f"element_at(__ch, p + {j}) * {WINNOW_BASE ** j % WINNOW_MOD}"
         for j in range(WINNOW_K)
     )
     rhs = F.expr(
-        f"transform(sequence(1, length(text) - {WINNOW_K - 1}), p -> ({poly}) % {WINNOW_MOD})"
+        f"transform(sequence(1, size(__ch) - {WINNOW_K - 1}), p -> ({poly}) % {WINNOW_MOD})"
     )
     fps = F.expr(
         f"array_distinct(transform(sequence(1, size(__rhs) - {WINNOW_W - 1}), "
@@ -277,14 +283,64 @@ def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
     )
     return (
         docs.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+        .select("doc_id", chars.alias("__ch"))
         .select("doc_id", rhs.alias("__rhs"))
         .select("doc_id", fps.alias("__fps"))
-        .select(
-            "doc_id",
-            F.size("__fps").cast("long").alias("n_fps"),
-            F.array_min("__fps").cast("long").alias("min_fp"),
-            F.array_max("__fps").cast("long").alias("max_fp"),
+    )
+
+
+def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
+    """Per-document winnowing fingerprint summary:
+    (doc_id, n_fps, min_fp, max_fp). See ``winnowing_fp_sets``."""
+    return winnowing_fp_sets(docs).select(
+        "doc_id",
+        F.size("__fps").cast("long").alias("n_fps"),
+        F.array_min("__fps").cast("long").alias("min_fp"),
+        F.array_max("__fps").cast("long").alias("max_fp"),
+    )
+
+
+def winnowing_collision_pairs(
+    docs: DataFrame, min_shared: int = 3, max_df: int = 20
+) -> DataFrame:
+    """Cross-document plagiarism/near-dup candidates: pairs sharing at
+    least ``min_shared`` *rare* winnowing fingerprints (MOSS-style).
+
+    ``max_df`` is the document-frequency cap: fingerprints appearing in
+    more than ``max_df`` documents are boilerplate (shared substrings of
+    the domain, not copying signal) and are dropped before pairing —
+    the same move as stop-word removal. This is also THE scale guard:
+    a fingerprint shared by N docs emits O(N²) pair rows, so without
+    the cap one ubiquitous substring turns the self-join quadratic.
+    With it, the join output is bounded by max_df·|fingerprints|.
+
+    Join keys are 8-byte hashes — document text never shuffles.
+    """
+    # localCheckpoint is a hard optimizer barrier: without it, Catalyst
+    # inlines the rolling-hash array expression into the explode and
+    # every downstream branch, re-evaluating the O(len·w) hash chain
+    # per window position (quadratic in document length) and once more
+    # per join branch. Materializing (doc_id, __fps) once keeps the
+    # hash computation O(len) per document, computed exactly once.
+    sets = winnowing_fp_sets(docs).localCheckpoint()
+    e = sets.select("doc_id", F.explode("__fps").alias("fp"))
+    # Fingerprint sets are distinct per doc, so count == doc frequency.
+    rare = (
+        e.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    e = e.join(rare, on="fp", how="left_semi")
+    return (
+        e.alias("a")
+        .join(e.alias("b"), on="fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
     )
 
 

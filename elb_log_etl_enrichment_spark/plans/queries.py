@@ -763,6 +763,7 @@ def _load_extensions() -> None:
     from . import (  # noqa: F401
         queries_ext,
         queries_functions,
+        queries_quality,
         queries_text,
         queries_tpch,
         queries_tpch2,

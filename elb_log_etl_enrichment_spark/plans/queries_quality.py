@@ -1,0 +1,189 @@
+"""Corpus-quality operators for training-data curation (BASELINE.json
+north-star tier, alongside ``queries_text.py``).
+
+Three capabilities a 100 TB text pipeline needs beyond dedup:
+
+* **Repetition/diversity filtering** (Gopher-style rules): type-token
+  ratio and most-frequent-token share per document, bucketed into
+  keep/drop flags. Two map-side-combinable aggregations — shuffle rows
+  are one per (doc, distinct token), then one per doc.
+* **PII scanning + redaction plumbing**: regex match counts (emails,
+  IPv4, phone shapes) and a checksum over the redacted corpus, all
+  JVM-side regexp expressions. On the synthetic corpus the PII counts
+  are zero by construction — the query still proves the full scan +
+  redact + checksum path end-to-end against the oracle.
+* **Fingerprint collision mining** (MOSS-style): document pairs
+  sharing ≥3 winnowing fingerprints, joining on 8-byte hash keys only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text_dedup import (
+    WINNOW_BASE,
+    WINNOW_K,
+    WINNOW_MOD,
+    WINNOW_W,
+    winnowing_collision_pairs,
+)
+from .queries import _t, register
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition flags.
+# --------------------------------------------------------------------------
+@register(
+    "token_diversity_flags",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM t WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    s AS (
+      SELECT doc_id,
+             SUM(c)   AS n_toks,
+             COUNT(*) AS n_distinct,
+             MAX(c)   AS top_tok_count
+      FROM tc GROUP BY doc_id
+    )
+    SELECT (n_distinct * 1.0 / n_toks < 0.5)      AS low_diversity,
+           (top_tok_count * 1.0 / n_toks > 0.125) AS high_repetition,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_distinct * 1.0 / n_toks), 6)    AS avg_ttr,
+           ROUND(AVG(top_tok_count * 1.0 / n_toks), 6) AS avg_top_frac
+    FROM s
+    GROUP BY 1, 2
+    """,
+    tags=("text", "quality", "repetition", "agg"),
+)
+def token_diversity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_toks"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_tok_count"),
+    )
+    ttr = F.col("n_distinct") * 1.0 / F.col("n_toks")
+    top_frac = F.col("top_tok_count") * 1.0 / F.col("n_toks")
+    return (
+        s.select(
+            (ttr < 0.5).alias("low_diversity"),
+            (top_frac > 0.125).alias("high_repetition"),
+            ttr.alias("ttr"),
+            top_frac.alias("top_frac"),
+        )
+        .groupBy("low_diversity", "high_repetition")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+            F.round(F.avg("top_frac"), 6).alias("avg_top_frac"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scan + redaction checksum. Patterns are anchored to common PII
+# shapes; `mentions_spark` is a guaranteed-nonzero control so the
+# oracle comparison exercises real counts, not just zeros.
+# --------------------------------------------------------------------------
+_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}"
+_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+_PHONE = r"\d{3}[- ]\d{3,4}[- ]\d{4}"
+
+
+@register(
+    "pii_redaction_stats",
+    sql=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{_EMAIL}'))) AS BIGINT)
+             AS n_emails,
+           CAST(SUM(len(regexp_extract_all(text, '{_IPV4}'))) AS BIGINT)
+             AS n_ipv4,
+           CAST(SUM(len(regexp_extract_all(text, '{_PHONE}'))) AS BIGINT)
+             AS n_phones,
+           CAST(SUM(CASE WHEN regexp_matches(text, 'spark')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS mentions_spark,
+           MIN(md5(regexp_replace(text, 'table|row', '[REDACTED]', 'g')))
+             AS redacted_checksum
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("text", "pii", "regex", "agg"),
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+
+    def n_matches(pat: str):
+        return F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+
+    redacted = F.regexp_replace(text, "table|row", "[REDACTED]")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_matches(_EMAIL)).cast("long").alias("n_emails"),
+        F.sum(n_matches(_IPV4)).cast("long").alias("n_ipv4"),
+        F.sum(n_matches(_PHONE)).cast("long").alias("n_phones"),
+        F.sum(F.when(text.rlike("spark"), 1).otherwise(0))
+        .cast("long")
+        .alias("mentions_spark"),
+        F.min(F.md5(redacted)).alias("redacted_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MOSS-style fingerprint collision mining; oracle replays the identical
+# integer polynomial with DuckDB list comprehensions.
+# --------------------------------------------------------------------------
+def _collision_sql() -> str:
+    poly = " + ".join(
+        f"(CAST(ascii(substr(text, p + {j}, 1)) AS BIGINT) % {WINNOW_MOD})"
+        f" * {WINNOW_BASE ** j % WINNOW_MOD}"
+        for j in range(WINNOW_K)
+    )
+    return f"""
+    WITH r AS (
+        SELECT doc_id,
+               [({poly}) % {WINNOW_MOD}
+                for p in range(1, length(text) - {WINNOW_K - 1} + 1)] AS rhs
+        FROM documents
+        WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
+    ),
+    f AS (
+        SELECT doc_id,
+               list_distinct([list_min(rhs[p : p + {WINNOW_W - 1}])
+                              for p in range(1, len(rhs) - {WINNOW_W - 1} + 1)]) AS fps
+        FROM r
+    ),
+    e0 AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    rare AS (SELECT fp FROM e0 GROUP BY fp HAVING COUNT(*) <= 20),
+    e AS (SELECT e0.* FROM e0 JOIN rare USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 3
+    """
+
+
+@register(
+    "winnowing_collision_pairs",
+    sql=_collision_sql(),
+    tags=("text", "fingerprint", "dedup", "join"),
+)
+def winnowing_collision_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return winnowing_collision_pairs(d, min_shared=3)
