@@ -50,6 +50,9 @@ HEADLINE = [
     "stat_moments_by_returnflag",
     "token_explode_topk",
     "array_function_battery",
+    "cosine_topk_arrow",
+    "winnowing_collision_pairs",
+    "token_diversity_flags",
 ]
 
 

@@ -31,7 +31,7 @@ from ..operators.text_dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from .queries import _t, register
+from .queries import REGISTRY, _t, register
 
 # shared CTE: distinct word-3-gram shingle sets (mirrors
 # operators.text_dedup.shingles)
@@ -457,6 +457,21 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cosine_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return cosine_topk_bruteforce(e, F.col("vec_id") % 100 == 0, k=5)
+
+
+_COSINE_TOPK_SQL = REGISTRY["cosine_topk_bruteforce"].sql
+
+
+@register(
+    "cosine_topk_arrow",
+    sql=_COSINE_TOPK_SQL,  # same contract, same oracle — different physical plan
+    tags=("similarity", "knn", "arrow", "pandas_udf"),
+)
+def cosine_topk_arrow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_arrow
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_arrow(e, F.col("vec_id") % 100 == 0, k=5)
 
 
 def _lsh_topk_sql() -> str:
