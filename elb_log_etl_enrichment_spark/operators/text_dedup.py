@@ -289,10 +289,48 @@ def winnowing_fp_sets(docs: DataFrame) -> DataFrame:
     )
 
 
+def winnowing_fp_sets_arrow(docs: DataFrame) -> DataFrame:
+    """Arrow-batched numpy formulation of ``winnowing_fp_sets`` — the
+    same integers (pure int64 modular arithmetic, order-free set
+    output), ~an order of magnitude faster per document than the
+    interpreted higher-order-function expression tree. The rolling
+    polynomial is one (n−k+1, k) @ (k,) matmul per document; window
+    minima via a stride-tricks view (zero copies); products stay
+    < 8·10¹² so int64 never overflows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    k, w, mod = WINNOW_K, WINNOW_W, WINNOW_MOD
+    coef = np.array([WINNOW_BASE**j % mod for j in range(k)], dtype=np.int64)
+    min_len = k + w - 1
+
+    def compute(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            out_ids, out_fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None or len(text) < min_len:
+                    continue
+                codes = np.fromiter(
+                    (ord(c) for c in text), dtype=np.int64, count=len(text)
+                ) % mod
+                rhs = (sliding_window_view(codes, k) @ coef) % mod
+                mins = sliding_window_view(rhs, w).min(axis=1)
+                out_ids.append(doc_id)
+                out_fps.append(np.unique(mins))
+            yield pd.DataFrame({"doc_id": out_ids, "__fps": out_fps})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        compute, "doc_id long, __fps array<long>"
+    )
+
+
 def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
     """Per-document winnowing fingerprint summary:
     (doc_id, n_fps, min_fp, max_fp). See ``winnowing_fp_sets``."""
-    return winnowing_fp_sets(docs).select(
+    return winnowing_fp_sets_arrow(docs).select(
         "doc_id",
         F.size("__fps").cast("long").alias("n_fps"),
         F.array_min("__fps").cast("long").alias("min_fp"),
@@ -316,13 +354,10 @@ def winnowing_collision_pairs(
 
     Join keys are 8-byte hashes — document text never shuffles.
     """
-    # localCheckpoint is a hard optimizer barrier: without it, Catalyst
-    # inlines the rolling-hash array expression into the explode and
-    # every downstream branch, re-evaluating the O(len·w) hash chain
-    # per window position (quadratic in document length) and once more
-    # per join branch. Materializing (doc_id, __fps) once keeps the
-    # hash computation O(len) per document, computed exactly once.
-    sets = winnowing_fp_sets(docs).localCheckpoint()
+    # localCheckpoint: materialize the fingerprint sets once — they are
+    # read by three branches (df-count, semi filter, self-join) and
+    # re-running the hash UDF per branch would triple the work.
+    sets = winnowing_fp_sets_arrow(docs).localCheckpoint()
     e = sets.select("doc_id", F.explode("__fps").alias("fp"))
     # Fingerprint sets are distinct per doc, so count == doc frequency.
     rare = (
