@@ -418,6 +418,43 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Stream-stream interval join (attribution) — oracle-checked against
+# the equivalent batch self-join: with Trigger.AvailableNow draining
+# the whole input, the watermarked streaming join must produce exactly
+# the batch result.
+# --------------------------------------------------------------------------
+@register(
+    "streaming_view_purchase_join",
+    sql="""
+    SELECT a.user_id,
+           a.event_id AS view_id,
+           b.event_id AS purchase_id,
+           CAST(epoch_ms(b.ts) - epoch_ms(a.ts) AS BIGINT) AS gap_ms
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+    tags=("streaming", "stream_stream_join", "interval_join"),
+)
+def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream import (
+        read_events_stream,
+        run_available_now,
+        view_purchase_join_stream,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    joined = view_purchase_join_stream(events, max_gap="30 minutes")
+    ckpt = _fresh_checkpoint("vp_join")
+    return run_available_now(
+        joined, spark, "mem_stream_vp_join", ckpt, output_mode="append"
+    )
+
+
+# --------------------------------------------------------------------------
 # Skew-safe two-stage salted aggregation (operators/skew.py) — result
 # must equal the plain GROUP BY, which is exactly what the oracle runs.
 # --------------------------------------------------------------------------

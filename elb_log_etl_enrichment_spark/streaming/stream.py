@@ -108,6 +108,56 @@ def sessionized_stream(
     )
 
 
+def view_purchase_join_stream(
+    events: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner interval join: each 'view' joined to the
+    same user's 'purchase' events within ``max_gap`` after it —
+    attribution, the canonical stream-stream join.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in both directions, so Spark can size the join state buffer
+    and evict rows once the watermark passes — the requirement for an
+    unbounded stream-stream join to run in bounded memory. State is
+    hash-partitioned by ``user_id`` (the equi key), same layout as the
+    batch tier's window shuffles.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return views.join(purchases, cond, "inner").select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (
+            F.unix_millis(F.col("purchase_ts").cast("timestamp"))
+            - F.unix_millis(F.col("view_ts").cast("timestamp"))
+        ).alias("gap_ms"),
+    )
+
+
 def deduped_stream(
     events: DataFrame,
     keys: list[str] | None = None,

@@ -82,3 +82,54 @@ def test_streaming_dedup_drops_replayed_records(spark, tmp_path):
     )
     assert out.count() == 50
     assert out.select("event_id").distinct().count() == 50
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The watermarked view→purchase interval join, drained with
+    Trigger.AvailableNow, must equal the batch self-join over the same
+    rows — the correctness contract for the stream-stream join state
+    machine."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.streaming.stream import (
+        EVENTS_RAW_SCHEMA,
+        run_available_now,
+        view_purchase_join_stream,
+    )
+
+    base_ns = 1_700_000_000_000_000_000
+    rows = []
+    # user 0: view at t=0, purchases at +10min (join) and +45min (no join)
+    rows.append((1, base_ns, 0, "view", 1.0, "{}"))
+    rows.append((2, base_ns + 600 * 10**9, 0, "purchase", 5.0, "{}"))
+    rows.append((3, base_ns + 2700 * 10**9, 0, "purchase", 7.0, "{}"))
+    # user 1: purchase BEFORE the view (no join), then one at +30min exactly (joins, inclusive)
+    rows.append((4, base_ns + 100 * 10**9, 1, "view", 1.0, "{}"))
+    rows.append((5, base_ns, 1, "purchase", 2.0, "{}"))
+    rows.append((6, base_ns + 1900 * 10**9, 1, "purchase", 3.0, "{}"))
+    # user 2: two views share one purchase (both join)
+    rows.append((7, base_ns, 2, "view", 1.0, "{}"))
+    rows.append((8, base_ns + 60 * 10**9, 2, "view", 1.0, "{}"))
+    rows.append((9, base_ns + 900 * 10**9, 2, "purchase", 9.0, "{}"))
+    src = spark.createDataFrame(rows, EVENTS_RAW_SCHEMA)
+    in_dir = str(tmp_path / "in")
+    src.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(in_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = run_available_now(
+        view_purchase_join_stream(stream, max_gap="30 minutes"),
+        spark,
+        name="vp_join_test",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    got = {(r.view_id, r.purchase_id, r.gap_ms) for r in out.collect()}
+    assert got == {
+        (1, 2, 600_000),
+        (4, 6, 1_800_000),
+        (7, 9, 900_000),
+        (8, 9, 840_000),
+    }
