@@ -53,6 +53,10 @@ HEADLINE = [
     "cosine_topk_arrow",
     "winnowing_collision_pairs",
     "token_diversity_flags",
+    # round 2c: scalar-subquery threshold, unpivot, map/struct surface
+    "important_parts_value_threshold",
+    "unpivot_order_status_counts",
+    "map_struct_event_stats",
 ]
 
 

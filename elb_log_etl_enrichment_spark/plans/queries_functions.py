@@ -236,3 +236,100 @@ def array_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.array_max(vec)), 6).alias("max_elem"),
         F.round(F.min(F.array_min(vec)), 6).alias("min_elem"),
     )
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT / melt (wide → long): conditional-agg a wide per-priority
+# matrix of order counts by status, then unpivot the status columns
+# into (metric, value) rows — `DataFrame.unpivot`, the relational
+# MELT the reference's pandas tier gets from pd.melt. Oracle builds
+# the same long form with UNION ALL over the wide subquery (portable
+# ANSI; no UNPIVOT syntax dependence). The unpivot itself is a
+# zero-shuffle projection (each wide row expands locally), so the
+# only exchange is the 5-group agg before it.
+# --------------------------------------------------------------------------
+@register(
+    "unpivot_order_status_counts",
+    sql="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_cnt,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS finished_cnt,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS partial_cnt
+        FROM orders
+        GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'open_cnt'     AS status_metric, open_cnt     AS n FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'finished_cnt' AS status_metric, finished_cnt AS n FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'partial_cnt'  AS status_metric, partial_cnt  AS n FROM wide
+    """,
+    tags=("unpivot", "melt", "agg"),
+)
+def unpivot_order_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_orderstatus") == "O").alias("open_cnt"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("finished_cnt"),
+        F.count_if(F.col("o_orderstatus") == "P").alias("partial_cnt"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["open_cnt", "finished_cnt", "partial_cnt"],
+        variableColumnName="status_metric",
+        valueColumnName="n",
+    )
+
+
+# --------------------------------------------------------------------------
+# Map / struct function surface: build a map from (event_type → stats
+# struct) per user via map_from_entries(collect_list(struct(...))),
+# then read it back out with element_at + field access. Exercises
+# struct construction, collect_list, map_from_entries, map lookup,
+# and nested-field projection — all JVM-side expressions. The oracle
+# computes the same scalars with plain conditional aggregation: the
+# map is the *surface under test*; the values are what's checked.
+# --------------------------------------------------------------------------
+@register(
+    "map_struct_event_stats",
+    sql="""
+    SELECT user_id,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click_n,
+           ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'click'), 0.0), 2)
+               AS click_sum,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS purchase_n
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("map", "struct", "agg"),
+)
+def map_struct_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("event_type"),
+                    F.struct(F.col("n"), F.col("sum_value")).alias("stats"),
+                )
+            )
+        ).alias("by_type")
+    )
+    click = F.element_at(F.col("by_type"), "click")
+    purchase = F.element_at(F.col("by_type"), "purchase")
+    return mapped.select(
+        "user_id",
+        F.size(F.map_keys("by_type")).cast("long").alias("n_types"),
+        F.coalesce(click.getField("n"), F.lit(0)).alias("click_n"),
+        F.round(F.coalesce(click.getField("sum_value"), F.lit(0.0)), 2).alias(
+            "click_sum"
+        ),
+        F.coalesce(purchase.getField("n"), F.lit(0)).alias("purchase_n"),
+    )

@@ -463,3 +463,40 @@ def cheapest_part_per_type_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_type", "p_size", "p_partkey", "p_name", "p_retailprice")
         .orderBy("p_type", "p_size", "p_partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Q11 shape: group-aggregate filtered by a scalar subquery over the
+# SAME aggregation (important-stock). Adapted to lineitem revenue per
+# part (no partsupp table — TESTDATA.md). The per-part agg computes
+# once; the grand total is a second 1-row agg broadcast-cross-joined
+# back, so the "correlated" threshold costs one extra reduce, not a
+# rescan — and at 100 TB the fact table is still read exactly once
+# per agg (both aggs map-side-combine before their shuffles).
+# --------------------------------------------------------------------------
+@register(
+    "important_parts_value_threshold",
+    sql="""
+    SELECT l_partkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(l_extendedprice * (1 - l_discount)) >
+           (SELECT SUM(l_extendedprice * (1 - l_discount)) * 0.0005
+            FROM lineitem)
+    """,
+    tags=("agg", "scalar_subquery", "having"),
+)
+def important_parts_value_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = li.groupBy("l_partkey").agg(rev.alias("part_value_raw"))
+    total = li.agg((rev * F.lit(0.0005)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))  # 1-row cross join, no shuffle
+        .filter(F.col("part_value_raw") > F.col("threshold"))
+        .select(
+            "l_partkey",
+            F.round("part_value_raw", 2).alias("part_value"),
+        )
+    )
