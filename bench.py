@@ -57,6 +57,8 @@ HEADLINE = [
     "important_parts_value_threshold",
     "unpivot_order_status_counts",
     "map_struct_event_stats",
+    "doc_chunking_stats",
+    "embedding_quantization_error",
 ]
 
 

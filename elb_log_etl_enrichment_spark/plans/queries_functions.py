@@ -333,3 +333,69 @@ def map_struct_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.coalesce(purchase.getField("n"), F.lit(0)).alias("purchase_n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Int8 embedding quantization + reconstruction error (LLM-pipeline op:
+# vector-store compression). Per-vector symmetric max-abs scale,
+# q = floor(x·127/scale + 0.5) (explicit half-up so both engines round
+# identically in float64), reconstruction error aggregated per label.
+# Entirely JVM-side HOF expressions — zero shuffle before the final
+# 4-group agg, so at 100 TB it's one pipelined scan pass; the 4x size
+# reduction is the payload the op exists for.
+# --------------------------------------------------------------------------
+@register(
+    "embedding_quantization_error",
+    sql="""
+    WITH v AS (
+        SELECT label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ), s AS (
+        SELECT label, vec,
+               GREATEST(list_max(list_transform(vec, x -> abs(x))), 1e-30)
+                   AS scale
+        FROM v
+    ), e AS (
+        SELECT label, scale,
+               list_sum(list_transform(vec,
+                   x -> pow(x - floor(x * 127.0 / scale + 0.5)
+                                * scale / 127.0, 2)))
+                   / len(vec) AS mse
+        FROM s
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(mse) * 1e6, 6) AS avg_mse_ppm,
+           ROUND(MAX(mse) * 1e6, 6) AS max_mse_ppm,
+           ROUND(AVG(scale), 6)     AS avg_scale
+    FROM e
+    GROUP BY label
+    """,
+    tags=("embeddings", "quantization", "hof"),
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(vec, F.abs)), F.lit(1e-30)
+    ).alias("scale")
+    projected = emb.select("label", vec.alias("vec"), scale)
+    sc = F.col("scale")
+    err = F.transform(
+        F.col("vec"),
+        lambda x: F.pow(
+            x - F.floor(x * 127.0 / sc + 0.5) * sc / 127.0, F.lit(2.0)
+        ),
+    )
+    mse = (
+        F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x)
+        / F.size("vec")
+    ).alias("mse")
+    per_vec = projected.select("label", "scale", mse)
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("mse") * 1e6, 6).alias("avg_mse_ppm"),
+        F.round(F.max("mse") * 1e6, 6).alias("max_mse_ppm"),
+        F.round(F.avg("scale"), 6).alias("avg_scale"),
+    )

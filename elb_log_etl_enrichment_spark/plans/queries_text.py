@@ -646,3 +646,68 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-size document chunking with overlap (LLM-pipeline op: context-
+# window packing). Chunk starts come from `sequence(1, len, stride)` —
+# a pure JVM expression — and each chunk is a substring, so the whole
+# op is a zero-shuffle narrow projection + explode: at 100 TB it
+# pipelines through the scan with no exchange, and chunk counts scale
+# with output size, not with a per-row Python crossing. Oracle mirrors
+# it with generate_series + substr under DuckDB's identical 1-based
+# inclusive semantics.
+# --------------------------------------------------------------------------
+@register(
+    "doc_chunking_stats",
+    sql="""
+    WITH chunks AS (
+        SELECT doc_id,
+               u.chunk_no,
+               substr(text, CAST((u.chunk_no - 1) * 384 + 1 AS BIGINT), 512)
+                   AS chunk
+        FROM documents,
+             LATERAL (
+                 SELECT UNNEST(generate_series(
+                     1, CAST(CEIL(GREATEST(length(text) - 128, 1) / 384.0)
+                             AS BIGINT))) AS chunk_no
+             ) u
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                    AS n_chunks,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT)      AS n_docs,
+           CAST(SUM(length(chunk)) AS BIGINT)          AS total_chars,
+           CAST(MAX(length(chunk)) AS BIGINT)          AS max_chunk_len,
+           ROUND(AVG(length(chunk)), 6)                AS avg_chunk_len
+    FROM chunks
+    """,
+    tags=("text", "chunking", "explode"),
+)
+def doc_chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding chunks: size 512 chars, stride 384 (128 overlap).
+
+    n_chunks per doc = ceil(max(len-128, 1) / 384) — every char lands
+    in ≥1 chunk and the final chunk is never a bare overlap-tail of
+    the previous one.
+    """
+    d = _t(spark, sf_dir, "documents")
+    size, stride, overlap = 512, 384, 128
+    n_chunks = F.ceil(
+        F.greatest(F.length("text") - overlap, F.lit(1)) / F.lit(float(stride))
+    ).cast("long")
+    starts = F.sequence(F.lit(1).cast("long"), n_chunks)
+    chunk = F.substring(
+        F.col("text"),
+        ((F.col("chunk_no") - 1) * stride + 1).cast("int"),
+        size,
+    )
+    chunks = (
+        d.select("doc_id", "text", F.explode(starts).alias("chunk_no"))
+        .select("doc_id", "chunk_no", chunk.alias("chunk"))
+    )
+    return chunks.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum(F.length("chunk")).alias("total_chars"),
+        F.max(F.length("chunk")).cast("long").alias("max_chunk_len"),
+        F.round(F.avg(F.length("chunk")), 6).alias("avg_chunk_len"),
+    )
