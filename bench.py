@@ -59,6 +59,8 @@ HEADLINE = [
     "map_struct_event_stats",
     "doc_chunking_stats",
     "embedding_quantization_error",
+    "tfidf_top_terms",
+    "cogroup_user_activity",
 ]
 
 

@@ -56,3 +56,53 @@ def zscore_outliers(events: DataFrame, threshold: float = 2.0) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(per_user, schema=ZSCORE_SCHEMA)
     )
+
+
+COGROUP_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_orders", LongType()),
+        StructField("n_events_after_last_order", LongType()),
+    ]
+)
+
+
+def cogroup_user_activity(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """Cogrouped-map (``groupBy().cogroup().applyInPandas``, SURVEY.md
+    §2.9): both tables shuffle-partitioned on the user key, then each
+    key's (events, orders) frame PAIR lands in one Python call — the
+    per-key two-table merge shape (custom as-of logic, per-entity
+    reconciliation) that neither a join nor a single-table
+    applyInPandas expresses directly.
+
+    Deliberately SQL-expressible (two aggs + a filtered count) so the
+    DuckDB oracle hash-checks the whole cogrouped Arrow round trip.
+    Keys present in either side appear in the output (outer cogroup
+    semantics — one side's frame may be empty).
+    """
+
+    def merge(key: tuple, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+        n_events = len(ev)
+        n_orders = len(od)
+        if n_orders and n_events:
+            last_order = od["o_orderdate"].max()
+            n_after = int((ev["ts"] > last_order).sum())
+        else:
+            n_after = 0
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_events],
+                "n_orders": [n_orders],
+                "n_events_after_last_order": [n_after],
+            }
+        )
+
+    ev = events.select("user_id", "ts")
+    od = orders.select("o_custkey", "o_orderdate")
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("o_custkey"))
+        .applyInPandas(merge, schema=COGROUP_SCHEMA)
+    )

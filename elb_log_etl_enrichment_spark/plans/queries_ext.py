@@ -752,3 +752,85 @@ def elb_pipeline_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache_dir = _fresh_checkpoint("elb_geo_cache") + "/cache.parquet"
     enriched = enrich_and_featurize(spark, parsed, cache_dir)
     return hourly_geo_aggregates(enriched)
+
+
+# --------------------------------------------------------------------------
+# Stream-static join: streaming events enriched against the static
+# customer⨝nation dim (broadcast, stateless), then a complete-mode
+# count per nation — the streaming analog of batch geo enrichment.
+# Oracle is the equivalent batch join+agg.
+# --------------------------------------------------------------------------
+@register(
+    "streaming_static_nation_counts",
+    sql="""
+    SELECT n.n_name AS nation_name,
+           e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2)   AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "stream_static_join", "broadcast"),
+)
+def streaming_static_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream import (
+        read_events_stream,
+        run_available_now,
+        static_enriched_stream,
+    )
+
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = customer.join(
+        F.broadcast(nation),
+        customer.c_nationkey == nation.n_nationkey,
+    ).select("c_custkey", F.col("n_name").alias("nation_name"))
+
+    events = read_events_stream(spark, sf_dir)
+    enriched = static_enriched_stream(events, dim)
+    agg = enriched.groupBy("nation_name", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    ckpt = _fresh_checkpoint("static_join")
+    return run_available_now(agg, spark, "mem_stream_static", ckpt)
+
+
+# --------------------------------------------------------------------------
+# Cogrouped-map (groupBy().cogroup().applyInPandas) — the per-key
+# two-table merge surface. Oracle expresses the same semantics with
+# two aggs + a filtered join-back; the cogrouped Arrow round trip is
+# what's under test.
+# --------------------------------------------------------------------------
+@register(
+    "cogroup_user_activity",
+    sql="""
+    WITH e AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, MAX(ts) AS last_ts
+        FROM events GROUP BY user_id
+    ), o AS (
+        SELECT o_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               MAX(o_orderdate) AS last_order
+        FROM orders GROUP BY o_custkey
+    ), after_cnt AS (
+        SELECT ev.user_id, CAST(COUNT(*) AS BIGINT) AS n_after
+        FROM events ev JOIN o ON ev.user_id = o.user_id
+        WHERE ev.ts > o.last_order
+        GROUP BY ev.user_id
+    )
+    SELECT COALESCE(e.user_id, o.user_id)   AS user_id,
+           COALESCE(e.n_events, 0)          AS n_events,
+           COALESCE(o.n_orders, 0)          AS n_orders,
+           COALESCE(a.n_after, 0)           AS n_events_after_last_order
+    FROM e
+    FULL OUTER JOIN o ON e.user_id = o.user_id
+    LEFT JOIN after_cnt a ON COALESCE(e.user_id, o.user_id) = a.user_id
+    """,
+    tags=("cogroup", "applyInPandas", "udf"),
+)
+def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.grouped import cogroup_user_activity as op
+
+    return op(_t(spark, sf_dir, "events"), _t(spark, sf_dir, "orders"))

@@ -711,3 +711,59 @@ def doc_chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.length("chunk")).cast("long").alias("max_chunk_len"),
         F.round(F.avg(F.length("chunk")), 6).alias("avg_chunk_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF corpus term scoring (LLM-pipeline op: keyword extraction /
+# relevance weighting). tokenize → per-(doc,term) TF → per-term DF →
+# smoothed IDF ln((N+1)/(df+1))+1 → top-20 terms by total TF-IDF.
+# All JVM-side: regex split + explode + two hash aggs + one broadcast
+# join of the tiny DF side back onto TF. At 100 TB the only wide
+# exchanges are the two aggs (both map-side combinable); doc count N
+# is a 1-row broadcast. Ordering ties are broken by term for a
+# deterministic top-20 cut in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT tf.term,
+           ANY_VALUE(df.df) AS doc_freq,
+           ROUND(SUM(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)), 6)
+               AS total_tfidf
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    GROUP BY tf.term
+    ORDER BY total_tfidf DESC, tf.term
+    LIMIT 20
+    """,
+    tags=("text", "tfidf", "explode", "broadcast"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # one job over parquet metadata; literal below
+    idf = F.ln((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(F.broadcast(df), "term")
+        .groupBy("term")
+        .agg(
+            F.first("df").alias("doc_freq"),
+            F.round(F.sum(F.col("tf") * idf), 6).alias("total_tfidf"),
+        )
+        .orderBy(F.col("total_tfidf").desc(), "term")
+        .limit(20)
+    )

@@ -299,3 +299,18 @@ def foreach_batch_cache_upsert(
         .start()
     )
     query.awaitTermination()
+
+
+def static_enriched_stream(
+    events: DataFrame, dim: DataFrame, on_left: str = "user_id", on_right: str = "c_custkey"
+) -> DataFrame:
+    """Stream-static join: each micro-batch joins against a static
+    (batch) dimension table — the streaming analog of the batch tier's
+    geo-enrichment broadcast join. The static side is marked for
+    broadcast, so no stream-side shuffle and no join state at all
+    (unlike stream-stream joins): at 100 TB/day of stream, each
+    executor holds one copy of the dim and the join pipelines through
+    the scan."""
+    return events.join(
+        F.broadcast(dim), F.col(on_left) == F.col(on_right), "inner"
+    )
