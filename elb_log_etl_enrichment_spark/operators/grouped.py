@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -68,13 +69,24 @@ COGROUP_SCHEMA = StructType(
 )
 
 
-def cogroup_user_activity(events: DataFrame, orders: DataFrame) -> DataFrame:
+def cogroup_user_activity(
+    events: DataFrame, orders: DataFrame, n_buckets: int = 64
+) -> DataFrame:
     """Cogrouped-map (``groupBy().cogroup().applyInPandas``, SURVEY.md
-    §2.9): both tables shuffle-partitioned on the user key, then each
+    §2.9): both tables shuffle-partitioned on the same key, then each
     key's (events, orders) frame PAIR lands in one Python call — the
     per-key two-table merge shape (custom as-of logic, per-entity
     reconciliation) that neither a join nor a single-table
     applyInPandas expresses directly.
+
+    Scale design: cogrouping on the raw user key costs one Python
+    invocation per key — O(key-cardinality) interpreter round trips
+    (measured 17.9 s at sf0.1's 15k keys). Instead both sides cogroup
+    on ``user_id % n_buckets`` and the per-user merge is vectorized
+    pandas inside each bucket: exactly ``n_buckets`` Python calls
+    regardless of key cardinality, the same amortization trick as
+    salting. Per-user semantics are unchanged (a bucket contains every
+    row of each of its users on both sides).
 
     Deliberately SQL-expressible (two aggs + a filtered count) so the
     DuckDB oracle hash-checks the whole cogrouped Arrow round trip.
@@ -82,27 +94,43 @@ def cogroup_user_activity(events: DataFrame, orders: DataFrame) -> DataFrame:
     semantics — one side's frame may be empty).
     """
 
-    def merge(key: tuple, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
-        n_events = len(ev)
-        n_orders = len(od)
-        if n_orders and n_events:
-            last_order = od["o_orderdate"].max()
-            n_after = int((ev["ts"] > last_order).sum())
+    def merge(ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+        e_cnt = ev.groupby("user_id").size()
+        o_agg = od.groupby("user_id")["o_orderdate"].agg(["size", "max"])
+        # events strictly after that user's last order (users with no
+        # orders map to NaT, which compares False — n_after stays 0)
+        last_order = ev["user_id"].map(o_agg["max"]) if len(od) else None
+        if last_order is not None and len(ev):
+            after = (
+                (ev["ts"] > last_order).groupby(ev["user_id"]).sum()
+            )
         else:
-            n_after = 0
+            after = pd.Series(dtype="int64")
+        keys = e_cnt.index.union(o_agg.index)
         return pd.DataFrame(
             {
-                "user_id": [key[0]],
-                "n_events": [n_events],
-                "n_orders": [n_orders],
-                "n_events_after_last_order": [n_after],
+                "user_id": keys.astype("int64"),
+                "n_events": e_cnt.reindex(keys).fillna(0).astype("int64").values,
+                "n_orders": (
+                    o_agg["size"].reindex(keys).fillna(0).astype("int64").values
+                    if len(od)
+                    else 0
+                ),
+                "n_events_after_last_order": after.reindex(keys)
+                .fillna(0)
+                .astype("int64")
+                .values,
             }
         )
 
-    ev = events.select("user_id", "ts")
-    od = orders.select("o_custkey", "o_orderdate")
+    ev = events.select("user_id", "ts", (F.col("user_id") % n_buckets).alias("b"))
+    od = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        (F.col("o_custkey") % n_buckets).alias("b"),
+    )
     return (
-        ev.groupBy("user_id")
-        .cogroup(od.groupBy("o_custkey"))
-        .applyInPandas(merge, schema=COGROUP_SCHEMA)
+        ev.groupBy("b")
+        .cogroup(od.groupBy("b"))
+        .applyInPandas(lambda e, o: merge(e, o), schema=COGROUP_SCHEMA)
     )

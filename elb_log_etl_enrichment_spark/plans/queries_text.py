@@ -748,21 +748,28 @@ def doc_chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "tfidf", "explode", "broadcast"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic fusion: Σ_docs tf·idf(term) = idf(term)·Σ_docs tf, and
+    Σ_docs tf is just the term's corpus frequency — so ONE
+    groupBy(term) computing (count(*), count_distinct(doc_id))
+    replaces the textbook TF→DF join-back. One shuffle, one scan,
+    identical result (the oracle keeps the didactic two-level SQL)."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
     ).filter(F.col("term") != "")
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = d.count()  # one job over parquet metadata; literal below
-    idf = F.ln((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    n_docs = d.count()  # one metadata-cheap count job; literal below
+    idf = F.ln((F.lit(float(n_docs)) + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0
     return (
-        tf.join(F.broadcast(df), "term")
-        .groupBy("term")
+        tok.groupBy("term")
         .agg(
-            F.first("df").alias("doc_freq"),
-            F.round(F.sum(F.col("tf") * idf), 6).alias("total_tfidf"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("total_tf"),
+        )
+        .select(
+            "term",
+            "doc_freq",
+            F.round(F.col("total_tf") * idf, 6).alias("total_tfidf"),
         )
         .orderBy(F.col("total_tfidf").desc(), "term")
         .limit(20)
