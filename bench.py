@@ -61,6 +61,7 @@ HEADLINE = [
     "embedding_quantization_error",
     "tfidf_top_terms",
     "cogroup_user_activity",
+    "dedup_survivor_stats",
 ]
 
 

@@ -834,3 +834,55 @@ def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.grouped import cogroup_user_activity as op
 
     return op(_t(spark, sf_dir, "events"), _t(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Streaming SLIDING window aggregate (1 h windows, 15 min slide):
+# each event lands in 4 overlapping windows. Oracle replicates the
+# window assignment with a 4-offset UNNEST; Spark's streaming
+# `window()` operator does the same expansion before the keyed state
+# agg, so state size is (windows-per-event x key cardinality), evicted
+# by the watermark as event time advances.
+# --------------------------------------------------------------------------
+@register(
+    "streaming_sliding_window_counts",
+    sql="""
+    WITH w AS (
+        SELECT event_type, value,
+               time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
+                   AS win_start,
+               ts
+        FROM events, UNNEST(generate_series(0, 3)) t(k)
+    )
+    SELECT CAST(epoch_ms(win_start) AS BIGINT) AS win_start_ms,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2)     AS sum_value
+    FROM w
+    WHERE ts < win_start + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "sliding_window"),
+)
+def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream import read_events_stream, run_available_now
+
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("window.start")).alias("win_start_ms"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            "sum_value",
+        )
+    )
+    ckpt = _fresh_checkpoint("sliding")
+    return run_available_now(agg, spark, "mem_stream_sliding", ckpt)

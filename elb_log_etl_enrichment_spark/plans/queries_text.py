@@ -774,3 +774,65 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_tfidf").desc(), "term")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end dedup PRUNING: cluster near-dups (same CC pipeline as
+# dedup_cluster_sizes), keep one canonical doc per cluster (min
+# doc_id — exactly the CC label, since min-label propagation seeds
+# labels with doc_id), and report the corpus before/after. This is the
+# step a training-data pipeline actually ships: the filtered corpus,
+# not just the cluster map.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_survivor_stats",
+    sql=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    edges AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
+    undirected AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION
+        SELECT doc_b, doc_a FROM edges
+    ),
+    reach(id, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT u.dst, r.root FROM reach r JOIN undirected u ON u.src = r.id
+    ),
+    comp AS (SELECT id, MIN(root) AS cluster_id FROM reach GROUP BY id)
+    SELECT CAST(COUNT(*) AS BIGINT)                            AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE id = cluster_id) AS BIGINT)
+               AS n_survivors,
+           CAST(COUNT(*) FILTER (WHERE id <> cluster_id) AS BIGINT)
+               AS n_dropped,
+           CAST(SUM(CASE WHEN id = cluster_id THEN d.n_chars ELSE 0 END)
+                AS BIGINT)                                     AS kept_chars,
+           CAST(SUM(CASE WHEN id <> cluster_id THEN d.n_chars ELSE 0 END)
+                AS BIGINT)                                     AS dropped_chars
+    FROM comp JOIN documents d ON comp.id = d.doc_id
+    """,
+    tags=("dedup", "graph", "pipeline"),
+)
+def dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.8).select("doc_a", "doc_b")
+    labels = connected_components(
+        d.select("doc_id"), pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    joined = labels.join(
+        d.select("doc_id", "n_chars"), labels["id"] == F.col("doc_id")
+    )
+    survivor = F.col("id") == F.col("label")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(survivor).alias("n_survivors"),
+        F.count_if(~survivor).alias("n_dropped"),
+        F.sum(F.when(survivor, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+        F.sum(F.when(~survivor, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("dropped_chars"),
+    )

@@ -47,3 +47,25 @@ def test_components_long_chain_converges(spark):
     )
     labels = connected_components(nodes, edges)
     assert labels.filter(F.col("label") != 0).count() == 0
+
+
+def test_cogroup_bucket_count_invariance(spark):
+    """The bucketed cogroup merge must produce identical results for
+    any bucket count (buckets only amortize Python calls — per-user
+    semantics cannot depend on them)."""
+    from elb_log_etl_enrichment_spark.operators.grouped import cogroup_user_activity
+    from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    orders = load_table(spark, sf, "orders")
+
+    def snap(n_buckets):
+        return {
+            tuple(r)
+            for r in cogroup_user_activity(events, orders, n_buckets=n_buckets).collect()
+        }
+
+    r1, r7, r64 = snap(1), snap(7), snap(64)
+    assert r1 == r7 == r64
+    assert len(r1) > 0
