@@ -81,3 +81,22 @@ def test_orc_sink_round_trip_with_pruning(spark, tmp_path):
     assert back.count() == df.filter("id % 7 = 3").count()
     # filter reaches the ORC scan; projection prunes to the 2 used cols
     assert "PushedFilters: [" in plan and "k" in plan.split("PushedFilters")[1][:80]
+
+
+def test_max_records_per_file_rolls_files(spark, tmp_path):
+    """maxRecordsPerFile caps parquet file size (the write-side half of
+    small-file/giant-file control; the read side is
+    spark.sql.files.maxPartitionBytes)."""
+    import glob
+
+    from elb_log_etl_enrichment_spark.sinks.writers import write_parquet
+
+    df = spark.range(1000).coalesce(1)
+    out = str(tmp_path / "capped")
+    write_parquet(df, out, max_records_per_file=100)
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == 10
+
+    out2 = str(tmp_path / "uncapped")
+    write_parquet(df, out2)
+    assert len(glob.glob(out2 + "/part-*.parquet")) == 1
