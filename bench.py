@@ -62,6 +62,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "cogroup_user_activity",
     "dedup_survivor_stats",
+    "bm25_top_docs",
 ]
 
 

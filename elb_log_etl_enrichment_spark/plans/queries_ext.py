@@ -886,3 +886,36 @@ def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
     )
     ckpt = _fresh_checkpoint("sliding")
     return run_available_now(agg, spark, "mem_stream_sliding", ckpt)
+
+
+# --------------------------------------------------------------------------
+# Schema-ful JSON parsing (`from_json`, vs json_extract_events'
+# path-extraction): parse props into a typed struct once, then project
+# fields — the right shape when several fields are read (one parse,
+# not one per path). Malformed JSON yields a NULL struct (PERMISSIVE),
+# counted as parse failures.
+# --------------------------------------------------------------------------
+@register(
+    "from_json_props_stats",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS n_parsed,
+           ROUND(AVG(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+               AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "from_json", "agg"),
+)
+def from_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("p.k").alias("n_parsed"),
+        F.round(F.avg("p.k"), 6).alias("avg_k"),
+    )

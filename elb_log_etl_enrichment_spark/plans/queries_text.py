@@ -836,3 +836,90 @@ def dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dropped_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval (text-side search, complementing the embedding
+# ANN tier): classic Okapi BM25 (k1=1.2, b=0.75) for a fixed query
+# term set, top-10 docs. Shape at scale: the token explosion feeds two
+# map-side-combinable aggs (per-doc length, per-(doc,term) TF filtered
+# to query terms — the filter prunes BEFORE the shuffle, so the big
+# exchange carries only query-term hits); doc-frequency and avgdl are
+# tiny aggregates broadcast back. Corpus stats (N, df, avgdl) count
+# only docs with ≥1 token.
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("join", "scan", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents
+    ), tok_ne AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok_ne GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM tok_ne WHERE term IN ({terms}) GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           ROUND(SUM(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df ON tf.term = df.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT 10
+    """
+
+
+@register("bm25_top_docs", sql=_bm25_sql(), tags=("text", "bm25", "retrieval"))
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.ln((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom), 6
+            ).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
