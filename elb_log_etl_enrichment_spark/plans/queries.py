@@ -100,7 +100,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Multi-way equi-join + agg (SURVEY §2.4 J1 generalized): the flagship.
 # nation/region are broadcast (tiny dims); the fact-side joins shuffle
-# on their keys with AQE skew handling.
+# on their keys with AQE skew handling. Lineitem is PRE-AGGREGATED per
+# orderkey before the join (group key = join key ⇒ partial-agg
+# pushdown below the join is exact): the join and every shuffle after
+# it carry one row per order instead of one per line item — at 100 TB
+# that divides fact-side network volume by the lines-per-order factor.
 # --------------------------------------------------------------------------
 @register(
     "revenue_by_nation",
@@ -123,17 +127,19 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.sum("cnt").alias("n_items"),
         )
     )
 
@@ -156,14 +162,17 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "topk", "sort"),
 )
 def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregated: revenue per orderkey is computed BEFORE the
+    join (group key = join key ⇒ exact), so the join input is one row
+    per order and the post-join groupBy disappears — TakeOrdered runs
+    straight off the join output."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_order = li.groupBy("l_orderkey").agg(rev.alias("__rev"))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .filter(F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(rev.alias("__rev"))
         .orderBy(F.col("__rev").desc(), F.col("o_orderkey").asc())
         .limit(10)
         .select(

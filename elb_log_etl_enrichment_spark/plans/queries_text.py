@@ -890,36 +890,50 @@ def _bm25_sql() -> str:
 
 @register("bm25_top_docs", sql=_bm25_sql(), tags=("text", "bm25", "retrieval"))
 def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivoted plan: the query-term set is small and fixed, so per-doc
+    TFs become `count_if` columns of ONE doc-keyed agg (alongside doc
+    length) instead of a (doc,term) agg joined back to a doc-length
+    agg — the whole query is explosion → one wide agg → 1-row corpus
+    stats broadcast → row-wise scoring → top-k. Two shuffles total,
+    no doc-level join. The oracle keeps the textbook normalized
+    formulation."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
     ).filter(F.col("term") != "")
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
-    stats = dl.agg(
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl"),
+        *[
+            F.count_if(F.col("term") == t).cast("double").alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
+        *[
+            F.count_if(F.col(f"tf_{t}") > 0).cast("double").alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
     )
-    tf = (
-        tok.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    idf = F.ln((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    denom = F.col("tf") + _BM25_K1 * (
-        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
-    )
-    return (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .join(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom), 6
-            ).alias("bm25")
+    def term_score(t: str):
+        tf = F.col(f"tf_{t}")
+        idf = F.ln(
+            (F.col("n_docs") - F.col(f"df_{t}") + 0.5)
+            / (F.col(f"df_{t}") + 0.5)
+            + 1.0
         )
+        denom = tf + _BM25_K1 * (
+            1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        return F.when(tf > 0, idf * tf * (_BM25_K1 + 1.0) / denom).otherwise(0.0)
+
+    score = sum((term_score(t) for t in _BM25_TERMS), F.lit(0.0))
+    return (
+        per_doc.join(F.broadcast(stats))
+        .filter(sum((F.col(f"tf_{t}") for t in _BM25_TERMS), F.lit(0.0)) > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
