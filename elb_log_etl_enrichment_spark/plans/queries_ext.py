@@ -919,3 +919,95 @@ def from_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("p.k").alias("n_parsed"),
         F.round(F.avg("p.k"), 6).alias("avg_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Raw SQL surface: the engine's tables as temp views + spark.sql text.
+# Same Catalyst plan as the DataFrame form (SQL and DataFrame APIs
+# meet in the same logical plan), so everything pushes down
+# identically — this entry exists to prove the migration path for
+# users whose queries are SQL strings.
+# --------------------------------------------------------------------------
+_SQL_API_QUERY = """
+    SELECT r_name,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+"""
+
+
+@register(
+    "sql_api_region_order_totals",
+    sql=_SQL_API_QUERY,
+    tags=("sql_api", "join", "agg"),
+)
+def sql_api_region_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_API_QUERY)
+
+
+# --------------------------------------------------------------------------
+# Full multimodal pipeline: payload → decode → resize planning →
+# frame sampling → per-format rollup. Exercises every multimodal
+# operator (attach_payload / decode_media / resize_stub /
+# frame_sample_stub); the oracle replays the deterministic stub
+# formulas, so the whole mapInPandas + columnar-planning chain is
+# hash-checked. Note the binary payload never reaches the final agg —
+# column pruning drops it after decode.
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_pipeline_stats",
+    sql="""
+    WITH decoded AS (
+        SELECT doc_id,
+               strlen(text) AS n,
+               CASE strlen(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                    ELSE 'webp' END AS media_format,
+               64 + strlen(text) % 256       AS width,
+               64 + (strlen(text) * 7) % 256 AS height
+        FROM documents
+    ), resized AS (
+        SELECT *,
+               FLOOR(width  * LEAST(1.0, 128.0 / GREATEST(width, height)))
+                   AS target_width,
+               FLOOR(height * LEAST(1.0, 128.0 / GREATEST(width, height)))
+                   AS target_height,
+               -- frames 0..(n%30) sampled every 10th
+               FLOOR((n % 30) / 10) + 1 AS n_sampled_frames
+        FROM decoded
+    )
+    SELECT media_format,
+           CAST(COUNT(*) AS BIGINT)          AS n_assets,
+           ROUND(AVG(target_width), 6)       AS avg_target_w,
+           ROUND(AVG(target_height), 6)      AS avg_target_h,
+           CAST(SUM(n_sampled_frames) AS BIGINT) AS total_sampled_frames
+    FROM resized
+    GROUP BY media_format
+    """,
+    tags=("multimodal", "udf", "mapInPandas", "pipeline"),
+)
+def multimodal_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import frame_sample_stub, resize_stub
+
+    d = _t(spark, sf_dir, "documents")
+    decoded = decode_media(attach_payload(d, "doc_id", "text"))
+    resized = resize_stub(decoded)
+    frames = frame_sample_stub(decoded).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_sampled_frames")
+    )
+    return (
+        resized.join(frames, "media_id")
+        .groupBy("media_format")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.round(F.avg("target_width"), 6).alias("avg_target_w"),
+            F.round(F.avg("target_height"), 6).alias("avg_target_h"),
+            F.sum("n_sampled_frames").alias("total_sampled_frames"),
+        )
+    )

@@ -47,3 +47,13 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     """Load several tables at once; defaults to every table."""
     names = names or TABLE_NAMES
     return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so callers can use
+    the raw ``spark.sql`` surface — the migration path for reference
+    users whose queries are SQL text rather than DataFrame code. Views
+    are lazy: registration costs nothing until a query scans one, and
+    each scan gets the same pruning/pushdown as `load_table`."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
