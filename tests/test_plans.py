@@ -9,17 +9,9 @@ oracle (results stay right) but catastrophic at scale.
 
 from __future__ import annotations
 
-import io
-from contextlib import redirect_stdout
+from elb_log_etl_enrichment_spark.plans.audit import plan_stats, plan_text
 
 SF = "/root/testdata/sf0.001"
-
-
-def _plan(df) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
 
 
 def _q(spark, name):
@@ -33,50 +25,43 @@ def _q(spark, name):
 
 
 def test_filter_pushdown_reaches_scan(spark):
-    plan = _plan(_q(spark, "pricing_summary"))
-    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    stats = plan_stats(_q(spark, "pricing_summary"))
+    assert any(
+        "LessThanOrEqual(l_shipdate" in f for f in stats["pushed_filters"]
+    ), stats["pushed_filters"]
 
 
 def test_column_pruning_on_wide_table(spark):
     # pricing_summary touches 7 of lineitem's 16 columns; the scan
     # schema must not contain untouched ones
-    plan = _plan(_q(spark, "pricing_summary"))
-    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    stats = plan_stats(_q(spark, "pricing_summary"))
+    read = stats["read_schemas"][0]
     assert "l_comment" not in read and "l_partkey" not in read
 
 
 def test_flagship_broadcasts_dims_and_preaggregates(spark):
-    plan = _plan(_q(spark, "revenue_by_nation"))
-    assert plan.count("BroadcastHashJoin") >= 2  # nation, region
+    plan = plan_text(_q(spark, "revenue_by_nation"))
+    assert plan_stats(plan)["broadcast_joins"] >= 2  # nation, region
     # lineitem pre-agg below the join: a HashAggregate keyed on
     # l_orderkey must appear (partial-agg pushdown)
     assert "Keys [1]: [l_orderkey" in plan
 
 
 def test_scalar_subquery_threshold_is_broadcast(spark):
-    plan = _plan(_q(spark, "important_parts_value_threshold"))
-    assert "BroadcastNestedLoopJoin" in plan  # 1-row threshold side
+    stats = plan_stats(_q(spark, "important_parts_value_threshold"))
+    assert stats["broadcast_joins"] >= 1  # 1-row threshold side
     # two lineitem scans (per-part agg + grand total), each pruned
-    assert plan.count("InMemoryFileIndex") == 2
-    for line in plan.splitlines():
-        if "ReadSchema" in line:
-            assert "l_comment" not in line
+    assert stats["scans"] == 2
+    for read in stats["read_schemas"]:
+        assert "l_comment" not in read
 
 
 def test_topk_uses_take_ordered_not_global_sort(spark):
-    plan = _plan(_q(spark, "top_orders_by_revenue"))
-    assert "TakeOrderedAndProject" in plan
+    assert "TakeOrderedAndProject" in plan_text(_q(spark, "top_orders_by_revenue"))
 
 
 def test_chunking_is_shuffle_free_before_final_agg(spark):
-    plan = _plan(_q(spark, "doc_chunking_stats"))
     # explode+substring pipeline: the ONLY exchanges allowed are the
     # two for the final global aggregate (partial -> single partition)
-    # count plan NODES (detail-section headers), not tree lines —
-    # explain('formatted') prints each node twice
-    exchanges = [
-        l
-        for l in plan.splitlines()
-        if l.startswith("(") and "Exchange" in l and "Broadcast" not in l
-    ]
-    assert len(exchanges) <= 2, exchanges
+    stats = plan_stats(_q(spark, "doc_chunking_stats"))
+    assert stats["exchanges"] <= 2, stats
