@@ -76,3 +76,29 @@ def test_pipeline_end_to_end(spark, tmp_path):
                  geo_cache_path=cache_path, fetch_fn=poisoned_fetch)
     cache2 = load_geo_cache(spark, cache_path)
     assert cache2.count() == 4  # keep-latest dedup, no growth
+
+
+def test_pipeline_golden_output_hash(spark, tmp_path):
+    """Golden e2e pin (SURVEY §5.3): md5 of the sorted, stringified
+    enriched output over the fixture corpus. Pins EVERY column's
+    semantics at once — parser, enrichment, sessionization, rolling
+    features, flags. `api_fetch_timestamp` is excluded (wall-clock by
+    design, mirroring the reference's cache-at-fetch-time field).
+
+    If a deliberate semantic change lands, recompute with the
+    recipe in this test and update the constant in the same commit.
+    """
+    import hashlib
+
+    res = run_pipeline(spark, _lines_df(spark), str(tmp_path / "g"), fetch_fn=fake_fetch)
+    e = res["enriched"].drop("api_fetch_timestamp")
+    cols = sorted(e.columns)
+
+    def cell(v):
+        return f"{v:.6f}" if isinstance(v, float) else str(v)
+
+    serial = sorted(
+        "|".join(cell(v) for v in r) for r in e.select(*cols).collect()
+    )
+    digest = hashlib.md5("\n".join(serial).encode()).hexdigest()
+    assert digest == "ce1f2f05ea4513532d3fa6991ecc4556"
