@@ -71,3 +71,59 @@ def asof_join_backward(
     return filled.filter(F.col("__is_left") == 1).select(
         *lcols, *[F.col("__p").getField(c).alias(c) for c in payload_cols]
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: Sequence[str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Mirror of :func:`asof_join_backward`: for every left row, the
+    payload of the EARLIEST right row with the same key and
+    ``right_time >= left_time`` (inclusive); NULL payload when none.
+
+    Ties on ``right_time`` resolve to the smallest ``right_tiebreak``.
+    Same scale shape as backward: one union + one keyed window — no
+    theta-join pair explosion.
+    """
+    lcols = list(left.columns)
+    r = right.select(
+        F.col(right_on).alias(left_on),
+        F.col(right_time).alias("__t"),
+        *[F.col(c) for c in payload_cols],
+    )
+    l2 = left.withColumn("__t", F.col(left_time)).withColumn("__is_left", F.lit(1))
+    for c in payload_cols:
+        l2 = l2.withColumn(c, F.lit(None).cast(r.schema[c].dataType))
+    r2 = r.withColumn("__is_left", F.lit(0))
+    for c in lcols:
+        if c not in r2.columns:
+            r2 = r2.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l2.unionByName(r2.select(l2.columns))
+
+    # left rows sort before right rows at equal time → inclusive >=;
+    # among equal-time right rows the first (min tiebreak) wins.
+    order = [F.col("__t").asc(), F.col("__is_left").desc()]
+    if right_tiebreak is not None:
+        order.append(F.col(right_tiebreak).asc_nulls_last())
+    w = (
+        Window.partitionBy(left_on)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    payload_struct = F.when(
+        F.col("__is_left") == 0, F.struct(*[F.col(c) for c in payload_cols])
+    )
+    filled = u.select(
+        *lcols,
+        F.col("__is_left"),
+        F.first(payload_struct, ignorenulls=True).over(w).alias("__p"),
+    )
+    return filled.filter(F.col("__is_left") == 1).select(
+        *lcols, *[F.col("__p").getField(c).alias(c) for c in payload_cols]
+    )

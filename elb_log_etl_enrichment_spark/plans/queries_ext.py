@@ -1011,3 +1011,54 @@ def multimodal_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sampled_frames").alias("total_sampled_frames"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Forward as-of join (operators/asof.asof_join_forward): for each
+# event, the user's EARLIEST order at-or-after the event time — the
+# "time-to-next-conversion" shape. Oracle uses DuckDB's native ASOF
+# with >= on a tie-deduped right side (smallest orderkey per
+# (custkey, date), matching the operator's tiebreak).
+# --------------------------------------------------------------------------
+@register(
+    "asof_next_order_after_event",
+    sql="""
+    WITH o AS (
+        SELECT o_custkey, o_orderdate, o_orderkey FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY o_custkey, o_orderdate
+                       ORDER BY o_orderkey ASC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ms,
+           o.o_orderkey AS next_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS next_order_date
+    FROM events e
+    ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+    """,
+    tags=("asof", "join", "custom"),
+)
+def asof_next_order_after_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_forward
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders")
+    joined = asof_join_forward(
+        e,
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+        right_tiebreak="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("next_order_date"),
+    )
