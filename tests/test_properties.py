@@ -91,3 +91,63 @@ def test_sessionize_matches_reference(events):
     # hypothesis generates unique (user, ts) pairs → deterministic order
     expected = _reference_sessions(events, gap_s=30 * 60)
     assert got == expected
+
+
+def _brute_asof(events, orders, forward: bool):
+    """Pure-Python as-of reference: for each (key, t) event, the
+    orders row with min/max time on the correct side; ties on time
+    resolve to min orderkey (forward) / max orderkey (backward)."""
+    out = {}
+    for eid, key, t in events:
+        cands = [
+            (ot, okey)
+            for okey, okeyy, ot in orders
+            if okeyy == key and (ot >= t if forward else ot <= t)
+        ]
+        if not cands:
+            out[eid] = None
+        elif forward:
+            ot = min(c[0] for c in cands)
+            out[eid] = min(okey for t2, okey in cands if t2 == ot)
+        else:
+            ot = max(c[0] for c in cands)
+            out[eid] = max(okey for t2, okey in cands if t2 == ot)
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(  # events: (event_id, key, time)
+        st.tuples(st.integers(0, 10_000), st.integers(0, 3), st.integers(0, 50)),
+        min_size=1, max_size=30, unique_by=lambda e: e[0],
+    ),
+    st.lists(  # orders: (orderkey, key, time)
+        st.tuples(st.integers(0, 10_000), st.integers(0, 3), st.integers(0, 50)),
+        min_size=0, max_size=30, unique_by=lambda o: o[0],
+    ),
+)
+def test_asof_joins_match_bruteforce(events, orders):
+    from elb_log_etl_enrichment_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+
+    e_df = _spark.createDataFrame(
+        [Row(event_id=e, key=k, t=t) for e, k, t in events]
+    )
+    o_schema = "orderkey long, okey long, ot long"
+    o_df = _spark.createDataFrame(
+        [Row(orderkey=o, okey=k, ot=t) for o, k, t in orders], schema=o_schema
+    )
+    for forward, fn in ((False, asof_join_backward), (True, asof_join_forward)):
+        got = {
+            r.event_id: r.orderkey
+            for r in fn(
+                e_df, o_df,
+                left_on="key", right_on="okey",
+                left_time="t", right_time="ot",
+                payload_cols=["orderkey"],
+                right_tiebreak="orderkey",
+            ).collect()
+        }
+        assert got == _brute_asof(events, orders, forward), f"forward={forward}"
