@@ -1,11 +1,11 @@
-"""Backward as-of join (nearest earlier match per key).
+"""As-of joins (nearest earlier / nearest later match per key).
 
 The reference has no as-of join; this is part of the engine's
 generalized operator inventory (SURVEY.md §2.4 note). Implemented as a
-union + ``last(..., ignorenulls=True)`` running window rather than a
-range self-join: one shuffle on the key, linear in rows, no pair
-explosion — the plan survives a 100× scale-up where a
-``right_time <= left_time`` theta-join would not.
+union + running-window fill rather than a range self-join: one shuffle
+on the key, linear in rows, no pair explosion — the plan survives a
+100× scale-up where a ``right_time <= left_time`` theta-join would
+not.
 """
 
 from __future__ import annotations
@@ -14,6 +14,75 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: Sequence[str],
+    right_tiebreak: str | None,
+    forward: bool,
+) -> DataFrame:
+    """Shared core: union both sides, then fill each left row's payload
+    from the nearest qualifying right row via a keyed running window.
+    Direction only changes the ordering, the frame, and first-vs-last.
+    """
+    lcols = list(left.columns)
+    r = right.select(
+        F.col(right_on).alias(left_on),
+        F.col(right_time).alias("__t"),
+        *[F.col(c) for c in payload_cols],
+    )
+    l2 = left.withColumn("__t", F.col(left_time)).withColumn("__is_left", F.lit(1))
+    for c in payload_cols:
+        l2 = l2.withColumn(c, F.lit(None).cast(r.schema[c].dataType))
+    r2 = r.withColumn("__is_left", F.lit(0))
+    for c in lcols:
+        if c not in r2.columns:
+            r2 = r2.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l2.unionByName(r2.select(l2.columns))
+
+    if forward:
+        # left rows sort before right rows at equal time → inclusive >=;
+        # among equal-time right rows the first (min tiebreak, nulls
+        # kept away from the front) wins.
+        order = [F.col("__t").asc(), F.col("__is_left").desc()]
+        frame = (Window.currentRow, Window.unboundedFollowing)
+        fill = F.first
+        tiebreak_order = (
+            F.col(right_tiebreak).asc_nulls_last() if right_tiebreak else None
+        )
+    else:
+        # right rows sort before left rows at equal time → inclusive <=;
+        # among equal-time right rows the last (max tiebreak, nulls
+        # kept away from the back) wins.
+        order = [F.col("__t").asc(), F.col("__is_left").asc()]
+        frame = (Window.unboundedPreceding, Window.currentRow)
+        fill = F.last
+        tiebreak_order = (
+            F.col(right_tiebreak).asc_nulls_first() if right_tiebreak else None
+        )
+    if tiebreak_order is not None:
+        order.append(tiebreak_order)
+    w = Window.partitionBy(left_on).orderBy(*order).rowsBetween(*frame)
+    # Fill the WHOLE payload as one struct (NULL on left-side rows):
+    # per-column fill with ignorenulls would stitch a composite "row"
+    # from different right rows whenever a payload column is NULL.
+    payload_struct = F.when(
+        F.col("__is_left") == 0, F.struct(*[F.col(c) for c in payload_cols])
+    )
+    filled = u.select(
+        *lcols,
+        F.col("__is_left"),
+        fill(payload_struct, ignorenulls=True).over(w).alias("__p"),
+    )
+    return filled.filter(F.col("__is_left") == 1).select(
+        *lcols, *[F.col("__p").getField(c).alias(c) for c in payload_cols]
+    )
 
 
 def asof_join_backward(
@@ -32,44 +101,9 @@ def asof_join_backward(
 
     Ties on ``right_time`` resolve to the greatest ``right_tiebreak``.
     """
-    lcols = list(left.columns)
-    r = right.select(
-        F.col(right_on).alias(left_on),
-        F.col(right_time).alias("__t"),
-        *[F.col(c) for c in payload_cols],
-    )
-    l2 = left.withColumn("__t", F.col(left_time)).withColumn("__is_left", F.lit(1))
-    for c in payload_cols:
-        l2 = l2.withColumn(c, F.lit(None).cast(r.schema[c].dataType))
-    r2 = r.withColumn("__is_left", F.lit(0))
-    for c in lcols:
-        if c not in r2.columns:
-            r2 = r2.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    u = l2.unionByName(r2.select(l2.columns))
-
-    # right rows sort before left rows at equal time → inclusive <=;
-    # among equal-time right rows the last (max tiebreak) wins.
-    order = [F.col("__t").asc(), F.col("__is_left").asc()]
-    if right_tiebreak is not None:
-        order.append(F.col(right_tiebreak).asc_nulls_first())
-    w = (
-        Window.partitionBy(left_on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # Fill the WHOLE payload as one struct (NULL on left-side rows):
-    # per-column last(ignorenulls) would stitch a composite "row" from
-    # different right rows whenever a payload column is NULL.
-    payload_struct = F.when(
-        F.col("__is_left") == 0, F.struct(*[F.col(c) for c in payload_cols])
-    )
-    filled = u.select(
-        *lcols,
-        F.col("__is_left"),
-        F.last(payload_struct, ignorenulls=True).over(w).alias("__p"),
-    )
-    return filled.filter(F.col("__is_left") == 1).select(
-        *lcols, *[F.col("__p").getField(c).alias(c) for c in payload_cols]
+    return _asof_join(
+        left, right, left_on, right_on, left_time, right_time,
+        payload_cols, right_tiebreak, forward=False,
     )
 
 
@@ -88,42 +122,8 @@ def asof_join_forward(
     ``right_time >= left_time`` (inclusive); NULL payload when none.
 
     Ties on ``right_time`` resolve to the smallest ``right_tiebreak``.
-    Same scale shape as backward: one union + one keyed window — no
-    theta-join pair explosion.
     """
-    lcols = list(left.columns)
-    r = right.select(
-        F.col(right_on).alias(left_on),
-        F.col(right_time).alias("__t"),
-        *[F.col(c) for c in payload_cols],
-    )
-    l2 = left.withColumn("__t", F.col(left_time)).withColumn("__is_left", F.lit(1))
-    for c in payload_cols:
-        l2 = l2.withColumn(c, F.lit(None).cast(r.schema[c].dataType))
-    r2 = r.withColumn("__is_left", F.lit(0))
-    for c in lcols:
-        if c not in r2.columns:
-            r2 = r2.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    u = l2.unionByName(r2.select(l2.columns))
-
-    # left rows sort before right rows at equal time → inclusive >=;
-    # among equal-time right rows the first (min tiebreak) wins.
-    order = [F.col("__t").asc(), F.col("__is_left").desc()]
-    if right_tiebreak is not None:
-        order.append(F.col(right_tiebreak).asc_nulls_last())
-    w = (
-        Window.partitionBy(left_on)
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    payload_struct = F.when(
-        F.col("__is_left") == 0, F.struct(*[F.col(c) for c in payload_cols])
-    )
-    filled = u.select(
-        *lcols,
-        F.col("__is_left"),
-        F.first(payload_struct, ignorenulls=True).over(w).alias("__p"),
-    )
-    return filled.filter(F.col("__is_left") == 1).select(
-        *lcols, *[F.col("__p").getField(c).alias(c) for c in payload_cols]
+    return _asof_join(
+        left, right, left_on, right_on, left_time, right_time,
+        payload_cols, right_tiebreak, forward=True,
     )

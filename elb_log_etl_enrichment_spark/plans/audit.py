@@ -66,7 +66,4 @@ def plan_stats(df_or_plan: DataFrame | str) -> dict:
             for line in lines
             if "PushedFilters:" in line
         ],
-        "whole_stage_codegen": sum(
-            "WholeStageCodegen" in line for line in lines
-        ),
     }

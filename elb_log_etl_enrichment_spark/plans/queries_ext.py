@@ -996,7 +996,14 @@ def multimodal_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import frame_sample_stub, resize_stub
 
     d = _t(spark, sf_dir, "documents")
-    decoded = decode_media(attach_payload(d, "doc_id", "text"))
+    # persisted: resize and frame-sample both branch off the decode,
+    # and without a cache the self-join would run the (expensive,
+    # per-row Python) decode pass twice. Payload column is pruned
+    # before the cache materializes only on Spark's side of the UDF —
+    # drop it explicitly so the cached frame is metadata-only.
+    decoded = decode_media(attach_payload(d, "doc_id", "text")).drop(
+        "payload"
+    ).persist()
     resized = resize_stub(decoded)
     frames = frame_sample_stub(decoded).groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_sampled_frames")

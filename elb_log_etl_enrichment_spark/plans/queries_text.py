@@ -326,9 +326,18 @@ _MINHASH_PAIR_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     pairs = _MINHASH_PAIR_MEMO.get(key)
     if pairs is None:
+        # evict entries from other (stopped/restarted) sessions so a
+        # long-lived driver cycling SparkSessions can't accumulate
+        # dead session graphs through this memo
+        for stale in [k for k in _MINHASH_PAIR_MEMO if k[0] != app_id]:
+            try:
+                _MINHASH_PAIR_MEMO.pop(stale).unpersist()
+            except Exception:
+                pass
         d = _t(spark, sf_dir, "documents")
         pairs = minhash_lsh_pairs(d, threshold=0.8).persist()
         _MINHASH_PAIR_MEMO[key] = pairs
@@ -777,14 +786,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
     ).filter(F.col("term") != "")
-    n_docs = d.count()  # one metadata-cheap count job; literal below
-    idf = F.ln((F.lit(float(n_docs)) + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0
+    # N stays inside the plan (1-row agg broadcast-cross-joined) so the
+    # builder remains lazy like every other registry entry — no eager
+    # count job at construction time
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = F.ln((F.col("n_docs") + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0
     return (
         tok.groupBy("term")
         .agg(
             F.count_distinct("doc_id").alias("doc_freq"),
             F.count(F.lit(1)).alias("total_tf"),
         )
+        .join(F.broadcast(n_docs))
         .select(
             "term",
             "doc_freq",
