@@ -63,6 +63,7 @@ HEADLINE = [
     "cogroup_user_activity",
     "dedup_survivor_stats",
     "bm25_top_docs",
+    "funnel_view_click_purchase",
 ]
 
 

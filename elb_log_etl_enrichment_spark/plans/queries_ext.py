@@ -1069,3 +1069,78 @@ def asof_next_order_after_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("next_orderkey"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("next_order_date"),
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel analysis (view → click → purchase): per user, each
+# stage counts only if it happens AT OR AFTER the previous stage's
+# first occurrence — the classic conversion funnel. One pivoted
+# per-user agg (conditional mins) + staged comparison, no self-joins:
+# at 100 TB this is a single shuffle on user_id, not a 3-way
+# event-table self-join. Oracle uses the identical conditional-min
+# formulation in SQL.
+# --------------------------------------------------------------------------
+@register(
+    "funnel_view_click_purchase",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click_any,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase_any
+        FROM events GROUP BY user_id
+    ), staged AS (
+        SELECT user_id,
+               t_view,
+               CASE WHEN t_click_any >= t_view THEN t_click_any END AS t_click,
+               CASE WHEN t_purchase_any >= t_view AND t_click_any >= t_view
+                         AND t_purchase_any >= t_click_any
+                    THEN t_purchase_any END AS t_purchase
+        FROM per_user
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)              AS n_users,
+           CAST(COUNT(t_view) AS BIGINT)         AS reached_view,
+           CAST(COUNT(t_click) AS BIGINT)        AS reached_click,
+           CAST(COUNT(t_purchase) AS BIGINT)     AS reached_purchase,
+           ROUND(AVG(CAST(epoch_ms(t_purchase) - epoch_ms(t_view) AS DOUBLE)
+                     / 1000.0), 6)               AS avg_funnel_seconds
+    FROM staged
+    """,
+    tags=("funnel", "agg", "pivot"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click_any"),
+        first_ts("purchase").alias("t_purchase_any"),
+    )
+    t_click = F.when(
+        F.col("t_click_any") >= F.col("t_view"), F.col("t_click_any")
+    )
+    staged = per_user.select(
+        "user_id",
+        "t_view",
+        t_click.alias("t_click"),
+        F.when(
+            (F.col("t_purchase_any") >= F.col("t_view"))
+            & (F.col("t_click_any") >= F.col("t_view"))
+            & (F.col("t_purchase_any") >= F.col("t_click_any")),
+            F.col("t_purchase_any"),
+        ).alias("t_purchase"),
+    )
+    funnel_s = (
+        (F.unix_millis("t_purchase") - F.unix_millis("t_view")).cast("double")
+        / 1000.0
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("reached_view"),
+        F.count("t_click").alias("reached_click"),
+        F.count("t_purchase").alias("reached_purchase"),
+        F.round(F.avg(funnel_s), 6).alias("avg_funnel_seconds"),
+    )
