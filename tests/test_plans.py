@@ -65,3 +65,25 @@ def test_chunking_is_shuffle_free_before_final_agg(spark):
     # two for the final global aggregate (partial -> single partition)
     stats = plan_stats(_q(spark, "doc_chunking_stats"))
     assert stats["exchanges"] <= 2, stats
+
+
+def test_no_accidental_cartesian_products(spark):
+    """Global guard: no batch query plans a CartesianProduct or a
+    non-broadcast nested-loop join unless it is an intentional cross
+    join. At 100 TB an accidental Cartesian is a cluster-killer that
+    the oracle comparison cannot see (results stay correct)."""
+    from elb_log_etl_enrichment_spark.plans.queries import (
+        REGISTRY,
+        _load_extensions,
+    )
+
+    _load_extensions()
+    intentional = {"cross_join_region_priority"}
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if "streaming" in spec.tags or name in intentional:
+            continue  # building a streaming entry drains the stream
+        plan = plan_text(spec.fn(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
