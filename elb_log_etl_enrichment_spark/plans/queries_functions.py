@@ -399,3 +399,67 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("mse") * 1e6, 6).alias("max_mse_ppm"),
         F.round(F.avg("scale"), 6).alias("avg_scale"),
     )
+
+
+# --------------------------------------------------------------------------
+# Null-handling + positional-explode surface: coalesce / nullif /
+# nvl2-style branching over the parser-shaped nullable columns, and
+# posexplode with the ordinal preserved (DuckDB mirrors it with
+# UNNEST WITH ORDINALITY). All JVM-side expressions.
+# --------------------------------------------------------------------------
+@register(
+    "null_handling_battery",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                       AS n,
+           CAST(COUNT(NULLIF(value, 0.0)) AS BIGINT)      AS n_nonzero,
+           ROUND(SUM(COALESCE(NULLIF(value, 0.0), -1.0)), 2) AS coalesced_sum,
+           CAST(COUNT(CASE WHEN value IS NOT NULL AND value > 50
+                           THEN 1 END) AS BIGINT)         AS n_high
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("nulls", "functions", "agg"),
+)
+def null_handling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    nz = F.nullif(F.col("value"), F.lit(0.0))
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(nz).alias("n_nonzero"),
+        F.round(F.sum(F.coalesce(nz, F.lit(-1.0))), 2).alias("coalesced_sum"),
+        F.count_if(F.col("value").isNotNull() & (F.col("value") > 50))
+        .alias("n_high"),
+    )
+
+
+@register(
+    "posexplode_ordinal_tokens",
+    sql="""
+    SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+    FROM (
+        SELECT u.pos, t.toks[u.pos] AS tok
+        FROM (SELECT string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+              FROM documents) t,
+             UNNEST(generate_series(1, LEAST(len(t.toks), 5))) AS u(pos)
+    ) s
+    WHERE tok <> ''
+    GROUP BY pos
+    """,
+    tags=("explode", "posexplode", "functions"),
+)
+def posexplode_ordinal_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), "[^a-z0-9]+")
+    return (
+        d.select(F.posexplode(toks).alias("pos0", "tok"))
+        # DuckDB ordinality is 1-based; Spark posexplode is 0-based
+        .select((F.col("pos0") + 1).alias("pos"), "tok")
+        .filter((F.col("tok") != "") & (F.col("pos") <= 5))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("tok").alias("n_distinct"),
+        )
+    )
