@@ -133,3 +133,52 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         (7, 9, 900_000),
         (8, 9, 840_000),
     }
+
+
+def test_stateful_totals_accumulate_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: per-user totals must CARRY state across
+    micro-batches (the cross-run cache semantic). Two files delivered
+    one-per-trigger → the second batch's cum_events = both batches."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.streaming.stream import (
+        EVENTS_RAW_SCHEMA,
+        run_available_now,
+        stateful_user_totals,
+    )
+
+    base_ns = 1_700_000_000_000_000_000
+
+    def batch(offset, n):
+        return spark.createDataFrame(
+            [(offset + i, base_ns + i * 10**9, 7, "click", 2.0, "{}") for i in range(n)],
+            EVENTS_RAW_SCHEMA,
+        )
+
+    in_dir = tmp_path / "in"
+    batch(0, 3).coalesce(1).write.parquet(str(in_dir / "a"))
+    batch(100, 2).coalesce(1).write.parquet(str(in_dir / "b"))
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("recursiveFileLookup", True)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = run_available_now(
+        stateful_user_totals(stream),
+        spark,
+        name="stateful_test",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="update",
+    )
+    rows = sorted(
+        ((r.batch_events, r.cum_events, r.cum_value) for r in out.collect())
+    )
+    # one output row per micro-batch for user 7; cumulative columns
+    # must accumulate across batches in delivery order (3 then 2, or
+    # 2 then 3 depending on file listing — totals always end at 5/10.0)
+    assert len(rows) == 2
+    assert {r[0] for r in rows} == {2, 3}
+    assert max(r[1] for r in rows) == 5
+    assert max(r[2] for r in rows) == 10.0
