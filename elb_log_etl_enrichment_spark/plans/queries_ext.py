@@ -1144,3 +1144,34 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_purchase").alias("reached_purchase"),
         F.round(F.avg(funnel_s), 6).alias("avg_funnel_seconds"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable HLL sketches (Datasketches via hll_sketch_agg /
+# hll_union_agg): per-nation distinct-user sketches that UNION to the
+# global estimate — the property that lets 1000 executors count
+# distincts with fixed-size state and no second shuffle. Rows-only
+# check (DuckDB has no byte-identical HLL); the merge-consistency
+# property itself is pinned by tests/test_streaming.py's sibling in
+# test_review_fixes/test_plans-style unit tests.
+# --------------------------------------------------------------------------
+@register(
+    "hll_sketch_distinct_users",
+    sql=None,  # sketch bytes are engine-specific; driver does rows-only
+    tags=("sketch", "hll", "approx", "agg"),
+)
+def hll_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_nation = (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    merged = per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias(
+            "merged_distinct_users"
+        ),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+    return merged
