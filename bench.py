@@ -64,6 +64,10 @@ HEADLINE = [
     "dedup_survivor_stats",
     "bm25_top_docs",
     "funnel_view_click_purchase",
+    # round 2c: formerly too slow for the headline set; now included
+    # after the rarest-first prefix filter and nibble-projected simhash
+    "ngram_jaccard_near_dup",
+    "simhash_near_dup",
 ]
 
 
