@@ -1,0 +1,85 @@
+"""Empty-input totality: every core operator must return an empty,
+correctly-typed frame on empty input — never throw. At 100 TB,
+"empty" happens constantly (a partition-pruned read, a filter that
+matched nothing, a cold-start stream) and an operator that dies on it
+kills the whole job."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _empty_like(spark, sf_dir, name):
+    from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, name)
+    return df.filter(F.lit(False))
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_and_text_ops_on_empty_corpus(spark):
+    from elb_log_etl_enrichment_spark.operators.dedup import exact_dedup
+    from elb_log_etl_enrichment_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash,
+        simhash_near_dup,
+    )
+
+    d = _empty_like(spark, SF, "documents")
+    assert exact_dedup(d, ["text"], "doc_id").count() == 0
+    assert simhash(d).count() == 0
+    assert simhash_near_dup(d).count() == 0
+    assert minhash_lsh_pairs(d).count() == 0
+    assert ngram_jaccard_pairs(d).count() == 0
+
+
+def test_window_ops_on_empty_events(spark):
+    from elb_log_etl_enrichment_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+    from elb_log_etl_enrichment_spark.operators.grouped import (
+        cogroup_user_activity,
+        zscore_outliers,
+    )
+
+    e = _empty_like(spark, SF, "events")
+    o = _empty_like(spark, SF, "orders")
+    assert zscore_outliers(e).count() == 0
+    assert cogroup_user_activity(e, o).count() == 0
+    for fn in (asof_join_backward, asof_join_forward):
+        assert (
+            fn(
+                e.select("event_id", "user_id", "ts"),
+                o,
+                left_on="user_id",
+                right_on="o_custkey",
+                left_time="ts",
+                right_time="o_orderdate",
+                payload_cols=["o_orderkey"],
+            ).count()
+            == 0
+        )
+
+
+def test_graph_on_empty_edges(spark):
+    """Isolated nodes with NO edges: every node is its own cluster."""
+    from elb_log_etl_enrichment_spark.operators.graph import (
+        cluster_sizes,
+        connected_components,
+    )
+
+    nodes = spark.range(5).withColumnRenamed("id", "doc_id")
+    edges = (
+        spark.range(0)
+        .select(F.col("id").alias("doc_a"), F.col("id").alias("doc_b"))
+    )
+    labels = connected_components(
+        nodes, edges, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    sizes = {r.cluster_size for r in cluster_sizes(labels).collect()}
+    assert labels.count() == 5
+    assert sizes == {1}
