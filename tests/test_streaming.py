@@ -182,3 +182,66 @@ def test_stateful_totals_accumulate_across_microbatches(spark, tmp_path):
     assert {r[0] for r in rows} == {2, 3}
     assert max(r[1] for r in rows) == 5
     assert max(r[2] for r in rows) == 10.0
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """Late-data contract: once the watermark passes a tumbling
+    window's end and the window is EMITTED (append mode), a straggler
+    for that window is dropped — the emitted result stays final. Three
+    micro-batches: (a) fills hour-0, (b) advances the watermark so
+    hour-0 finalizes at n=2, (c) delivers an hour-0 straggler, which
+    must neither re-emit the window nor appear anywhere."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.streaming.stream import (
+        EVENTS_RAW_SCHEMA,
+        run_available_now,
+    )
+
+    h = 3600 * 10**9  # one hour in ns
+    base = 1_700_000_000_000_000_000
+
+    def write(name, rows):
+        spark.createDataFrame(rows, EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(
+            str(tmp_path / "in" / name)
+        )
+
+    # the file source orders batches by modification time — real gaps
+    # keep delivery order deterministic (same-second writes tie)
+    import time
+
+    # batch a: two events in hour-0, one in hour-5
+    write("a", [
+        (1, base + 10 * 10**9, 1, "click", 1.0, "{}"),
+        (2, base + 20 * 10**9, 1, "click", 1.0, "{}"),
+        (3, base + 5 * h, 1, "click", 1.0, "{}"),
+    ])
+    time.sleep(1.2)
+    # batch b: fresh hour-8 event; its batch runs with watermark 04:00
+    # (from batch a) → hour-0 finalizes and emits n=2
+    write("b", [(5, base + 8 * h, 1, "click", 1.0, "{}")])
+    time.sleep(1.2)
+    # batch c: hour-0 straggler — its window already emitted; dropped
+    write("c", [(4, base + 30 * 10**9, 1, "click", 1.0, "{}")])
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("recursiveFileLookup", True)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis("window.start").alias("start_ms"), "n")
+    )
+    out = run_available_now(
+        agg, spark, "late_data_test", str(tmp_path / "ckpt"), output_mode="append"
+    )
+    rows = [(r.start_ms, r.n) for r in out.collect()]
+    hour0 = 1_700_000_000_000 - (1_700_000_000_000 % 3_600_000)
+    # hour-0 emitted exactly once, with the 2 on-time events; the
+    # straggler neither re-emitted the window nor appeared as a new row
+    hour0_rows = [r for r in rows if r[0] == hour0]
+    assert hour0_rows == [(hour0, 2)], rows
