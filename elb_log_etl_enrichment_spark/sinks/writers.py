@@ -88,3 +88,22 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     readers; same predicate-pushdown / column-pruning behavior as the
     parquet sink."""
     df.write.mode(mode).orc(path)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    mode: str = "overwrite",
+    num_files: int | None = None,
+) -> None:
+    """Range-partitioned, within-file-sorted parquet — the layout that
+    makes parquet min/max row-group statistics selective: a reader's
+    range predicate on ``sort_cols`` prunes whole files (disjoint
+    ranges) and then row groups (sorted within file). At 100 TB this
+    is the difference between scanning everything and touching the few
+    files whose [min,max] overlap the predicate."""
+    parts = df.repartitionByRange(*(
+        [num_files] if num_files else []
+    ), *sort_cols)
+    parts.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)

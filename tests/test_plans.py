@@ -87,3 +87,21 @@ def test_no_accidental_cartesian_products(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Users can override Catalyst's join choice per side: broadcast,
+    shuffle-hash, and sort-merge hints each produce their operator —
+    the control knob for when statistics mislead the planner at scale."""
+    from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    cases = {
+        "broadcast": "BroadcastHashJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+        "merge": "SortMergeJoin",
+    }
+    for hint, operator in cases.items():
+        plan = plan_text(o.join(c.hint(hint), o.o_custkey == c.c_custkey))
+        assert operator in plan, (hint, operator)

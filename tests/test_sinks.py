@@ -100,3 +100,33 @@ def test_max_records_per_file_rolls_files(spark, tmp_path):
     out2 = str(tmp_path / "uncapped")
     write_parquet(df, out2)
     assert len(glob.glob(out2 + "/part-*.parquet")) == 1
+
+
+def test_sorted_parquet_layout_enables_pruning(spark, tmp_path):
+    """Range-partitioned sorted write: files hold disjoint sorted key
+    ranges, so parquet min/max stats prune files for range predicates."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from elb_log_etl_enrichment_spark.sinks.writers import write_sorted_parquet
+
+    df = spark.range(10_000).selectExpr("id", "id % 97 AS v")
+    out = str(tmp_path / "sorted")
+    write_sorted_parquet(df, out, ["id"], num_files=4)
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            col = meta.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        # sorted within file → row-group ranges are non-overlapping
+        assert all(maxs[i] < mins[i + 1] for i in range(len(mins) - 1))
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # disjoint ranges across files → file-level pruning is possible
+    assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
