@@ -68,6 +68,11 @@ HEADLINE = [
     # after the rarest-first prefix filter and nibble-projected simhash
     "ngram_jaccard_near_dup",
     "simhash_near_dup",
+    # round 3: time-series tier (hash-agg OHLC, shared-shuffle TWA,
+    # spine-bounded LOCF gapfill)
+    "ohlc_bars_events",
+    "time_weighted_avg_users",
+    "gapfill_locf_hourly",
 ]
 
 

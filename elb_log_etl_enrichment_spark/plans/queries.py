@@ -774,6 +774,7 @@ def _load_extensions() -> None:
         queries_functions,
         queries_quality,
         queries_text,
+        queries_timeseries,
         queries_tpch,
         queries_tpch2,
     )

@@ -1,0 +1,104 @@
+"""Time-series operators: semantics on a hand-built frame + the plan
+properties the 100 TB design depends on (agg-only OHLC, single
+Exchange for TWA, broadcast spine join for gapfill)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from elb_log_etl_enrichment_spark.operators.timeseries import (
+    gapfill_locf,
+    ohlc_bars,
+    time_weighted_avg,
+)
+from elb_log_etl_enrichment_spark.plans.audit import plan_stats, plan_text
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1, 0, 0, s), u, t, v)
+            for i, (s, u, t, v) in enumerate(rows)
+        ],
+        SCHEMA,
+    )
+
+
+def test_ohlc_open_close_respect_tiebreak(spark):
+    # two events share ts=0s: event_id decides open deterministically
+    e = _ev(spark, [(0, 1, "a", 5.0), (0, 1, "a", 9.0), (30, 1, "a", 7.0)])
+    row = ohlc_bars(e, "event_type", "ts", "value", 3600, "event_id").collect()[0]
+    assert (row["open"], row["high"], row["low"], row["close"], row["volume"]) == (
+        5.0,
+        9.0,
+        5.0,
+        7.0,
+        3,
+    )
+
+
+def test_twa_step_function_semantics(spark):
+    # value 10 held 10s, value 20 held 30s, last obs weightless:
+    # twa = (10*10 + 20*30) / 40 = 17.5
+    e = _ev(spark, [(0, 1, "a", 10.0), (10, 1, "a", 20.0), (40, 1, "a", 99.0)])
+    row = time_weighted_avg(e, "user_id", "ts", "value", "event_id").collect()[0]
+    assert row["twa"] == 17.5
+    assert row["total_us"] == 40_000_000
+    # single-observation key yields no row (zero duration)
+    single = _ev(spark, [(0, 2, "a", 1.0)])
+    assert time_weighted_avg(single, "user_id", "ts", "value", "event_id").count() == 0
+
+
+def test_gapfill_fills_gaps_and_keeps_leading_nulls(spark):
+    e = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 30), 1, "a", 4.0),
+            (2, dt.datetime(2024, 1, 1, 3, 0), 1, "a", 8.0),
+            (3, dt.datetime(2024, 1, 1, 2, 15), 1, "b", 6.0),
+        ],
+        SCHEMA,
+    )
+    out = gapfill_locf(e, "event_type", "ts", F.round(F.avg("value"), 6))
+    rows = {(r["series"], r["bucket_ts"].hour): r for r in out.collect()}
+    assert len(rows) == 8  # 2 series x 4-hour global spine
+    assert rows[("a", 1)]["is_gap"] and rows[("a", 1)]["filled"] == 4.0  # LOCF
+    assert rows[("a", 3)]["observed"] == 8.0 and not rows[("a", 3)]["is_gap"]
+    # series b before its first observation: gap with NULL fill
+    assert rows[("b", 0)]["is_gap"] and rows[("b", 0)]["filled"] is None
+    assert rows[("b", 3)]["filled"] == 6.0
+
+
+def test_ohlc_is_pure_aggregation_no_window_sort(spark):
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    df = REGISTRY["ohlc_bars_events"].fn(spark, "/root/testdata/sf0.001")
+    plan = plan_text(df)
+    # min_by/max_by on the decimal-packed key keep OHLC a two-phase
+    # HASH agg: no Window pass, no SortAggregate partition sort
+    assert "Window" not in plan
+    assert "HashAggregate" in plan and "SortAggregate" not in plan
+    assert plan_stats(plan)["exchanges"] == 1
+
+
+def test_twa_single_exchange(spark):
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    df = REGISTRY["time_weighted_avg_users"].fn(spark, "/root/testdata/sf0.001")
+    # the lead() window and the final agg share one hash partitioning
+    assert plan_stats(df)["exchanges"] == 1
+
+
+def test_gapfill_spine_is_broadcast(spark):
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    df = REGISTRY["gapfill_locf_hourly"].fn(spark, "/root/testdata/sf0.001")
+    stats = plan_stats(df)
+    # the series dim is explicitly broadcast into the spine cross join
+    assert stats["broadcast_joins"] >= 1
