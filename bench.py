@@ -73,6 +73,12 @@ HEADLINE = [
     "ohlc_bars_events",
     "time_weighted_avg_users",
     "gapfill_locf_hourly",
+    # round 3: curation tier (decontamination, chunk dedup, unigram LM,
+    # token-budget selection)
+    "decontamination_overlap",
+    "chunk_dedup_stats",
+    "unigram_logprob_quality",
+    "token_budget_topp",
 ]
 
 

@@ -770,6 +770,7 @@ def _load_extensions() -> None:
     """Pull in the registry modules that live in separate files (they
     self-register via @register on import)."""
     from . import (  # noqa: F401
+        queries_curation,
         queries_ext,
         queries_functions,
         queries_quality,

@@ -1,0 +1,72 @@
+"""Curation-tier semantics on hand-built corpora + the plan
+properties that matter at scale (test-set broadcast, digest-only
+shuffles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elb_log_etl_enrichment_spark.plans.audit import plan_stats
+
+
+def _q(name):
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    return REGISTRY[name].fn
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, (t, lang, src) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_chunk_dedup_counts_cross_doc_duplicates(spark, tmp_path):
+    # doc0 and doc1 share their first 8-token chunk; doc2 is unique
+    shared = "a b c d e f g h"
+    _docs(
+        spark,
+        [
+            (shared + " x1 x2 x3 x4 x5 x6 x7 x8", "en", "s"),
+            (shared + " y1 y2 y3 y4 y5 y6 y7 y8", "en", "s"),
+            ("z1 z2 z3 z4 z5 z6 z7 z8", "en", "s"),
+        ],
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = _q("chunk_dedup_stats")(spark, str(tmp_path)).collect()[0]
+    assert out["n_docs"] == 3 and out["total_chunks"] == 5
+    assert out["dup_chunks"] == 2  # the shared chunk, once per doc
+    assert out["fully_clean_docs"] == 1
+
+
+def test_token_budget_topp_integer_cut(spark, tmp_path):
+    # lang en: chars 50, 30, 20 (total 100); keep while 5*prev < 3*100:
+    # doc a (prev 0), doc b (prev 50, 250<300 keep), doc c (prev 80, drop)
+    _docs(
+        spark,
+        [("a" * 50, "en", "s"), ("b" * 30, "en", "s"), ("c" * 20, "en", "s")],
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = _q("token_budget_topp")(spark, str(tmp_path)).collect()[0]
+    assert out["kept_docs"] == 2 and out["kept_chars"] == 80
+    assert out["kept_frac"] == 0.8
+
+
+def test_unigram_logprob_uniform_corpus_is_flat(spark, tmp_path):
+    # every token equally frequent -> every doc scores exactly log2(V)
+    _docs(
+        spark,
+        [("aa bb", "en", "s"), ("cc dd", "en", "s")],
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = _q("unigram_logprob_quality")(spark, str(tmp_path)).collect()[0]
+    assert out["avg_bits"] == out["min_bits"] == out["max_bits"] == 2.0
+
+
+def test_decontamination_broadcasts_test_set(spark):
+    df = _q("decontamination_overlap")(spark, "/root/testdata/sf0.001")
+    stats = plan_stats(df)
+    assert stats["broadcast_joins"] >= 1
+    row = df.collect()[0]
+    # the synthetic corpus's tiny vocabulary guarantees real overlap
+    assert 0 < row["n_contaminated_docs"] <= row["n_train_docs"]
+    assert row["total_hits"] >= row["n_contaminated_docs"]
