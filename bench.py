@@ -79,6 +79,10 @@ HEADLINE = [
     "chunk_dedup_stats",
     "unigram_logprob_quality",
     "token_budget_topp",
+    # round 3: SCD2 islands, rolling distinct cardinality, Gopher bigram
+    "scd2_user_event_intervals",
+    "rolling_distinct_users",
+    "bigram_repetition_flags",
 ]
 
 

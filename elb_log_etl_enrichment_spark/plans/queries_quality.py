@@ -187,3 +187,68 @@ def _collision_sql() -> str:
 def winnowing_collision_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return winnowing_collision_pairs(d, min_shared=3)
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition detail: fraction of each document's tokens covered
+# by its single most frequent bigram (top-2-gram fraction; reference
+# rule "top n-gram char fraction"). Only the max COUNT travels out of
+# the per-doc aggregation, so bigram ties cannot introduce
+# nondeterminism.
+# --------------------------------------------------------------------------
+@register(
+    "bigram_repetition_flags",
+    sql="""
+    WITH tk AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, len(t) AS n_toks, unnest(
+            [concat(t[i], ' ', t[i+1]) for i in range(1, len(t))]
+        ) AS bigram
+        FROM tk WHERE len(t) >= 2
+    ),
+    bc AS (
+        SELECT doc_id, n_toks, bigram, COUNT(*) AS c
+        FROM bg GROUP BY doc_id, n_toks, bigram
+    ),
+    perdoc AS (
+        SELECT doc_id, n_toks, MAX(c) AS top_bigram_count
+        FROM bc GROUP BY doc_id, n_toks
+    )
+    SELECT (top_bigram_count * 2.0 / n_toks > 0.18) AS high_bigram_repetition,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(top_bigram_count * 2.0 / n_toks), 6) AS avg_top_bigram_frac,
+           CAST(MAX(top_bigram_count) AS BIGINT) AS max_top_bigram_count
+    FROM perdoc
+    GROUP BY 1
+    """,
+    tags=("text", "quality", "repetition", "ngram"),
+)
+def bigram_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import TOKEN_RE
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
+    base = d.select("doc_id", t.alias("t")).filter(F.size("t") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("t", i), F.element_at("t", i + 1)),
+    )
+    bc = (
+        base.select("doc_id", F.size("t").alias("n_toks"), F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "n_toks", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    perdoc = bc.groupBy("doc_id", "n_toks").agg(F.max("c").alias("top_bigram_count"))
+    frac = F.col("top_bigram_count") * 2.0 / F.col("n_toks")
+    return (
+        perdoc.select((frac > 0.18).alias("high_bigram_repetition"), frac.alias("f"),
+                      "top_bigram_count")
+        .groupBy("high_bigram_repetition")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("f"), 6).alias("avg_top_bigram_frac"),
+            F.max("top_bigram_count").cast("long").alias("max_top_bigram_count"),
+        )
+    )

@@ -153,3 +153,128 @@ def gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filled",
         "is_gap",
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 interval builder (gaps-and-islands): collapse each user's
+# consecutive runs of equal event_type into [valid_from, valid_to)
+# versions — the warehouse "slowly changing dimension" build, derived
+# from an append-only event log in two window passes over ONE
+# Exchange on user_id.
+# --------------------------------------------------------------------------
+@register(
+    "scd2_user_event_intervals",
+    sql="""
+    WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, event_type, ts, event_id,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM o
+    ),
+    iv AS (
+        SELECT user_id, run_id, event_type,
+               MIN(epoch_ms(ts)) AS valid_from_ms,
+               COUNT(*) AS n_events
+        FROM runs
+        GROUP BY user_id, run_id, event_type
+    )
+    SELECT user_id, event_type,
+           CAST(run_id AS BIGINT) AS version,
+           CAST(valid_from_ms AS BIGINT) AS valid_from_ms,
+           CAST(lead(valid_from_ms) OVER
+               (PARTITION BY user_id ORDER BY run_id) AS BIGINT) AS valid_to_ms,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM iv
+    """,
+    tags=("timeseries", "scd2", "window", "islands"),
+)
+def scd2_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encode each user's event_type history into SCD2
+    versions. All three window passes and the run aggregation hash-
+    partition on user_id, so Catalyst plans a single Exchange."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    runs = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run_id"),
+    )
+    iv = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min(F.unix_millis("ts")).alias("valid_from_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    lead_w = Window.partitionBy("user_id").orderBy("run_id")
+    return iv.select(
+        "user_id",
+        "event_type",
+        F.col("run_id").cast("long").alias("version"),
+        F.col("valid_from_ms").cast("long").alias("valid_from_ms"),
+        F.lead("valid_from_ms").over(lead_w).cast("long").alias("valid_to_ms"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling distinct-user cardinality: 1-hour trailing window per event
+# row. Spark has no count_distinct window aggregate; size(collect_set)
+# over a RANGE frame expresses it exactly (the set dedups regardless
+# of arrival order). Output is reduced to one row per event_type so
+# the result is scale-stable.
+# --------------------------------------------------------------------------
+@register(
+    "rolling_distinct_users",
+    sql="""
+    WITH r AS (
+        SELECT event_type,
+               len(list_distinct(list(user_id) OVER
+                   (PARTITION BY event_type ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)))
+                   AS rolling_users
+        FROM events
+    )
+    SELECT event_type,
+           CAST(MAX(rolling_users) AS BIGINT) AS peak_rolling_users,
+           ROUND(AVG(rolling_users), 6)       AS avg_rolling_users,
+           CAST(COUNT(*) AS BIGINT)           AS n_events
+    FROM r
+    GROUP BY event_type
+    """,
+    tags=("timeseries", "window", "distinct", "rolling"),
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour distinct users at every event, reduced per
+    event_type. The RANGE frame keys on integer epoch MICROSECONDS
+    (truncating to seconds would shift frame boundaries relative to
+    the oracle's fractional epochs); collect_set keeps the frame's
+    state bounded by the window span."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    r = e.select(
+        "event_type",
+        F.size(F.collect_set("user_id").over(w)).alias("rolling_users"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("rolling_users").cast("long").alias("peak_rolling_users"),
+        F.round(F.avg("rolling_users"), 6).alias("avg_rolling_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -102,3 +102,55 @@ def test_gapfill_spine_is_broadcast(spark):
     stats = plan_stats(df)
     # the series dim is explicitly broadcast into the spine cross join
     assert stats["broadcast_joins"] >= 1
+
+
+def test_scd2_collapses_runs_and_chains_validity(spark, tmp_path):
+    import pandas as pd
+
+    rows = [
+        (0, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+        (1, "2024-01-01 00:01:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 00:02:00", 1, "click", 0.0, "{}"),
+        (3, "2024-01-01 00:03:00", 1, "view", 0.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).assign(ts=lambda d: pd.to_datetime(d["ts"])).to_parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    out = sorted(
+        REGISTRY["scd2_user_event_intervals"].fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r["version"],
+    )
+    assert [r["event_type"] for r in out] == ["view", "click", "view"]
+    assert out[0]["n_events"] == 2  # consecutive equal types collapse
+    # each version closes exactly when the next opens; last stays open
+    assert out[0]["valid_to_ms"] == out[1]["valid_from_ms"]
+    assert out[1]["valid_to_ms"] == out[2]["valid_from_ms"]
+    assert out[2]["valid_to_ms"] is None
+
+
+def test_rolling_distinct_users_window_is_inclusive(spark, tmp_path):
+    import pandas as pd
+
+    # u1 at t0, u2 at t0+3600s (inside the inclusive 1h frame),
+    # u3 at t0+3601s (u1 now outside)
+    rows = [
+        (0, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+        (1, "2024-01-01 01:00:00", 2, "view", 0.0, "{}"),
+        (2, "2024-01-01 01:00:01", 3, "view", 0.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).assign(ts=lambda d: pd.to_datetime(d["ts"])).to_parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    out = REGISTRY["rolling_distinct_users"].fn(spark, str(tmp_path)).collect()[0]
+    # rolling counts per event: 1, 2, 2 -> peak 2
+    assert out["peak_rolling_users"] == 2 and out["n_events"] == 3
