@@ -83,6 +83,8 @@ HEADLINE = [
     "scd2_user_event_intervals",
     "rolling_distinct_users",
     "bigram_repetition_flags",
+    # round 3: iterative graph analytics on an aggregate-compressed graph
+    "nation_trade_pagerank",
 ]
 
 

@@ -100,3 +100,65 @@ def cluster_sizes(labels: DataFrame) -> DataFrame:
     return labels.groupBy(F.col("label").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """Weighted PageRank by power iteration (no dangling-mass
+    redistribution — nodes without out-edges leak their mass, the same
+    simplification GraphX's staticPageRank makes).
+
+    Returns (name, rank). Transition probabilities are out-weight
+    normalized once up front; each iteration is one join + one
+    aggregation on the (node, edge) frames. Designed for the
+    aggregate-compressed graph pattern: the expensive part of a
+    100 TB job is the edge aggregation BEFORE this function — by the
+    time power iteration starts, the graph is dimension-sized, the
+    edge frame is broadcast, and each round's shuffle carries one row
+    per node.
+
+    Determinism: the teleport and damping terms are evaluated with the
+    same literal arithmetic an oracle SQL would use (0.15/n as a
+    float division, not a Python-precomputed constant), so a replica
+    engine reproduces ranks to FP round-off.
+    """
+    out_w = edges.groupBy(src).agg(F.sum(weight).alias("_tot"))
+    norm = (
+        edges.join(out_w, src)
+        .select(
+            F.col(src).alias("_src"),
+            F.col(dst).alias("_dst"),
+            (F.col(weight) / F.col("_tot")).alias("_p"),
+        )
+        .persist()
+    )
+    nodes = (
+        norm.select(F.col("_src").alias("name"))
+        .union(norm.select(F.col("_dst").alias("name")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    n_lit = F.lit(float(n))
+    ranks = nodes.select("name", (F.lit(1.0) / n_lit).alias("rank"))
+    bnorm = F.broadcast(norm)
+    for _ in range(iters):
+        contrib = (
+            ranks.join(bnorm, ranks["name"] == bnorm["_src"])
+            .groupBy(F.col("_dst").alias("name"))
+            .agg(F.sum(F.col("rank") * F.col("_p")).alias("_inc"))
+        )
+        ranks = nodes.join(contrib, "name", "left").select(
+            "name",
+            (
+                F.lit(1.0 - damping) / n_lit
+                + F.lit(damping) * F.coalesce(F.col("_inc"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks

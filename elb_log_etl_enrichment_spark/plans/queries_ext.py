@@ -1175,3 +1175,144 @@ def hll_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nations"),
     )
     return merged
+
+
+# --------------------------------------------------------------------------
+# Streaming OHLC bars — the batch decimal-key min_by/max_by trick
+# lifted onto a tumbling window; with Trigger.AvailableNow draining
+# everything, the result must equal the batch bars exactly (Spark
+# tumbling windows align to the epoch, same as floor(epoch/21600)).
+# --------------------------------------------------------------------------
+@register(
+    "streaming_ohlc_bars",
+    sql="""
+    WITH b AS (
+        SELECT event_type AS series,
+               CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) * 1000
+                   AS bucket_start_ms,
+               value, ts, event_id
+        FROM events
+    ),
+    w AS (
+        SELECT series, bucket_start_ms, value,
+               first_value(value) OVER
+                   (PARTITION BY series, bucket_start_ms
+                    ORDER BY ts, event_id) AS open_v,
+               last_value(value) OVER
+                   (PARTITION BY series, bucket_start_ms
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) AS close_v
+        FROM b
+    )
+    SELECT series, bucket_start_ms,
+           ROUND(MIN(open_v), 6)  AS open,
+           ROUND(MAX(value), 6)   AS high,
+           ROUND(MIN(value), 6)   AS low,
+           ROUND(MIN(close_v), 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM w
+    GROUP BY series, bucket_start_ms
+    """,
+    tags=("streaming", "tumbling_window", "ohlc"),
+)
+def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream import ohlc_stream, read_events_stream, run_available_now
+
+    events = read_events_stream(spark, sf_dir)
+    bars = ohlc_stream(events)
+    ckpt = _fresh_checkpoint("ohlc")
+    result = run_available_now(bars, spark, "mem_stream_ohlc", ckpt)
+    return result.select(
+        "series",
+        F.unix_millis("bucket_start").alias("bucket_start_ms"),
+        "open",
+        "high",
+        "low",
+        "close",
+        F.col("volume").cast("long").alias("volume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted PageRank over the customer-nation -> supplier-nation trade
+# graph. The 100 TB-heavy part is the 6-way join + edge aggregation
+# (same shape as nation_pair_volume / TPC-H Q7); the power iteration
+# then runs on a dimension-sized graph with a broadcast edge frame.
+# The oracle UNROLLS the 10 iterations into chained CTEs (recursive
+# CTEs can't aggregate in the recursive term), with every float
+# literal emitted at full precision so both engines run identical
+# IEEE arithmetic.
+# --------------------------------------------------------------------------
+def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
+    teleport = repr(1.0 - damping)
+    parts = [
+        """edges AS (
+        SELECT n1.n_name AS src, n2.n_name AS dst,
+               SUM(l_extendedprice * (1 - l_discount)) AS w
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN supplier ON l_suppkey  = s_suppkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        GROUP BY 1, 2
+    )""",
+        "out_w AS (SELECT src, SUM(w) AS tot FROM edges GROUP BY src)",
+        """norm AS (
+        SELECT edges.src, edges.dst, edges.w / out_w.tot AS p
+        FROM edges JOIN out_w ON edges.src = out_w.src
+    )""",
+        """nodes AS (
+        SELECT src AS name FROM norm UNION SELECT dst FROM norm
+    )""",
+        "nn AS (SELECT COUNT(*) AS cnt FROM nodes)",
+        "pr0 AS (SELECT name, 1.0 / CAST(cnt AS DOUBLE) AS rank FROM nodes, nn)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""pr{k} AS (
+        SELECT n.name,
+               CAST('{teleport}' AS DOUBLE) / CAST(nn.cnt AS DOUBLE)
+                 + {damping!r} * COALESCE(s.inc, 0.0) AS rank
+        FROM nodes n CROSS JOIN nn
+        LEFT JOIN (
+            SELECT norm.dst AS name, SUM(pr{k - 1}.rank * norm.p) AS inc
+            FROM pr{k - 1} JOIN norm ON pr{k - 1}.name = norm.src
+            GROUP BY norm.dst
+        ) s ON n.name = s.name
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT name AS nation, ROUND(rank, 6) AS rank FROM pr{iters}"
+    )
+
+
+@register(
+    "nation_trade_pagerank",
+    sql=_pagerank_sql(),
+    tags=("graph", "pagerank", "iterative", "join", "agg"),
+)
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("src"))
+    n2 = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("dst"))
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("ck"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sk"))
+        .groupBy("src", "dst")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("w"))
+    )
+    ranks = pagerank(edges, damping=0.85, iters=10)
+    return ranks.select(F.col("name").alias("nation"), F.round("rank", 6).alias("rank"))

@@ -314,3 +314,44 @@ def static_enriched_stream(
     return events.join(
         F.broadcast(dim), F.col(on_left) == F.col(on_right), "inner"
     )
+
+
+def ohlc_stream(
+    events: DataFrame,
+    bucket: str = "6 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming OHLC bars: tumbling-window open/high/low/close per
+    event_type (operators/timeseries.ohlc_bars lifted onto the stream).
+
+    The open/close ordering key is the same decimal(38,0)-packed
+    (epoch_us, event_id) used in batch — min_by/max_by keep the
+    streaming state one fixed-width row per (series, window), and the
+    watermark bounds how many windows stay open.
+    """
+    okey = (
+        F.unix_micros(F.col("ts")).cast("decimal(38,0)")
+        * F.lit("1000000000000000000").cast("decimal(38,0)")
+        + F.col("event_id").cast("decimal(38,0)")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("ok", okey)
+        .groupBy(F.window("ts", bucket), F.col("event_type").alias("series"))
+        .agg(
+            F.round(F.min_by("value", F.col("ok")), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", F.col("ok")), 6).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            "series",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )

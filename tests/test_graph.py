@@ -69,3 +69,37 @@ def test_cogroup_bucket_count_invariance(spark):
     r1, r7, r64 = snap(1), snap(7), snap(64)
     assert r1 == r7 == r64
     assert len(r1) > 0
+
+
+def test_pagerank_two_node_cycle_is_uniform(spark):
+    from elb_log_etl_enrichment_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0)], "src string, dst string, w double"
+    )
+    ranks = {r["name"]: r["rank"] for r in pagerank(edges, iters=5).collect()}
+    assert abs(ranks["a"] - 0.5) < 1e-12 and abs(ranks["b"] - 0.5) < 1e-12
+
+
+def test_pagerank_dangling_node_leaks_mass(spark):
+    from elb_log_etl_enrichment_spark.operators.graph import pagerank
+
+    # a -> b, b dangling: a keeps only teleport mass, b gets
+    # teleport + damped a (fixed point: a=0.075, b=0.13875)
+    edges = spark.createDataFrame([("a", "b", 2.0)], "src string, dst string, w double")
+    ranks = {r["name"]: r["rank"] for r in pagerank(edges, iters=10).collect()}
+    assert abs(ranks["a"] - 0.075) < 1e-12
+    assert abs(ranks["b"] - 0.13875) < 1e-12
+
+
+def test_pagerank_weights_split_contributions(spark):
+    from elb_log_etl_enrichment_spark.operators.graph import pagerank
+
+    # a sends 3/4 of its mass to b, 1/4 to c; b,c feed back to a
+    edges = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    ranks = {r["name"]: r["rank"] for r in pagerank(edges, iters=10).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # no dangling: mass conserved
+    assert ranks["b"] > ranks["c"]  # 3x the incoming weight share
