@@ -46,13 +46,20 @@ MINHASH_B = [(214013 * (s + 1) + 2531011) % MINHASH_P for s in range(MINHASH_SEE
 assert all(a != 0 for a in MINHASH_A)
 
 
-def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Distinct word n-gram (n=3) shingle set per document; documents
-    with fewer than n tokens are excluded (no shingles exist)."""
+    with fewer than n tokens are excluded (no shingles exist).
+    ``keep_cols`` are carried through unchanged (so callers splitting
+    the output don't need a second tokenize pass over the corpus)."""
     toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
-    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
-        F.size("toks") >= NGRAM_N
-    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), *keep_cols, toks.alias("toks")
+    ).filter(F.size("toks") >= NGRAM_N)
     t = F.col("toks")
     # 1-based element_at over a 1-based index sequence
     sh = F.transform(
@@ -64,7 +71,7 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
             F.element_at(t, i + 2),
         ),
     )
-    return base.select("doc_id", F.array_distinct(sh).alias("sh"))
+    return base.select("doc_id", *keep_cols, F.array_distinct(sh).alias("sh"))
 
 
 def _jaccard(a, b):

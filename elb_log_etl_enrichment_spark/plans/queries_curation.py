@@ -60,11 +60,13 @@ _SPLIT_SH_CTE = r"""
     sql=f"""
     WITH {_SPLIT_SH_CTE},
     test_sg AS (
-        SELECT DISTINCT md5(sg) AS digest
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(sg), 1, 15))::UBIGINT AS BIGINT) AS digest
         FROM (SELECT unnest(s) AS sg FROM sh WHERE is_test)
     ),
     train_ex AS (
-        SELECT doc_id, md5(sg) AS digest
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(sg), 1, 15))::UBIGINT AS BIGINT) AS digest
         FROM (SELECT doc_id, unnest(s) AS sg FROM sh WHERE NOT is_test)
     ),
     hits AS (
@@ -82,20 +84,29 @@ _SPLIT_SH_CTE = r"""
     tags=("curation", "decontamination", "ngram", "join"),
 )
 def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train-vs-test 3-gram contamination. The test digest set is
-    broadcast (benchmark splits are small by construction); train
-    documents shuffle only (doc_id, digest) pairs."""
+    """Train-vs-test 3-gram contamination. ONE tokenize/shingle pass
+    over the corpus (the is_test flag rides along and splits the
+    output — a second shingles() call would re-scan every document);
+    digests are 60-bit ints from the md5 prefix, so the broadcast set
+    and the probe side carry 8-byte keys, not 32-char strings. The
+    test digest set is broadcast (benchmark splits are small by
+    construction); train documents shuffle only (doc_id, digest)."""
     d = _t(spark, sf_dir, "documents")
     is_test = F.substring(F.md5("text"), 1, 1) > "c"
-    sh_test = shingles(d.filter(is_test))
-    sh_train = shingles(d.filter(~is_test))
+    sh_all = shingles(d.withColumn("is_test", is_test), keep_cols=("is_test",)).persist()
+
+    def _digest(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
     test_sg = (
-        sh_test.select(F.explode("sh").alias("sg"))
-        .select(F.md5("sg").alias("digest"))
+        sh_all.filter("is_test")
+        .select(F.explode("sh").alias("sg"))
+        .select(_digest(F.col("sg")).alias("digest"))
         .distinct()
     )
-    train_ex = sh_train.select(
-        "doc_id", F.explode(F.transform("sh", F.md5)).alias("digest")
+    train = sh_all.filter(~F.col("is_test"))
+    train_ex = train.select(
+        "doc_id", F.explode(F.transform("sh", _digest)).alias("digest")
     )
     hits = (
         train_ex.join(F.broadcast(test_sg), "digest")
@@ -107,7 +118,7 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("total_hits"),
         F.coalesce(F.max("c"), F.lit(0)).cast("long").alias("max_hits_per_doc"),
     )
-    n_train = sh_train.agg(F.count(F.lit(1)).alias("n_train_docs"))
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train_docs"))
     return n_train.crossJoin(summary).select(
         "n_train_docs", "n_contaminated_docs", "total_hits", "max_hits_per_doc"
     )
@@ -125,7 +136,9 @@ _CHUNK_T = 8  # tokens per dedup chunk
     ),
     ch AS (
         SELECT doc_id, source,
-               [md5(array_to_string(t[k*{_CHUNK_T}+1 : k*{_CHUNK_T}+{_CHUNK_T}], ' '))
+               [CAST(('0x' || substr(md5(array_to_string(
+                    t[k*{_CHUNK_T}+1 : k*{_CHUNK_T}+{_CHUNK_T}], ' ')), 1, 15))::UBIGINT
+                     AS BIGINT)
                 for k in range(0, CAST(floor(len(t) / {_CHUNK_T}) AS INT))] AS cs
         FROM tk
         WHERE len(t) >= {_CHUNK_T}
@@ -152,19 +165,28 @@ _CHUNK_T = 8  # tokens per dedup chunk
     tags=("curation", "dedup", "chunk", "agg"),
 )
 def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide duplicate-chunk accounting. Chunks hash to 32-char
-    digests before any shuffle; the frequency table joins back on the
-    digest (chunk-vocabulary sized, not corpus sized)."""
+    """Corpus-wide duplicate-chunk accounting. Chunks hash to 60-bit
+    integer digests (md5-prefix, identical in both engines) before any
+    shuffle, so both the explode shuffle and the frequency join carry
+    8-byte keys instead of 32-char strings; the frequency table joins
+    back on the digest (chunk-vocabulary sized, not corpus sized)."""
     d = _t(spark, sf_dir, "documents")
     t = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
     chunks = F.transform(
         F.sequence(F.lit(0), F.floor(F.size("t") / _CHUNK_T).cast("int") - 1),
-        lambda k: F.md5(F.concat_ws(" ", F.slice("t", k * _CHUNK_T + 1, _CHUNK_T))),
+        lambda k: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice("t", k * _CHUNK_T + 1, _CHUNK_T))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
     )
     e = (
         d.select("doc_id", "source", t.alias("t"))
         .filter(F.size("t") >= _CHUNK_T)
         .select("doc_id", "source", F.explode(chunks).alias("digest"))
+        .persist()  # feeds the frequency agg AND the join-back probe
     )
     freq = e.groupBy("digest").agg(F.count(F.lit(1)).alias("c"))
     perdoc = (

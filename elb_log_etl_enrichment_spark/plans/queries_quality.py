@@ -226,6 +226,11 @@ def winnowing_collision_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "repetition", "ngram"),
 )
 def bigram_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc top-bigram count is a run-length maximum over the
+    SORTED bigram array — a narrow array-HOF computation, so the only
+    shuffle in the whole query is the final 2-group flag aggregation.
+    (The oracle keeps the equivalent explode + GROUP BY formulation:
+    max run in a sorted list == max bigram multiplicity.)"""
     from ..functions.text import TOKEN_RE
 
     d = _t(spark, sf_dir, "documents")
@@ -235,16 +240,31 @@ def bigram_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size("t") - 1),
         lambda i: F.concat_ws(" ", F.element_at("t", i), F.element_at("t", i + 1)),
     )
-    bc = (
-        base.select("doc_id", F.size("t").alias("n_toks"), F.explode(bigrams).alias("bigram"))
-        .groupBy("doc_id", "n_toks", "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
+
+    def _step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        _step,
+        lambda acc: acc["best"],
     )
-    perdoc = bc.groupBy("doc_id", "n_toks").agg(F.max("c").alias("top_bigram_count"))
+    perdoc = base.select(
+        F.size("t").alias("n_toks"), top.alias("top_bigram_count")
+    )
     frac = F.col("top_bigram_count") * 2.0 / F.col("n_toks")
     return (
-        perdoc.select((frac > 0.18).alias("high_bigram_repetition"), frac.alias("f"),
-                      "top_bigram_count")
+        perdoc.select(
+            (frac > 0.18).alias("high_bigram_repetition"),
+            frac.alias("f"),
+            "top_bigram_count",
+        )
         .groupBy("high_bigram_repetition")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -103,3 +103,20 @@ def test_pagerank_weights_split_contributions(spark):
     ranks = {r["name"]: r["rank"] for r in pagerank(edges, iters=10).collect()}
     assert abs(sum(ranks.values()) - 1.0) < 1e-9  # no dangling: mass conserved
     assert ranks["b"] > ranks["c"]  # 3x the incoming weight share
+
+
+def test_pagerank_distributed_path_matches_local(spark):
+    from elb_log_etl_enrichment_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    local = {r["name"]: r["rank"] for r in pagerank(edges, iters=6).collect()}
+    dist = {
+        r["name"]: r["rank"]
+        for r in pagerank(edges, iters=6, small_graph_threshold=0).collect()
+    }
+    assert set(local) == set(dist)
+    for k in local:
+        assert abs(local[k] - dist[k]) < 1e-12
