@@ -85,6 +85,9 @@ HEADLINE = [
     "bigram_repetition_flags",
     # round 3: iterative graph analytics on an aggregate-compressed graph
     "nation_trade_pagerank",
+    # round 3: product analytics (cohorts, sequence modeling)
+    "cohort_retention_matrix",
+    "event_transition_matrix",
 ]
 
 

@@ -278,3 +278,129 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("rolling_users"), 6).alias("avg_rolling_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention matrix: users grouped by first-seen week, tracked
+# by weeks-since-cohort activity. Two shuffles total — the per-user
+# first-seen reduction and the (cohort, offset) matrix agg; the
+# per-user cohort frame re-joins the event stream on user_id. Weeks
+# are epoch-aligned 7-day buckets (no calendar dependency, identical
+# in any engine).
+# --------------------------------------------------------------------------
+@register(
+    "cohort_retention_matrix",
+    sql="""
+    WITH wk AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS week
+        FROM events
+    ),
+    first_seen AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
+    ),
+    cohort_size AS (
+        SELECT cohort_week, COUNT(*) AS n_users
+        FROM first_seen GROUP BY cohort_week
+    ),
+    active AS (
+        SELECT DISTINCT f.cohort_week, wk.week - f.cohort_week AS week_offset,
+               wk.user_id
+        FROM wk JOIN first_seen f USING (user_id)
+    )
+    SELECT a.cohort_week,
+           a.week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(MIN(cs.n_users) AS BIGINT) AS cohort_users,
+           ROUND(COUNT(*) * 1.0 / MIN(cs.n_users), 6) AS retention
+    FROM active a JOIN cohort_size cs USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_offset
+    """,
+    tags=("timeseries", "cohort", "retention", "agg", "join"),
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    wk = e.select(
+        "user_id", F.floor(F.unix_timestamp("ts") / 604800).alias("week")
+    )
+    # cohort_week via a window MIN reuses the user_id partitioning the
+    # distinct below needs anyway — no separate first-seen join
+    w = Window.partitionBy("user_id")
+    active = (
+        wk.select(
+            "user_id", "week", F.min("week").over(w).alias("cohort_week")
+        )
+        .select(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    cohort_size = (
+        active.filter(F.col("week_offset") == 0)
+        .groupBy("cohort_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return (
+        active.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .join(F.broadcast(cohort_size), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("active_users").cast("long").alias("active_users"),
+            F.col("n_users").cast("long").alias("cohort_users"),
+            F.round(F.col("active_users") * 1.0 / F.col("n_users"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# First-order Markov transition matrix over each user's event-type
+# sequence: P(next_type | type), row-normalized from lead() pairs.
+# One Exchange on user_id for the sequence, then a vocabulary-sized
+# (5x5) aggregation — the transition table of a 100 TB event log fits
+# in a broadcast variable by construction.
+# --------------------------------------------------------------------------
+@register(
+    "event_transition_matrix",
+    sql="""
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    counts AS (
+        SELECT from_type, to_type, COUNT(*) AS c
+        FROM pairs WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type,
+           CAST(c AS BIGINT) AS transitions,
+           ROUND(c * 1.0 / SUM(c) OVER (PARTITION BY from_type), 6) AS p
+    FROM counts
+    """,
+    tags=("timeseries", "markov", "window", "agg"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("c"))
+    row_w = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("c").cast("long").alias("transitions"),
+        F.round(F.col("c") * 1.0 / F.sum("c").over(row_w), 6).alias("p"),
+    )

@@ -9,6 +9,7 @@ plus flat parquet and headered CSV for reports.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 #: reference partition layout (elb_logs.py:346)
 CLEANED_PARTITIONS = ["request_year", "request_month", "request_day", "countryCode"]
@@ -107,3 +108,67 @@ def write_sorted_parquet(
         [num_files] if num_files else []
     ), *sort_cols)
     parts.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def _morton_interleave(a, b, bits: int = 16):
+    """Bit-interleave two non-negative int columns into one z-value
+    (JVM-side shift/mask expression tree, no UDF)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(bit_a, 2 * i)).bitwiseOR(
+            F.shiftleft(bit_b, 2 * i + 1)
+        )
+    return z
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    mode: str = "overwrite",
+    num_files: int | None = None,
+    bits: int = 8,
+) -> None:
+    """Z-order (Morton-curve) clustered parquet over TWO columns.
+
+    ``write_sorted_parquet`` makes ONE column's min/max statistics
+    selective; interleaving the quantile-bucket RANKS of two columns
+    makes BOTH selective at once — each file covers a small square in
+    rank space, so a range predicate on either column prunes most
+    files. Quantile buckets (not raw values) keep the curve balanced
+    under skewed distributions.
+
+    Scale shape: bucket boundaries come from ONE ``percentile_approx``
+    aggregate (mergeable sketch, map-side combined) collected to the
+    driver and re-embedded as literals — no global sort, no window;
+    the bucketize step is a narrow expression, and the only shuffle is
+    the final range partition on the z-value.
+    """
+    n_buckets = 1 << bits
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.select(
+        F.percentile_approx(F.col(col_a).cast("double"), qs, 10_000).alias("ca"),
+        F.percentile_approx(F.col(col_b).cast("double"), qs, 10_000).alias("cb"),
+    ).collect()[0]
+
+    def bucketize(col, boundaries):
+        arr = F.array(*[F.lit(float(b)) for b in boundaries])
+        # sorted boundaries: rank = how many cut points lie at/below x
+        return F.size(F.filter(arr, lambda b: b <= col))
+
+    ranked = df.withColumn(
+        "_ra", bucketize(F.col(col_a).cast("double"), cuts["ca"])
+    ).withColumn("_rb", bucketize(F.col(col_b).cast("double"), cuts["cb"]))
+    z = _morton_interleave(F.col("_ra"), F.col("_rb"), bits)
+    parts = ranked.withColumn("_z", z).repartitionByRange(
+        *([num_files] if num_files else []), "_z"
+    )
+    (
+        parts.sortWithinPartitions("_z")
+        .drop("_ra", "_rb", "_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -130,3 +130,51 @@ def test_sorted_parquet_layout_enables_pruning(spark, tmp_path):
     ranges.sort()
     # disjoint ranges across files → file-level pruning is possible
     assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
+
+
+def test_zorder_layout_bounds_both_columns(spark, tmp_path):
+    """Z-order clustering: every file covers a small rectangle in
+    (a, b) space, so min/max file stats prune on EITHER column — the
+    property a single-column sort cannot give."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from elb_log_etl_enrichment_spark.sinks.writers import write_zorder_parquet
+
+    # two independent uniform dimensions (decorrelated via multiplic-
+    # ative hashing) — single-column sorts leave the other unbounded
+    df = spark.range(40_000).selectExpr(
+        "id % 200 AS a", "CAST((id * 2654435761) % 200 AS LONG) AS b"
+    )
+    out = str(tmp_path / "zorder")
+    n_files = 16
+    write_zorder_parquet(df, out, "a", "b", num_files=n_files)
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == n_files
+
+    spans_a, spans_b = [], []
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+        stats = {}
+        for name in ("a", "b"):
+            i = names.index(name)
+            mins = [meta.row_group(rg).column(i).statistics.min for rg in range(meta.num_row_groups)]
+            maxs = [meta.row_group(rg).column(i).statistics.max for rg in range(meta.num_row_groups)]
+            stats[name] = (min(mins), max(maxs))
+        spans_a.append(stats["a"][1] - stats["a"][0])
+        spans_b.append(stats["b"][1] - stats["b"][0])
+
+    # with 16 files a perfect z-curve gives ~quarter-range spans per
+    # file on each dimension; a single-column sort gives full range
+    # (~199) on the other column. Assert both dimensions are bounded.
+    assert sum(spans_a) / len(spans_a) < 120
+    assert sum(spans_b) / len(spans_b) < 120
+
+    # and the data survives the round trip intact
+    back = spark.read.parquet(out)
+    assert back.count() == 40_000
+    assert back.selectExpr("sum(a)", "sum(b)").collect() == df.selectExpr(
+        "sum(a)", "sum(b)"
+    ).collect()
