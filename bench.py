@@ -88,6 +88,9 @@ HEADLINE = [
     # round 3: product analytics (cohorts, sequence modeling)
     "cohort_retention_matrix",
     "event_transition_matrix",
+    # round 3: fuzzy entity resolution + VARIANT ingestion
+    "fuzzy_name_match_stats",
+    "variant_props_stats",
 ]
 
 

@@ -463,3 +463,94 @@ def posexplode_ordinal_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("tok").alias("n_distinct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy entity-resolution join: near-duplicate part names by edit
+# distance with first-token blocking. The self-join shuffles on the
+# block key only; candidate volume is quadratic PER BLOCK, so the
+# block key's frequency distribution is the thing to watch at scale —
+# a skewed block either gets salted (operators/skew.py) or split by a
+# second key (length band). levenshtein() evaluates JVM-side inside
+# the join filter, after the cheap key/inequality predicates.
+# --------------------------------------------------------------------------
+@register(
+    "fuzzy_name_match_stats",
+    sql="""
+    WITH p AS (
+        SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS w1
+        FROM part
+    ),
+    pairs AS (
+        SELECT a.w1, levenshtein(a.p_name, b.p_name) AS d
+        FROM p a JOIN p b
+          ON a.w1 = b.w1 AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+    )
+    SELECT w1 AS block,
+           CAST(COUNT(*) AS BIGINT) AS n_near_pairs,
+           ROUND(AVG(d), 6)         AS avg_distance,
+           CAST(MIN(d) AS BIGINT)   AS min_distance
+    FROM pairs
+    GROUP BY w1
+    """,
+    tags=("join", "fuzzy", "levenshtein", "blocking"),
+)
+def fuzzy_name_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.split("p_name", " ").getItem(0).alias("w1")
+    )
+    a = p.select(
+        F.col("w1"), F.col("p_partkey").alias("ka"), F.col("p_name").alias("na")
+    )
+    b = p.select(
+        F.col("w1"), F.col("p_partkey").alias("kb"), F.col("p_name").alias("nb")
+    )
+    d = F.levenshtein("na", "nb")
+    pairs = (
+        a.join(b, "w1")
+        .filter((F.col("ka") < F.col("kb")) & d.between(1, 3))
+        .select("w1", d.alias("d"))
+    )
+    return pairs.groupBy(F.col("w1").alias("block")).agg(
+        F.count(F.lit(1)).alias("n_near_pairs"),
+        F.round(F.avg("d"), 6).alias("avg_distance"),
+        F.min("d").cast("long").alias("min_distance"),
+    )
+
+
+# --------------------------------------------------------------------------
+# VARIANT ingestion (Spark 4 semi-structured type): parse the props
+# JSON once into a variant, extract typed fields with variant_get.
+# Unlike from_json there is no up-front schema — the binary variant
+# encoding keeps extraction O(field) instead of re-parsing text per
+# access, the right shape for schema-on-read event payloads.
+# --------------------------------------------------------------------------
+@register(
+    "variant_props_stats",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           ROUND(AVG(CAST(props ->> '$.k' AS BIGINT)), 6) AS avg_k,
+           CAST(COUNT(*) FILTER (WHERE CAST(props ->> '$.k' AS BIGINT) > 50)
+                AS BIGINT) AS n_high
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("functions", "variant", "json", "agg"),
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.count_if(F.col("k") > 50).cast("long").alias("n_high"),
+        )
+    )

@@ -105,3 +105,17 @@ def test_join_strategy_hints_are_honored(spark):
     for hint, operator in cases.items():
         plan = plan_text(o.join(c.hint(hint), o.o_custkey == c.c_custkey))
         assert operator in plan, (hint, operator)
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_sink(spark, tmp_path):
+    """A join against a filtered dim must push a runtime (dynamic)
+    partition filter into the partitioned-parquet scan — at 100 TB
+    this skips whole partition directories the static planner can't."""
+    fact = spark.range(10_000).selectExpr("id", "id % 20 AS k", "id * 2 AS v")
+    path = str(tmp_path / "fact")
+    fact.write.partitionBy("k").parquet(path)
+    dim = spark.range(20).selectExpr("id AS k", "id % 7 AS attr")
+    back = spark.read.parquet(path)
+    joined = back.join(dim.filter("attr = 3"), "k").groupBy("k").count()
+    plan = plan_text(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
