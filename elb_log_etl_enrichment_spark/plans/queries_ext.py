@@ -1334,3 +1334,37 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, damping=0.85, iters=10)
     return ranks.select(F.col("name").alias("nation"), F.round("rank", 6).alias("rank"))
+
+
+# --------------------------------------------------------------------------
+# Python Data Source (Spark 4) — synthetic ALB lines through the real
+# parser. No oracle: the corpus is generated by the source itself
+# (deterministic splitmix64), not derived from the parquet tables;
+# the driver's rows-only check pins that the source schedules,
+# parses, and aggregates end-to-end.
+# --------------------------------------------------------------------------
+@register(
+    "synthetic_source_status_counts",
+    sql=None,
+    tags=("source", "python_datasource", "parse"),
+)
+def synthetic_source_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.elb_logs import categorize_status, parse_elb_lines
+    from ..sources.synthetic_elb import register as register_source
+
+    register_source(spark)
+    raw = (
+        spark.read.format("elb_synthetic")
+        .option("partitions", 4)
+        .option("rows_per_partition", 500)
+        .option("seed", 42)
+        .load()
+    )
+    parsed = parse_elb_lines(raw).withColumn(
+        "status_category", categorize_status(F.col("elb_status_code"))
+    )
+    return (
+        parsed.groupBy("status_category")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status_category")
+    )

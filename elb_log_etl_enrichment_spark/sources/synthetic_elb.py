@@ -1,0 +1,123 @@
+"""Python Data Source (Spark 4 API): deterministic synthetic ALB log
+generator.
+
+Demonstrates the engine's source-extensibility path: a pure-Python
+``DataSource`` that Spark schedules like any other scan — one task per
+``InputPartition``, rows streamed through Arrow — whose output feeds
+the standard parser (``sources/elb_logs.parse_elb_lines``) unchanged.
+Use cases: load/soak testing the pipeline at arbitrary scale without
+S3, and fixture generation for parser fuzzing.
+
+Determinism: every field derives from a splitmix-style integer hash of
+(seed, partition, row), so the same options always produce the same
+corpus — partition-parallel yet reproducible, the property the
+driver's exactly-once tests rely on.
+
+Reference parity: line format mirrors the 29+-field ALB access-log
+layout the reference parses (elb_logs.py:44-53); field variation
+covers the branches its parser exercises (status classes, '-'
+sentinels, bot UAs, quoted request).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+try:  # pyspark >= 4.0
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    _HAS_PYDS = True
+except ImportError:  # pragma: no cover - pyspark 3.x fallback
+    DataSource = object  # type: ignore[assignment,misc]
+    DataSourceReader = object  # type: ignore[assignment,misc]
+    InputPartition = object  # type: ignore[assignment,misc]
+    _HAS_PYDS = False
+
+_MASK = (1 << 64) - 1
+
+
+def _mix(x: int) -> int:
+    """splitmix64 finalizer — a bijective avalanche over 64 bits."""
+    x = (x + 0x9E3779B97F4A7C15) & _MASK
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK
+    return x ^ (x >> 31)
+
+
+_UAS = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64)",
+    "Datadog Agent/7.54.0",
+    "Googlebot/2.1 (+http://www.google.com/bot.html)",
+    "curl/8.5.0",
+    "python-requests/2.31",
+]
+_PATHS = ["/", "/api/v1/items", "/login", "/static/app.js", "/health"]
+_STATUSES = [200, 200, 200, 301, 404, 500, 503]
+
+
+def make_line(seed: int, part: int, row: int) -> str:
+    """One synthetic ALB access-log line, fully determined by inputs."""
+    h = _mix((seed << 32) ^ (part << 20) ^ row)
+    ip = f"10.{(h >> 8) & 255}.{(h >> 16) & 255}.{(h >> 24) & 255}"
+    port = 1024 + ((h >> 32) & 0x7FFF)
+    status = _STATUSES[(h >> 12) % len(_STATUSES)]
+    ua = _UAS[(h >> 18) % len(_UAS)]
+    path = _PATHS[(h >> 24) % len(_PATHS)]
+    sent = 100 + (h & 0x3FF)
+    recv = 2000 + ((h >> 10) & 0xFFF)
+    # request_processing_time gets the '-' sentinel on 5xx, like real
+    # ALB logs on failed target connections
+    rpt = "-" if status >= 500 else f"0.{(h >> 40) & 999:03d}"
+    sec = (h >> 6) % 86400
+    ts = f"2025-05-26T{sec // 3600:02d}:{(sec // 60) % 60:02d}:{sec % 60:02d}.{h & 999999:06d}Z"
+    return (
+        f"https {ts} app/synthetic/0123456789abcdef "
+        f"{ip}:{port} 172.31.0.9:80 {rpt} 0.035 0.000 {status} {status} "
+        f'{sent} {recv} "GET https://example.com:443{path} HTTP/1.1" "{ua}" '
+        "TLS_AES_128_GCM_SHA256 TLSv1.3 "
+        "arn:aws:elasticloadbalancing:us-west-2:000000000000:targetgroup/synthetic/0000 "
+        f'"Root=1-{h & 0xFFFFFFFF:08x}" "example.com" "-" '
+        f'1 {ts} "forward" "-" "-" "172.31.0.9:80" "{status}" "-" "-" '
+        f"TID_{h:016x}"
+    )
+
+
+class _SyntheticElbReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_partitions = int(options.get("partitions", 4))
+        self.rows = int(options.get("rows_per_partition", 1000))
+        self.seed = int(options.get("seed", 0))
+
+    def partitions(self):  # one Spark task per entry
+        return [InputPartition(i) for i in range(self.n_partitions)]
+
+    def read(self, partition) -> Iterator[tuple]:
+        part = partition.value
+        for row in range(self.rows):
+            yield (make_line(self.seed, part, row),)
+
+
+class SyntheticElbDataSource(DataSource):
+    """``spark.read.format("elb_synthetic")`` after
+    ``spark.dataSource.register(SyntheticElbDataSource)``.
+
+    Options: ``partitions`` (parallelism), ``rows_per_partition``,
+    ``seed``. Output schema is a single ``value`` string column —
+    drop-in replacement for ``spark.read.text`` in the ELB pipeline.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "elb_synthetic"
+
+    def schema(self) -> str:
+        return "value string"
+
+    def reader(self, schema) -> _SyntheticElbReader:
+        return _SyntheticElbReader(self.options)
+
+
+def register(spark) -> None:
+    if not _HAS_PYDS:  # pragma: no cover
+        raise NotImplementedError("Python Data Source API requires pyspark >= 4.0")
+    spark.dataSource.register(SyntheticElbDataSource)
