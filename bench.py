@@ -91,6 +91,14 @@ HEADLINE = [
     # round 3: fuzzy entity resolution + VARIANT ingestion
     "fuzzy_name_match_stats",
     "variant_props_stats",
+    # round 3: training-export tier (packing, sharding, kNN triangles,
+    # DSIR importance weights)
+    "sequence_packing_stats",
+    "shard_assignment_stats",
+    "supplier_knn_triangles",
+    "dsir_importance_weights",
+    "semdedup_survivors",
+    "skew_profile_events",
 ]
 
 

@@ -776,6 +776,7 @@ def _load_extensions() -> None:
         queries_quality,
         queries_text,
         queries_timeseries,
+        queries_training,
         queries_tpch,
         queries_tpch2,
     )

@@ -1,0 +1,570 @@
+"""Training-export tier: sequence packing, deterministic sharding,
+co-occurrence kNN-graph analytics, and distribution-matching weights.
+
+The operations that sit between a curated corpus and the trainer:
+
+* **Sequence packing** (concat-and-chunk) — documents are concatenated
+  in a deterministic order and split into fixed context windows; the
+  packing audit reports window counts, boundary-crossing documents,
+  and tail waste per source. All arithmetic is integer (cumulative
+  token counts), so the layout is exactly reproducible on any engine.
+* **Shard assignment** — content-hash sharding (`md5(text) mod N`).
+  Unlike a global row_number (one giant sort at 100 TB), the hash
+  shard is a narrow map: no shuffle until the vocabulary-sized audit
+  aggregate. Balance is statistical; the audit query quantifies it.
+* **Co-occurrence kNN graph + triangles** — suppliers that appear in
+  the same order form a weighted graph; each node keeps its top-k
+  strongest partners (bounded degree!), and the triangle count over
+  the kNN edges measures clustering. Raw co-occurrence graphs go
+  dense at scale — the k-cap is what keeps the triangle join at
+  O(n·k²) instead of O(n·d²) with unbounded d.
+* **DSIR-style importance weights** — log-likelihood ratio of each
+  document under hashed-unigram models of a target vs. the base
+  corpus (Xie et al. 2023 "Data Selection for LMs via Importance
+  Resampling", simplified to unigrams). The two models are
+  BUCKETS-sized (1024 rows) and broadcast back onto the token
+  stream; documents never shuffle their text.
+* **Mixture rebalance** — per-source sampling weights that move the
+  token mixture toward uniform, with an epoch cap; the renormalized
+  effective mixture is computed over the sources-sized aggregate.
+
+Reference scope note: the reference ETL (elb_logs.py) stops at
+enrichment + parquet; this tier is part of the training-data
+extension surface (BASELINE.json north star), not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import TOKEN_RE, token_count
+from .queries import _t, register
+
+#: context window length (tokens) for the packing audit.
+PACK_WINDOW = 512
+#: shard count for the content-hash shard audit.
+N_SHARDS = 16
+#: kNN degree cap for the co-occurrence graph.
+KNN_K = 5
+#: hashed-feature bucket count for DSIR.
+DSIR_BUCKETS = 1024
+#: epoch cap for mixture rebalancing (max upsampling factor).
+MIX_CAP = 3.0
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk) audit
+# --------------------------------------------------------------------------
+@register(
+    "sequence_packing_stats",
+    sql=f"""
+    WITH toks AS (
+        SELECT source, doc_id,
+               len(regexp_extract_all(text, '\\S+')) AS n_tok
+        FROM documents
+        WHERE len(regexp_extract_all(text, '\\S+')) > 0
+    ),
+    cum AS (
+        SELECT source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS c
+        FROM toks
+    ),
+    spans AS (
+        SELECT source, n_tok,
+               (c - n_tok) // {PACK_WINDOW} AS first_win,
+               (c - 1) // {PACK_WINDOW}     AS last_win
+        FROM cum
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                          AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT)                        AS total_tokens,
+           CAST((SUM(n_tok) - 1) // {PACK_WINDOW} + 1 AS BIGINT) AS n_windows,
+           CAST(COUNT(*) FILTER (WHERE first_win <> last_win) AS BIGINT)
+               AS n_crossing_docs,
+           CAST(MAX(last_win - first_win + 1) AS BIGINT)     AS max_span_windows,
+           CAST(((SUM(n_tok) - 1) // {PACK_WINDOW} + 1) * {PACK_WINDOW}
+                - SUM(n_tok) AS BIGINT)                      AS tail_waste_tokens
+    FROM spans
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("training", "packing", "window"),
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing audit per source. ONE window (the
+    running token total, partitioned by source — the same partitioning
+    the final agg reuses, so the whole query is a single Exchange);
+    window ids are pure integer division, reproducible anywhere. At
+    100 TB the per-source streams sort within partitions only — no
+    global sort, no driver state."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("c", F.sum("n_tok").over(w))
+    spans = cum.select(
+        "source",
+        "n_tok",
+        ((F.col("c") - F.col("n_tok")) / PACK_WINDOW).cast("long").alias("first_win"),
+        ((F.col("c") - 1) / PACK_WINDOW).cast("long").alias("last_win"),
+    )
+    total = F.sum("n_tok")
+    n_windows = ((total - 1) / PACK_WINDOW).cast("long") + 1
+    return (
+        spans.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            total.cast("long").alias("total_tokens"),
+            n_windows.alias("n_windows"),
+            F.count_if(F.col("first_win") != F.col("last_win")).alias(
+                "n_crossing_docs"
+            ),
+            F.max(F.col("last_win") - F.col("first_win") + 1).alias(
+                "max_span_windows"
+            ),
+            (n_windows * PACK_WINDOW - total).cast("long").alias("tail_waste_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Content-hash shard assignment audit
+# --------------------------------------------------------------------------
+@register(
+    "shard_assignment_stats",
+    sql=f"""
+    WITH sharded AS (
+        SELECT CAST(('0x' || substr(md5(text), 1, 15))::UBIGINT % {N_SHARDS}
+                    AS BIGINT) AS shard,
+               n_chars
+        FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT)   AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM sharded
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    tags=("training", "shard", "hash"),
+)
+def shard_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash shard audit. The shard id is a narrow projection
+    (60-bit md5 prefix mod N — NOT a global row_number, which would
+    serialize 100 TB through one sort); the only shuffle is the
+    N_SHARDS-row audit aggregate. The real export writer reuses the
+    same expression with ``repartition(N, shard)`` +
+    ``sortWithinPartitions`` for deterministic file layout."""
+    d = _t(spark, sf_dir, "documents")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast(
+            "decimal(20,0)"  # 60-bit value: fits decimal, not long-safe mod
+        ),
+        F.lit(N_SHARDS),
+    ).cast("long")
+    return (
+        d.select(shard.alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
+# --------------------------------------------------------------------------
+# Supplier co-occurrence kNN graph + triangle count
+# --------------------------------------------------------------------------
+_KNN_EDGE_CTE = f"""
+    pairs AS (
+        SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+    ),
+    directed AS (
+        SELECT u, v, w FROM pairs
+        UNION ALL
+        SELECT v AS u, u AS v, w FROM pairs
+    ),
+    topk AS (
+        SELECT u, v FROM (
+            SELECT u, v,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY w DESC, v ASC) AS rn
+            FROM directed
+        ) WHERE rn <= {KNN_K}
+    ),
+    edges AS (
+        SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM topk
+    )
+"""
+
+
+@register(
+    "supplier_knn_triangles",
+    sql=f"""
+    WITH {_KNN_EDGE_CTE}
+    SELECT
+        (SELECT CAST(COUNT(DISTINCT s) AS BIGINT)
+         FROM (SELECT u AS s FROM edges UNION ALL SELECT v FROM edges))
+            AS n_nodes,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+        (SELECT CAST(COUNT(*) AS BIGINT)
+         FROM edges e1
+         JOIN edges e2 ON e2.u = e1.v
+         JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+    tags=("training", "graph", "triangles", "knn"),
+)
+def supplier_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the supplier co-occurrence kNN graph.
+
+    Pair weights come from a per-order self-join of the DISTINCT
+    (order, supplier) projection — the explosion is bounded by
+    items-per-order (≤7 in TPC-H-shaped data), not corpus size. The
+    k-cap (top-{KNN_K} partners per node) bounds every node's degree, so
+    the two-hop triangle join is O(n·k²) rows — without it a dense
+    co-occurrence graph makes triangle counting quadratic-plus at
+    scale. Edge lists are node-pair-sized; AQE broadcasts them when
+    small."""
+    li = _t(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    pairs = (
+        os_.alias("a")
+        .join(os_.alias("b"), (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    directed = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("u").orderBy(F.col("w").desc(), F.col("v").asc())
+    )
+    topk = directed.withColumn("rn", rn).filter(F.col("rn") <= KNN_K)
+    edges = (
+        topk.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("s"))
+        .unionByName(edges.select(F.col("v").alias("s")))
+        .agg(F.count_distinct("s").alias("n_nodes"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nodes.join(n_edges).join(tri)
+
+
+# --------------------------------------------------------------------------
+# DSIR-style hashed-unigram importance weights
+# --------------------------------------------------------------------------
+@register(
+    "dsir_importance_weights",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, source, lang = 'en' AS is_target,
+               CAST(('0x' || substr(md5(t), 1, 15))::UBIGINT % {DSIR_BUCKETS}
+                    AS BIGINT) AS b
+        FROM (SELECT doc_id, source, lang,
+                     unnest(regexp_extract_all(text, '\\S+')) AS t
+              FROM documents)
+    ),
+    model AS (
+        SELECT b,
+               COUNT(*) FILTER (WHERE is_target)     AS ct,
+               COUNT(*) FILTER (WHERE NOT is_target) AS cb
+        FROM tok GROUP BY b
+    ),
+    totals AS (
+        SELECT SUM(ct) AS tt, SUM(cb) AS tb FROM model
+    ),
+    scored AS (
+        SELECT t.doc_id, t.source,
+               AVG(ln( ((m.ct + 1) / (tot.tt + {DSIR_BUCKETS}))
+                     / ((m.cb + 1) / (tot.tb + {DSIR_BUCKETS})) )) AS w
+        FROM tok t JOIN model m USING (b) CROSS JOIN totals tot
+        WHERE NOT t.is_target
+        GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(w), 6) AS avg_logratio,
+           ROUND(MIN(w), 6) AS min_logratio,
+           ROUND(MAX(w), 6) AS max_logratio
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("training", "dsir", "importance", "broadcast"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weights for data selection: mean hashed-unigram
+    log-likelihood ratio (target = lang='en' docs) per base document,
+    summarized per source.
+
+    ONE tokenize pass feeds both the model and the scoring side (the
+    token frame is persisted; re-deriving it would re-scan the
+    corpus). The model is DSIR_BUCKETS rows — broadcast back onto the
+    token stream, so scoring is a narrow join; only (doc_id, bucket)
+    pairs ever shuffle. Laplace +1 smoothing keeps both models
+    defined on every bucket."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            "source",
+            (F.col("lang") == "en").alias("is_target"),
+            F.explode(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))).alias(
+                "t"
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "is_target",
+            F.pmod(
+                F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("decimal(20,0)"),
+                F.lit(DSIR_BUCKETS),
+            )
+            .cast("long")
+            .alias("b"),
+        )
+        .persist()
+    )
+    model = tok.groupBy("b").agg(
+        F.count_if("is_target").alias("ct"),
+        F.count_if(~F.col("is_target")).alias("cb"),
+    )
+    totals = model.agg(
+        F.sum("ct").alias("tt"), F.sum("cb").alias("tb")
+    )
+    logratio = F.log(
+        ((F.col("ct") + 1) / (F.col("tt") + DSIR_BUCKETS))
+        / ((F.col("cb") + 1) / (F.col("tb") + DSIR_BUCKETS))
+    )
+    scored = (
+        tok.filter(~F.col("is_target"))
+        .join(F.broadcast(model), "b")
+        .join(F.broadcast(totals))
+        .groupBy("doc_id", "source")
+        .agg(F.avg(logratio).alias("w"))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("w"), 6).alias("avg_logratio"),
+            F.round(F.min("w"), 6).alias("min_logratio"),
+            F.round(F.max("w"), 6).alias("max_logratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Mixture rebalancing weights
+# --------------------------------------------------------------------------
+@register(
+    "mixture_rebalance_weights",
+    sql=f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    shares AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS share,
+               1.0 / COUNT(*) OVER () AS target
+        FROM per_source
+    ),
+    capped AS (
+        SELECT source, n_docs, n_tokens, share,
+               least(target / share, {MIX_CAP}) AS weight
+        FROM shares
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(share, 6)  AS token_share,
+           ROUND(weight, 6) AS sample_weight,
+           ROUND(share * weight / SUM(share * weight) OVER (), 6)
+               AS effective_share
+    FROM capped
+    ORDER BY source
+    """,
+    tags=("training", "mixture", "sampling"),
+)
+def mixture_rebalance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights toward a uniform token mixture,
+    capped at {MIX_CAP}× upsampling, with the renormalized effective
+    mixture. The corpus collapses to a sources-sized aggregate first;
+    every window after that runs on that tiny frame (single
+    partition by construction — the OVER () scope is sources-sized,
+    never corpus-sized)."""
+    d = _t(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    shares = per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w_all)).alias(
+            "share"
+        ),
+        (F.lit(1.0) / F.count(F.lit(1)).over(w_all)).alias("target"),
+    )
+    capped = shares.withColumn(
+        "weight", F.least(F.col("target") / F.col("share"), F.lit(MIX_CAP))
+    )
+    return capped.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("share", 6).alias("token_share"),
+        F.round("weight", 6).alias("sample_weight"),
+        F.round(
+            (F.col("share") * F.col("weight"))
+            / F.sum(F.col("share") * F.col("weight")).over(w_all),
+            6,
+        ).alias("effective_share"),
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (drop docs with a smaller-id semantic
+# near-duplicate; Abbas et al. 2023, LSH buckets instead of k-means)
+# --------------------------------------------------------------------------
+def _semdedup_sql() -> str:
+    from ..functions.vectors import lsh_sql_ctes
+
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    {lsh_sql_ctes()},
+    dropped AS (
+        SELECT DISTINCT c.vec_id
+        FROM nb a JOIN nb c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+        WHERE ROUND(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6) >= {SEMDEDUP_TAU}
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) FILTER (WHERE vec_id IN (SELECT vec_id FROM dropped))
+                AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) FILTER (WHERE vec_id NOT IN (SELECT vec_id FROM dropped))
+                AS BIGINT) AS n_survivors
+    FROM e
+    GROUP BY label
+    ORDER BY label
+    """
+
+
+#: cosine threshold above which the larger-id vector is dropped.
+SEMDEDUP_TAU = 0.3
+
+
+@register(
+    "semdedup_survivors",
+    sql=_semdedup_sql(),
+    tags=("training", "semdedup", "embedding", "dedup"),
+)
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup census: a vector is dropped when ANY smaller-id
+    vector in its sign-LSH bucket has cosine ≥ τ (the single-pass
+    SemDeDup keep-first rule — no transitive clustering pass needed,
+    so there is no iterative job). Candidate pairs come from the
+    same-bucket equi-join (the LSH cap on pair count); the dropped
+    set is vec_id-only and joins back as a broadcast anti/semi
+    probe — embeddings never shuffle their vectors."""
+    from ..operators.similarity import embedding_near_dup
+
+    e = _t(spark, sf_dir, "embeddings")
+    dropped = (
+        embedding_near_dup(e, threshold=SEMDEDUP_TAU)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    flagged = e.select("vec_id", "label").join(
+        F.broadcast(dropped.withColumn("is_dropped", F.lit(True))),
+        "vec_id",
+        "left",
+    )
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count_if(F.col("is_dropped").isNotNull()).alias("n_dropped"),
+            F.count_if(F.col("is_dropped").isNull()).alias("n_survivors"),
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# Key-skew profiler (pre-flight shuffle diagnostics)
+# --------------------------------------------------------------------------
+@register(
+    "skew_profile_events",
+    sql="""
+    WITH per_key AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)      AS n_keys,
+           CAST(SUM(cnt) AS BIGINT)      AS n_rows,
+           CAST(MAX(cnt) AS BIGINT)      AS max_cnt,
+           ROUND(quantile_cont(cnt, 0.5), 6)  AS p50_cnt,
+           ROUND(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+           ROUND(MAX(cnt) / (SUM(cnt) / COUNT(*)), 6) AS max_over_mean
+    FROM per_key
+    """,
+    tags=("training", "skew", "diagnostics"),
+)
+def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight skew diagnostics for a prospective shuffle key: the
+    per-key count distribution and the max/mean hot-key ratio that
+    decides between a plain shuffle, AQE skew-join, and salting
+    (operators/skew.salted_agg). Two hash aggregates — the per-key
+    count (shuffles key+count only) and a single-row summary."""
+    e = _t(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("p50_cnt"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_cnt"),
+        F.round(F.max("cnt") / (F.sum("cnt") / F.count(F.lit(1))), 6).alias(
+            "max_over_mean"
+        ),
+    )

@@ -119,3 +119,37 @@ def test_dynamic_partition_pruning_fires_on_partitioned_sink(spark, tmp_path):
     joined = back.join(dim.filter("attr = 3"), "k").groupBy("k").count()
     plan = plan_text(joined)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """With broadcast off (the 100 TB fact⋈fact case), Catalyst must
+    inject a bloom filter built from the selective side into the
+    probe-side scan — the shuffle then carries only probable matches
+    instead of the full fact table."""
+    from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").filter("o_totalprice > 400000")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1,0 +1,102 @@
+"""Training-export tier (plans/queries_training.py): plan-shape
+guards plus the integer-exactness properties the packing/sharding
+audits rely on. Value correctness is the oracle harness's job."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elb_log_etl_enrichment_spark.plans.audit import plan_stats, plan_text
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(spark, name):
+    from elb_log_etl_enrichment_spark.plans.queries import (
+        REGISTRY,
+        _load_extensions,
+    )
+
+    _load_extensions()
+    return REGISTRY[name].fn(spark, SF)
+
+
+def test_packing_window_and_agg_share_one_exchange(spark):
+    # the running-total window and the per-source aggregate both
+    # partition on source — the plan must not shuffle twice
+    stats = plan_stats(_q(spark, "sequence_packing_stats"))
+    assert stats["exchanges"] <= 2, stats  # window shuffle + tiny final sort
+    assert stats["scans"] == 1
+
+
+def test_packing_windows_are_exact_integers(spark):
+    # every window id must be < n_windows and spans consistent:
+    # sum over sources of per-source window counts == global check
+    df = _q(spark, "sequence_packing_stats")
+    for row in df.collect():
+        assert row.n_windows * 512 >= row.total_tokens
+        assert (row.n_windows - 1) * 512 < row.total_tokens
+        assert row.tail_waste_tokens == row.n_windows * 512 - row.total_tokens
+        assert 0 <= row.n_crossing_docs <= row.n_docs
+
+
+def test_shard_assignment_is_narrow_until_audit_agg(spark):
+    # shard id is a projection; the ONLY shuffle is the 16-row audit
+    # aggregate (plus its orderBy on a 16-row frame)
+    stats = plan_stats(_q(spark, "shard_assignment_stats"))
+    assert stats["scans"] == 1
+    assert stats["exchanges"] <= 2, stats
+    # full shard coverage at sf0.001 (1k docs >> 16 shards)
+    rows = _q(spark, "shard_assignment_stats").collect()
+    assert len(rows) == 16
+    assert sum(r.n_docs for r in rows) > 0
+
+
+def test_knn_triangle_graph_degree_is_bounded(spark):
+    # rebuild the edge set the query uses and assert the k-cap held:
+    # no node may exceed 2k undirected neighbors (k chosen by itself
+    # + up to k reverse picks... actually bounded by 2k)
+    from elb_log_etl_enrichment_spark.plans.queries import _t
+    from elb_log_etl_enrichment_spark.plans.queries_training import KNN_K
+
+    li = _t(spark, SF, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    pairs = (
+        os_.alias("a")
+        .join(
+            os_.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    directed = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("u").orderBy(F.col("w").desc(), F.col("v").asc())
+    )
+    topk = directed.withColumn("rn", rn).filter(F.col("rn") <= KNN_K)
+    edges = topk.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    deg = (
+        edges.select(F.col("u").alias("s"))
+        .unionByName(edges.select(F.col("v").alias("s")))
+        .groupBy("s")
+        .count()
+    )
+    assert deg.agg(F.max("count")).first()[0] <= 2 * KNN_K
+
+
+def test_dsir_model_joins_are_broadcast(spark):
+    # the 1024-bucket model and the 1-row totals must broadcast —
+    # the corpus-sized token stream never shuffles for the join
+    plan = plan_text(_q(spark, "dsir_importance_weights"))
+    stats = plan_stats(plan)
+    assert stats["broadcast_joins"] >= 2, stats
+    assert "SortMergeJoin" not in plan
