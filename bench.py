@@ -99,6 +99,11 @@ HEADLINE = [
     "dsir_importance_weights",
     "semdedup_survivors",
     "skew_profile_events",
+    # round 3: Spark 4 SQL/UDF surface (recursive CTE, UDTF, grouped-agg
+    # pandas UDF)
+    "recursive_knn_bfs_levels",
+    "udtf_token_spans",
+    "grouped_agg_pandas_gmean",
 ]
 
 

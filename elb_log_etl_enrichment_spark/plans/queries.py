@@ -774,6 +774,7 @@ def _load_extensions() -> None:
         queries_ext,
         queries_functions,
         queries_quality,
+        queries_sql4,
         queries_text,
         queries_timeseries,
         queries_training,

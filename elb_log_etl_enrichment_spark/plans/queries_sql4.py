@@ -1,0 +1,236 @@
+"""Spark 4 SQL / Python-UDF surface: recursive CTEs, Python UDTFs,
+and grouped-aggregate pandas UDFs.
+
+Three API families the engine exposes beyond the classic DataFrame
+operators:
+
+* **Recursive CTE** (`WITH RECURSIVE`, Spark 4.0+) — iterative
+  queries stated declaratively; the engine unrolls the fixpoint.
+  Demonstrated as BFS shortest-hop levels over the supplier kNN
+  graph (queries_training.knn_edges). The level cap bounds path
+  enumeration; the kNN degree cap bounds the per-level frontier.
+* **Python UDTF** (`@udtf`, Spark 3.5+) — one input row → many
+  output rows with full Python control, the lateral-join form of
+  custom parsing. Demonstrated as a token-span extractor (token +
+  character offset), the shape tokenizer-alignment pipelines need.
+  Registered UDTFs run row-at-a-time Python — the slow path — so the
+  query pushes its doc_id subset BEFORE the lateral join; bulk-path
+  equivalents of this exact result exist as pure expressions (the
+  oracle SQL is one).
+* **Grouped-aggregate pandas UDF** — a custom aggregate (log-mean /
+  geometric mean) evaluated per group over Arrow batches, composable
+  with built-in aggregates inside one ``groupBy.agg``.
+
+Oracle notes: the UDTF's offsets are pure integer arithmetic over
+`split(' ')` pieces (identical in DuckDB); the geometric mean is
+written `exp(avg(ln(1+abs(v))))` with the same operand order both
+sides and rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _t, register
+from .queries_training import _KNN_EDGE_CTE, knn_edges
+
+#: BFS hop cap for the recursive CTE (bounds path enumeration).
+BFS_MAX_LVL = 3
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE: BFS shortest-hop levels over the kNN graph
+# --------------------------------------------------------------------------
+@register(
+    "recursive_knn_bfs_levels",
+    sql=f"""
+    WITH RECURSIVE {_KNN_EDGE_CTE},
+    directed_e AS (
+        SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ),
+    root AS (SELECT MIN(u) AS s FROM edges),
+    reach(s, lvl) AS (
+        SELECT s, 0 FROM root
+        UNION ALL
+        SELECT d.v AS s, r.lvl + 1
+        FROM reach r JOIN directed_e d ON d.u = r.s
+        WHERE r.lvl < {BFS_MAX_LVL}
+    )
+    SELECT lvl, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM (SELECT s, CAST(MIN(lvl) AS BIGINT) AS lvl FROM reach GROUP BY s)
+    GROUP BY lvl
+    ORDER BY lvl
+    """,
+    tags=("sql4", "recursive_cte", "graph", "bfs"),
+)
+def recursive_knn_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-hop BFS levels from the minimum supplier node, written
+    as a SQL ``WITH RECURSIVE`` over the kNN edge view — the
+    declarative twin of the DataFrame power-iteration loop in
+    operators/graph.py (there the driver unrolls; here the engine
+    does). Path enumeration is bounded by lvl<{BFS_MAX_LVL} × the kNN
+    degree cap; the MIN(lvl) collapse dedups multipaths after the
+    fixpoint."""
+    edges = knn_edges(spark, sf_dir)
+    edges.createOrReplaceTempView("knn_edges_v")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE reach(s, lvl) AS (
+            SELECT CAST(MIN(u) AS BIGINT) AS s, 0 AS lvl FROM knn_edges_v
+            UNION ALL
+            SELECT d.v AS s, r.lvl + 1
+            FROM reach r
+            JOIN (SELECT u, v FROM knn_edges_v
+                  UNION ALL
+                  SELECT v AS u, u AS v FROM knn_edges_v) d
+              ON d.u = r.s
+            WHERE r.lvl < {BFS_MAX_LVL}
+        )
+        SELECT lvl, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM (SELECT s, CAST(MIN(lvl) AS BIGINT) AS lvl FROM reach GROUP BY s)
+        GROUP BY lvl
+        ORDER BY lvl
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF: token-span extraction (lateral join)
+# --------------------------------------------------------------------------
+@register(
+    "udtf_token_spans",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS token,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS i,
+           token,
+           CAST(COALESCE(SUM(len(token) + 1) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS start
+    FROM tok
+    """,
+    tags=("sql4", "udtf", "lateral", "tokenize"),
+)
+def udtf_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token + character-offset spans via a Python UDTF in a LATERAL
+    join — the alignment-map shape (token → source offset) that
+    tokenizer pipelines emit. The doc subset filter sits BELOW the
+    lateral join (UDTFs are the Python slow path; never feed them the
+    full corpus when a pushed filter can shrink the input first)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="i: bigint, token: string, start: bigint")
+    class TokenSpans:
+        def eval(self, text: str):
+            pos = 0
+            for i, tok in enumerate(text.split(" "), start=1):
+                yield i, tok, pos
+                pos += len(tok) + 1
+
+    spark.udtf.register("token_spans", TokenSpans)
+    d = _t(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") % 50 == 0).createOrReplaceTempView("docs_subset_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.i, s.token, s.start
+        FROM docs_subset_v d, LATERAL token_spans(d.text) s
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped-aggregate pandas UDF: per-type geometric mean of |value|+1
+# --------------------------------------------------------------------------
+@register(
+    "grouped_agg_pandas_gmean",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(exp(AVG(ln(1 + abs(value)))), 6) AS gmean_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("sql4", "pandas_udf", "grouped_agg"),
+)
+def grouped_agg_pandas_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregates (count + geometric mean of 1+|value|) as
+    GROUPED_AGG pandas UDFs — Arrow moves each group's column once;
+    the aggregation itself is a numpy reduction, not per-row Python.
+    Spark disallows mixing pandas and JVM aggregates in one
+    ``groupBy.agg`` (INVALID_PANDAS_UDF_PLACEMENT), so the count is a
+    pandas aggregate too. The gmean formula mirrors the oracle
+    exactly: exp(mean(ln(1 + abs(v))))."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def gmean1p(v: pd.Series) -> float:
+        return float(np.exp(np.log(1.0 + v.abs().to_numpy()).mean()))
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            n_rows("value").alias("n"),
+            F.round(gmean1p("value"), 6).alias("gmean_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 stateful streaming). Per-batch
+# update emissions depend on micro-batch file slicing → rows-only,
+# like its applyInPandasWithState sibling.
+#
+# Environment gate: the transformWithState Python worker speaks
+# protobuf to the JVM state server; without google.protobuf the
+# worker crashes at init. The operator (streaming/stream.py
+# tws_user_stats) is fully implemented; the registry entry only
+# appears where it can actually run (tests/test_streaming.py carries
+# the matching skip).
+# --------------------------------------------------------------------------
+def _tws_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream import (
+        read_events_stream,
+        run_available_now,
+        tws_user_stats,
+    )
+    from .queries_ext import _fresh_checkpoint
+
+    events = read_events_stream(spark, sf_dir)
+    stats = tws_user_stats(events)
+    ckpt = _fresh_checkpoint("tws_stateful")
+    return run_available_now(
+        stats, spark, "mem_stream_tws", ckpt, output_mode="update"
+    )
+
+
+if _tws_available():  # pragma: no cover - container lacks protobuf
+    register(
+        "streaming_tws_user_stats",
+        sql=None,
+        tags=("sql4", "streaming", "stateful", "transformWithState"),
+    )(streaming_tws_user_stats)

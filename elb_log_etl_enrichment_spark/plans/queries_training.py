@@ -216,6 +216,36 @@ _KNN_EDGE_CTE = f"""
 """
 
 
+def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected kNN co-occurrence edges (u < v) over suppliers —
+    shared by the triangle count and the recursive-CTE BFS
+    (queries_sql4). Per-order pair explosion is bounded by
+    items-per-order; the top-{KNN_K} cap bounds every node's degree."""
+    li = _t(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    pairs = (
+        os_.alias("a")
+        .join(
+            os_.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    directed = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("u").orderBy(F.col("w").desc(), F.col("v").asc())
+    )
+    topk = directed.withColumn("rn", rn).filter(F.col("rn") <= KNN_K)
+    return topk.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+
+
 @register(
     "supplier_knn_triangles",
     sql=f"""
@@ -243,30 +273,7 @@ def supplier_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence graph makes triangle counting quadratic-plus at
     scale. Edge lists are node-pair-sized; AQE broadcasts them when
     small."""
-    li = _t(spark, sf_dir, "lineitem")
-    os_ = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    pairs = (
-        os_.alias("a")
-        .join(os_.alias("b"), (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    directed = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("u").orderBy(F.col("w").desc(), F.col("v").asc())
-    )
-    topk = directed.withColumn("rn", rn).filter(F.col("rn") <= KNN_K)
-    edges = (
-        topk.select(
-            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
-        )
-        .distinct()
-        .persist()
-    )
+    edges = knn_edges(spark, sf_dir).persist()
     nodes = (
         edges.select(F.col("u").alias("s"))
         .unionByName(edges.select(F.col("v").alias("s")))

@@ -355,3 +355,65 @@ def ohlc_stream(
             "volume",
         )
     )
+
+
+TWS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("cum_events", LongType()),
+        StructField("cum_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+def tws_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running stats via ``transformWithStateInPandas``
+    (Spark 4's successor to applyInPandasWithState, SURVEY.md §2.8):
+    typed ValueState (count, sum, max) carried across micro-batches
+    through an explicit StatefulProcessor lifecycle (init /
+    handleInputRows / close). Versus the sibling
+    ``stateful_user_totals``: state is schema-ful and composable
+    (value/list/map states, timers, TTL) instead of one opaque tuple
+    — the API surface a production stateful pipeline needs."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n BIGINT, total DOUBLE, mx DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, total, mx = self._agg.get()
+            else:
+                n, total, mx = 0, 0.0, None
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                batch_max = float(pdf["value"].max())
+                mx = batch_max if mx is None else max(mx, batch_max)
+            self._agg.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "cum_events": [n],
+                    "cum_value": [total],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -245,3 +245,22 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     # straggler neither re-emitted the window nor appeared as a new row
     hour0_rows = [r for r in rows if r[0] == hour0]
     assert hour0_rows == [(hour0, 2)], rows
+
+
+def test_transform_with_state_user_stats(spark):
+    """Spark 4 transformWithStateInPandas: typed ValueState carried
+    across micro-batches. The worker needs google.protobuf for the
+    state-server protocol — skip where absent (the operator itself is
+    environment-independent)."""
+    import pytest
+
+    from elb_log_etl_enrichment_spark.plans.queries_sql4 import (
+        _tws_available,
+        streaming_tws_user_stats,
+    )
+
+    if not _tws_available():
+        pytest.skip("google.protobuf unavailable: transformWithState worker cannot start")
+    out = streaming_tws_user_stats(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    assert set(out.columns) == {"user_id", "cum_events", "cum_value", "max_value"}
