@@ -1368,3 +1368,66 @@ def synthetic_source_status_counts(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("status_category")
     )
+
+
+# --------------------------------------------------------------------------
+# Robust (MAD-based) outlier census — the median/MAD companion to the
+# z-score operator above: immune to the outliers it measures. Two
+# passes over the values (median, then median of absolute deviations)
+# with the tiny per-type model broadcast back between them.
+# --------------------------------------------------------------------------
+@register(
+    "mad_outlier_census",
+    sql="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type, ANY_VALUE(m.med) AS med,
+               median(abs(e.value - m.med)) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (
+               WHERE abs(e.value - m.med) > 3 * 1.4826 * m.mad
+           ) AS BIGINT) AS n_outliers,
+           ROUND(ANY_VALUE(m.med), 6) AS med,
+           ROUND(ANY_VALUE(m.mad), 6) AS mad
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    tags=("stats", "robust", "outliers", "median"),
+)
+def mad_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outliers by the robust rule |v − median| > 3·1.4826·MAD, per
+    event type. Exact medians (the documented percentile_approx swap
+    applies at 100 TB); the per-type (median, MAD) model is
+    group-count-sized and broadcasts back onto the fact scan — the
+    fact table itself shuffles only for its own aggregates."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"),
+        )
+    )
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(
+                F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")
+            ).alias("n_outliers"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
