@@ -408,74 +408,83 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Sweep-line max concurrency: how many lineitem shipments are
-# simultaneously in transit, per ship mode. The classic interval
-# problem solved WITHOUT an interval join: ±1 events + a running sum
-# — one Exchange per key, O(n log n) in the sort, no pair explosion.
-# [ship, receipt) semantics: at equal timestamps the -1 sorts first.
+# simultaneously in transit, per return flag. In transit =
+# [l_shipdate, l_shipdate + l_quantity days) — the driver's lineitem
+# carries no receipt date, so transit time derives from quantity; the
+# bound is pure integer epoch-ms math so Spark and DuckDB agree bit
+# for bit. The classic interval problem solved WITHOUT an interval
+# join: ±1 events + a running sum — one Exchange per key, O(n log n)
+# in the sort, no pair explosion. [start, end) semantics: at equal
+# timestamps the -1 sorts first.
 # --------------------------------------------------------------------------
 @register(
     "max_concurrent_shipments",
     sql="""
     WITH pts AS (
-        SELECT l_shipmode AS mode, epoch_ms(l_shipdate) AS t, 1 AS delta
+        SELECT l_returnflag AS flag, epoch_ms(l_shipdate) AS t, 1 AS delta
         FROM lineitem
         UNION ALL
-        SELECT l_shipmode AS mode, epoch_ms(l_receiptdate) AS t, -1 AS delta
+        SELECT l_returnflag AS flag,
+               epoch_ms(l_shipdate) + 86400000 * CAST(l_quantity AS BIGINT) AS t,
+               -1 AS delta
         FROM lineitem
     ),
     run AS (
-        SELECT mode, t, delta,
-               SUM(delta) OVER (PARTITION BY mode ORDER BY t, delta
+        SELECT flag, t, delta,
+               SUM(delta) OVER (PARTITION BY flag ORDER BY t, delta
                                 ROWS UNBOUNDED PRECEDING) AS conc
         FROM pts
     )
-    SELECT mode,
+    SELECT flag,
            CAST(MAX(conc) AS BIGINT) AS max_concurrent,
            CAST(MIN(CASE WHEN conc = mx THEN t END) AS BIGINT)
                AS first_peak_ms
-    FROM (SELECT mode, t, conc, MAX(conc) OVER (PARTITION BY mode) AS mx
+    FROM (SELECT flag, t, conc, MAX(conc) OVER (PARTITION BY flag) AS mx
           FROM run)
-    GROUP BY mode
-    ORDER BY mode
+    GROUP BY flag
+    ORDER BY flag
     """,
     tags=("timeseries", "sweepline", "intervals", "window"),
 )
 def max_concurrent_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Peak in-transit shipment count per ship mode via sweep-line.
+    """Peak in-transit shipment count per return flag via sweep-line.
     The ±1 event stream is 2× the fact rows but 3 narrow columns; the
-    running sum, the per-mode MAX window, and the final agg all share
-    ONE hash partitioning on mode. Compare an interval self-join,
+    running sum, the per-flag MAX window, and the final agg all share
+    ONE hash partitioning on flag. Compare an interval self-join,
     which explodes quadratically in the overlap degree — at 100 TB
     the sweep-line is the only shape that survives."""
     from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem")
     pts = li.select(
-        F.col("l_shipmode").alias("mode"),
+        F.col("l_returnflag").alias("flag"),
         F.unix_millis("l_shipdate").alias("t"),
         F.lit(1).alias("delta"),
     ).unionByName(
         li.select(
-            F.col("l_shipmode").alias("mode"),
-            F.unix_millis("l_receiptdate").alias("t"),
+            F.col("l_returnflag").alias("flag"),
+            (
+                F.unix_millis("l_shipdate")
+                + F.lit(86400000) * F.col("l_quantity").cast("long")
+            ).alias("t"),
             F.lit(-1).alias("delta"),
         )
     )
     w_run = (
-        Window.partitionBy("mode")
+        Window.partitionBy("flag")
         .orderBy("t", "delta")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     run = pts.withColumn("conc", F.sum("delta").over(w_run))
-    w_mode = Window.partitionBy("mode")
-    peaked = run.withColumn("mx", F.max("conc").over(w_mode))
+    w_flag = Window.partitionBy("flag")
+    peaked = run.withColumn("mx", F.max("conc").over(w_flag))
     return (
-        peaked.groupBy("mode")
+        peaked.groupBy("flag")
         .agg(
             F.max("conc").cast("long").alias("max_concurrent"),
             F.min(F.when(F.col("conc") == F.col("mx"), F.col("t")))
             .cast("long")
             .alias("first_peak_ms"),
         )
-        .orderBy("mode")
+        .orderBy("flag")
     )

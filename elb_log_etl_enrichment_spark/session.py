@@ -29,6 +29,10 @@ from pyspark.sql import SparkSession
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Driver testdata stores naive timestamp[us] columns; read them as
+    # session-tz (UTC) timestamps, not TIMESTAMP_NTZ, so epoch math
+    # (unix_millis etc.) and the DuckDB oracle (naive-as-UTC) line up.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

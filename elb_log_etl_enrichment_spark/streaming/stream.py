@@ -34,6 +34,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from ..session import ensure_engine_confs
@@ -41,18 +42,26 @@ from ..session import ensure_engine_confs
 #: staging-dir memo for single-file streaming sources (path → tempdir)
 _STAGED_DIRS: dict[str, str] = {}
 
-#: on-disk schema of the driver's events table (ts = raw parquet NANOS,
-#: scanned as long via nanosAsLong — see sources/tables.py).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_raw_schema(ts_type) -> StructType:
+    """On-disk schema of the driver's events table. ``ts`` has shipped
+    as parquet TIMESTAMP(NANOS) (scanned as long via nanosAsLong) in
+    some testdata generations and plain TIMESTAMP(MICROS) in others, so
+    the caller sniffs the actual type from a batch read."""
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+#: legacy layout (ts = raw NANOS long) — kept for tests that synthesize
+#: event files in that generation's format.
+EVENTS_RAW_SCHEMA = _events_raw_schema(LongType())
 
 
 def read_events_stream(
@@ -77,11 +86,17 @@ def read_events_stream(
             os.symlink(path, os.path.join(staged, "events.parquet"))
             _STAGED_DIRS[path] = staged
         path = staged
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    # sniff the physical ts type from a (metadata-only) batch read so the
+    # stream schema matches whichever testdata generation is on disk
+    ts_is_nanos_long = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    schema = _events_raw_schema(LongType() if ts_is_nanos_long else TimestampType())
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos_long:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def sessionized_stream(
