@@ -104,6 +104,12 @@ HEADLINE = [
     "recursive_knn_bfs_levels",
     "udtf_token_spans",
     "grouped_agg_pandas_gmean",
+    # round 3b: data-quality / profiling tier
+    "column_profile_lineitem",
+    "referential_integrity_audit",
+    "heavy_hitter_tokens",
+    "knn_clustering_coefficient",
+    "max_concurrent_shipments",
 ]
 
 

@@ -773,6 +773,7 @@ def _load_extensions() -> None:
         queries_curation,
         queries_ext,
         queries_functions,
+        queries_profiling,
         queries_quality,
         queries_sql4,
         queries_text,

@@ -1,0 +1,347 @@
+"""Data-quality / profiling tier: column profiler, referential-
+integrity audit, key-uniqueness audit, heavy hitters, graph
+clustering coefficient.
+
+The reference pipeline trusts its inputs (elb_logs.py parses and
+drops malformed lines but never audits the resulting tables); a
+production 100 TB ingest needs the opposite: cheap, declarative
+checks that run as plain Spark jobs and fail fast. Every query here
+is a pure DataFrame program with a DuckDB oracle mirror.
+
+Scale notes
+-----------
+* The column profiler runs ONE single-column aggregate per column
+  rather than one wide aggregate with N count_distincts: each
+  sub-aggregate is a column-pruned parquet scan with map-side partial
+  aggregation, while the fused form plans an Expand that multiplies
+  every input row by the number of profiled columns — the wrong
+  trade at any scale where the table doesn't fit in page cache.
+* The referential-integrity audit broadcasts true dimension keys
+  (nation/customer/part/supplier) and leaves fact-fact orphan checks
+  (lineitem→orders) to the planner: orders is NOT broadcastable at
+  production scale, and AQE picks shuffle-hash vs sort-merge there.
+* Heavy hitters: the exact form shuffles (token, count) pairs —
+  vocabulary-sized, not corpus-sized, thanks to map-side partial
+  aggregation. The threshold is integer math (cnt * 1000 > total) so
+  Spark and DuckDB agree bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import TOKEN_RE
+from .queries import _t, register
+
+# --------------------------------------------------------------------------
+# Column profiler (long format, one row per column)
+# --------------------------------------------------------------------------
+
+#: lineitem columns → numeric? (min/max emitted only for numerics; the
+#: string/timestamp columns still get null/distinct counts)
+_LINEITEM_PROFILE_COLS: tuple[tuple[str, bool], ...] = (
+    ("l_orderkey", True),
+    ("l_partkey", True),
+    ("l_suppkey", True),
+    ("l_linenumber", True),
+    ("l_quantity", True),
+    ("l_extendedprice", True),
+    ("l_discount", True),
+    ("l_tax", True),
+    ("l_returnflag", False),
+    ("l_linestatus", False),
+    ("l_shipdate", False),
+)
+
+
+def _profile_sql_arm(col: str, numeric: bool) -> str:
+    minmax = (
+        f"ROUND(CAST(MIN({col}) AS DOUBLE), 6) AS min_num,\n"
+        f"       ROUND(CAST(MAX({col}) AS DOUBLE), 6) AS max_num"
+        if numeric
+        else "CAST(NULL AS DOUBLE) AS min_num,\n       CAST(NULL AS DOUBLE) AS max_num"
+    )
+    return f"""
+    SELECT '{col}' AS col_name,
+           CAST(COUNT(*) AS BIGINT)               AS n_rows,
+           CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT)  AS n_distinct,
+           {minmax}
+    FROM lineitem"""
+
+
+@register(
+    "column_profile_lineitem",
+    sql="\nUNION ALL\n".join(
+        _profile_sql_arm(c, num) for c, num in _LINEITEM_PROFILE_COLS
+    ),
+    tags=("profiling", "quality", "agg"),
+)
+def column_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of lineitem: rows, nulls, exact distinct
+    count, numeric min/max. One narrow aggregate per column (see
+    module scale notes); the union of 1-row results is free."""
+    li = _t(spark, sf_dir, "lineitem")
+    arms = []
+    for col, numeric in _LINEITEM_PROFILE_COLS:
+        if numeric:
+            min_num = F.round(F.min(col).cast("double"), 6).alias("min_num")
+            max_num = F.round(F.max(col).cast("double"), 6).alias("max_num")
+        else:
+            min_num = F.lit(None).cast("double").alias("min_num")
+            max_num = F.lit(None).cast("double").alias("max_num")
+        arms.append(
+            li.select(col).agg(
+                F.lit(col).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+                F.count_distinct(F.col(col)).alias("n_distinct"),
+                min_num,
+                max_num,
+            )
+        )
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionByName(arm)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit (FK orphan counts across the schema)
+# --------------------------------------------------------------------------
+
+#: (label, fact table, fk col, dim table, pk col, dim is broadcastable)
+_FK_CHECKS: tuple[tuple[str, str, str, str, str, bool], ...] = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey", True),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey", True),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey", True),
+)
+
+
+def _fk_sql_arm(label: str, fact: str, fk: str, dim: str, pk: str) -> str:
+    return f"""
+    SELECT '{label}' AS fk,
+           CAST(COUNT(*) AS BIGINT)          AS orphan_rows,
+           CAST(COUNT(DISTINCT f.{fk}) AS BIGINT) AS orphan_keys
+    FROM {fact} f
+    WHERE NOT EXISTS (SELECT 1 FROM {dim} d WHERE d.{pk} = f.{fk})"""
+
+
+@register(
+    "referential_integrity_audit",
+    sql="\nUNION ALL\n".join(_fk_sql_arm(*chk[:5]) for chk in _FK_CHECKS),
+    tags=("profiling", "quality", "anti-join"),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-FK counts for every relationship in the schema, via
+    left-anti joins. Dimension keys are broadcast; the fact-fact check
+    (lineitem→orders) is left to AQE — orders is not broadcastable at
+    production scale. A clean load reports all zeros; the query cost
+    is one key-column scan per relationship either way."""
+    out = None
+    for label, fact, fk, dim, pk, bcast in _FK_CHECKS:
+        fkeys = _t(spark, sf_dir, fact).select(F.col(fk).alias("k"))
+        dkeys = _t(spark, sf_dir, dim).select(F.col(pk).alias("k"))
+        if bcast:
+            dkeys = F.broadcast(dkeys)
+        orphans = fkeys.join(dkeys, "k", "left_anti")
+        arm = orphans.agg(
+            F.lit(label).alias("fk"),
+            F.count(F.lit(1)).alias("orphan_rows"),
+            F.count_distinct("k").alias("orphan_keys"),
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Key-uniqueness audit (candidate-key violation counts)
+# --------------------------------------------------------------------------
+@register(
+    "uniqueness_violations",
+    sql="""
+    WITH by_event AS (
+        SELECT COUNT(*) AS n FROM events GROUP BY event_id
+    ),
+    by_user_ts AS (
+        SELECT COUNT(*) AS n FROM events GROUP BY user_id, ts
+    )
+    SELECT 'event_id' AS key_name,
+           CAST(COUNT(*) AS BIGINT)                    AS n_keys,
+           CAST(COUNT(*) FILTER (WHERE n > 1) AS BIGINT) AS n_dup_keys,
+           CAST(SUM(n - 1) AS BIGINT)                  AS surplus_rows
+    FROM by_event
+    UNION ALL
+    SELECT 'user_id,ts' AS key_name,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE n > 1) AS BIGINT),
+           CAST(SUM(n - 1) AS BIGINT)
+    FROM by_user_ts
+    """,
+    tags=("profiling", "quality", "agg"),
+)
+def uniqueness_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key audit on events: for each proposed key, how many
+    distinct key values exist, how many are duplicated, and how many
+    surplus rows a dedup would remove. Two-level aggregation — the
+    second level sees key-cardinality rows, not the fact table."""
+    e = _t(spark, sf_dir, "events")
+
+    def _arm(label: str, *keys: str) -> DataFrame:
+        per_key = e.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+        return per_key.agg(
+            F.lit(label).alias("key_name"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.count_if(F.col("n") > 1).alias("n_dup_keys"),
+            F.sum(F.col("n") - 1).alias("surplus_rows"),
+        )
+
+    return _arm("event_id", "event_id").unionByName(
+        _arm("user_id,ts", "user_id", "ts")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact heavy hitters (frequency > 0.1% of corpus tokens)
+# --------------------------------------------------------------------------
+@register(
+    "heavy_hitter_tokens",
+    sql=r"""
+    WITH tok AS (
+        SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ),
+    total AS (SELECT SUM(cnt) AS t FROM counts)
+    SELECT token,
+           CAST(cnt AS BIGINT) AS cnt,
+           ROUND(cnt * 1.0 / t, 6) AS frac
+    FROM counts CROSS JOIN total
+    WHERE cnt * 1000 > t
+    """,
+    tags=("profiling", "heavy-hitters", "explode", "agg"),
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens above 0.1% of all corpus tokens. Map-side partial
+    aggregation means the shuffle carries the vocabulary, not the
+    corpus; the 1-row total broadcasts back. Integer threshold math
+    (cnt*1000 > total) keeps the cut identical on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.explode(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("t"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("cnt") * 1000 > F.col("t"))
+        .select(
+            "token",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") * 1.0 / F.col("t"), 6).alias("frac"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Clustering coefficient over the supplier kNN graph
+# --------------------------------------------------------------------------
+
+def _clustering_sql() -> str:
+    from .queries_training import _KNN_EDGE_CTE
+
+    return f"""
+    WITH {_KNN_EDGE_CTE},
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    deg AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY u),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    corners AS (
+        SELECT node, COUNT(*) AS t
+        FROM (SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY node
+    ),
+    per_node AS (
+        SELECT deg.node, deg.d, COALESCE(corners.t, 0) AS t
+        FROM deg LEFT JOIN corners USING (node)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COUNT(CASE WHEN d >= 2 THEN 1 END) AS BIGINT)
+               AS n_closed_nodes,
+           ROUND(AVG(CASE WHEN d >= 2
+                          THEN 2.0 * t / (d * (d - 1)) END), 6) AS avg_cc,
+           ROUND(SUM(t) * 1.0 / SUM(d * (d - 1) / 2), 6) AS transitivity
+    FROM per_node
+    """
+
+
+@register(
+    "knn_clustering_coefficient",
+    sql=_clustering_sql(),
+    tags=("profiling", "graph", "triangles", "knn"),
+)
+def knn_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity + average local clustering coefficient of
+    the supplier co-occurrence kNN graph (edges from
+    queries_training.knn_edges — degree-bounded, so the per-node
+    triangle join is O(n·k²)).
+
+    Per-node triangle counts come from ONE canonical (u<v<w) triangle
+    enumeration exploded to its 3 corners — not three joins; degrees
+    from the symmetrized edge list. avg_cc averages 2T(v)/(d(v)(d(v)-1))
+    over nodes with d≥2; transitivity is 3·triangles / wedges where
+    wedges = Σ C(d(v),2). Both are pure integer-ratio math until the
+    final division."""
+    from .queries_training import knn_edges
+
+    edges = knn_edges(spark, sf_dir).persist()
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    per_node = deg.join(corners, "node", "left").na.fill({"t": 0})
+    cc = F.when(
+        F.col("d") >= 2, 2.0 * F.col("t") / (F.col("d") * (F.col("d") - 1))
+    )
+    return per_node.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.count(cc).alias("n_closed_nodes"),
+        F.round(F.avg(cc), 6).alias("avg_cc"),
+        # Σt already counts each triangle 3× (once per corner), which is
+        # exactly the 3T numerator of transitivity = 3T / wedges.
+        F.round(
+            F.sum("t") * 1.0 / F.sum(F.col("d") * (F.col("d") - 1) / 2), 6
+        ).alias("transitivity"),
+    )
