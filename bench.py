@@ -110,6 +110,10 @@ HEADLINE = [
     "heavy_hitter_tokens",
     "knn_clustering_coefficient",
     "max_concurrent_shipments",
+    # round 3b: regr_* OLS surface, readability, PQ-ADC ANN
+    "regression_battery",
+    "readability_scores",
+    "cosine_topk_pq",
 ]
 
 

@@ -702,6 +702,19 @@ def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Product-quantization ADC top-k — the memory-bounded ANN tier (8-byte
+# codes, broadcast codebooks, table-lookup scoring). Iterative Lloyd
+# training → rows-only; recall contract pinned in test_curation.
+# --------------------------------------------------------------------------
+@register("cosine_topk_pq", sql=None, tags=("similarity", "ann", "pq", "adc"))
+def cosine_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_pq(e, F.col("vec_id") % 100 == 0, k=5)
+
+
+# --------------------------------------------------------------------------
 # Approximate aggregates — the documented 100 TB substitutes for exact
 # count-distinct/median (SURVEY §7.4 trap 6). Engine-specific sketches
 # (HLL++/KLL) cannot match DuckDB bit-for-bit → rows-only check.

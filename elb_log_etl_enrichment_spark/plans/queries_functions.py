@@ -560,3 +560,52 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("k") > 50).cast("long").alias("n_high"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Linear-regression aggregate surface (regr_* family): closed-form
+# OLS per group as a single partial+final hash aggregate — the
+# distributed "fit a line" primitive. Slope/intercept/R² are ratios
+# of co-moment sums, so partial aggregation is exact and the shuffle
+# carries one fixed-width state row per group regardless of input
+# size. x = hour of day, y = event value — "does the metric drift
+# across the day, per event type?".
+# --------------------------------------------------------------------------
+@register(
+    "regression_battery",
+    sql="""
+    SELECT event_type,
+           CAST(regr_count(value, CAST(hour(ts) AS DOUBLE)) AS BIGINT) AS n,
+           ROUND(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 6)     AS slope,
+           ROUND(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 6) AS intercept,
+           ROUND(regr_r2(value, CAST(hour(ts) AS DOUBLE)), 6)        AS r2,
+           ROUND(regr_avgx(value, CAST(hour(ts) AS DOUBLE)), 6)      AS avg_x,
+           ROUND(regr_avgy(value, CAST(hour(ts) AS DOUBLE)), 6)      AS avg_y,
+           ROUND(corr(value, CAST(hour(ts) AS DOUBLE)), 6)           AS pearson_r
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("functions", "regression", "agg", "stats"),
+)
+def regression_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS via the SQL-standard regr_* aggregates (Spark
+    3.4+ / DuckDB both implement them). One hash aggregate, no
+    window, no second pass — the co-moment state (n, Σx, Σy, Σxx,
+    Σxy, Σyy) merges associatively across partitions."""
+    e = _t(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    y = F.col("value")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.regr_count(y, x).cast("long").alias("n"),
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+            F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
+            F.round(F.corr(y, x), 6).alias("pearson_r"),
+        )
+        .orderBy("event_type")
+    )

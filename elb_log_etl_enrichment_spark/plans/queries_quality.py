@@ -272,3 +272,78 @@ def bigram_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("top_bigram_count").cast("long").alias("max_top_bigram_count"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Readability scoring (Flesch reading ease, regex-approximated).
+# Syllables ≈ vowel-group runs per word; sentences ≈ terminal-punct
+# runs. Everything is JVM-side regexp counting over one narrow scan —
+# no UDF, no shuffle until the sources-sized final aggregate, and the
+# identical regex definitions run on the oracle so the scores match
+# bit for bit.
+# --------------------------------------------------------------------------
+@register(
+    "readability_scores",
+    sql=r"""
+    WITH per_doc AS (
+        SELECT source,
+               GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS words,
+               GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+               GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                   AS syllables
+        FROM documents
+    ),
+    scored AS (
+        SELECT source,
+               206.835 - 1.015 * (words * 1.0 / sentences)
+                       - 84.6 * (syllables * 1.0 / words) AS flesch
+        FROM per_doc
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs,
+           ROUND(AVG(flesch), 6)         AS avg_flesch,
+           ROUND(MIN(flesch), 6)         AS min_flesch,
+           ROUND(MAX(flesch), 6)         AS max_flesch,
+           CAST(COUNT(CASE WHEN flesch >= 60 THEN 1 END) AS BIGINT)
+               AS n_easy
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("quality", "readability", "regex"),
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per source. The vowel-group syllable
+    approximation is the standard cheap heuristic; the point is the
+    shape — three regexp_extract_all counts fused into one projection,
+    whole-stage-codegen'd, aggregating straight to |sources| rows."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))), F.lit(1)
+    )
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    syllables = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[aeiouy]+"), F.lit(0))
+        ),
+        F.lit(1),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words * 1.0 / sentences)
+        - F.lit(84.6) * (syllables * 1.0 / words)
+    )
+    return (
+        d.select("source", flesch.alias("flesch"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("flesch"), 6).alias("avg_flesch"),
+            F.round(F.min("flesch"), 6).alias("min_flesch"),
+            F.round(F.max("flesch"), 6).alias("max_flesch"),
+            F.count_if(F.col("flesch") >= 60).alias("n_easy"),
+        )
+        .orderBy("source")
+    )

@@ -100,3 +100,27 @@ def test_dsir_model_joins_are_broadcast(spark):
     stats = plan_stats(plan)
     assert stats["broadcast_joins"] >= 2, stats
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_topk_recall_against_bruteforce(spark):
+    # PQ is approximate by construction; the contract is recall vs the
+    # exact brute-force top-k on the same query set. Random synthetic
+    # embeddings are PQ's worst case — 0.5 is a conservative floor at
+    # the m=32/n_centroids=64 defaults (measured ≈0.78 at sf0.1).
+    from elb_log_etl_enrichment_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_pq,
+    )
+    from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+    e = load_table(spark, SF, "embeddings")
+    pred = F.col("vec_id") % 100 == 0
+    exact = {
+        (r.query_id, r.neighbor)
+        for r in cosine_topk_bruteforce(e, pred, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor) for r in cosine_topk_pq(e, pred, k=5).collect()
+    }
+    assert exact, "query set must not be empty"
+    assert len(approx & exact) / len(exact) >= 0.5
