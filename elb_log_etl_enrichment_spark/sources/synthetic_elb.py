@@ -24,13 +24,19 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 try:  # pyspark >= 4.0
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     _HAS_PYDS = True
 except ImportError:  # pragma: no cover - pyspark 3.x fallback
     DataSource = object  # type: ignore[assignment,misc]
     DataSourceReader = object  # type: ignore[assignment,misc]
     InputPartition = object  # type: ignore[assignment,misc]
+    SimpleDataSourceStreamReader = object  # type: ignore[assignment,misc]
     _HAS_PYDS = False
 
 _MASK = (1 << 64) - 1
@@ -97,6 +103,41 @@ class _SyntheticElbReader(DataSourceReader):
             yield (make_line(self.seed, part, row),)
 
 
+class _SyntheticElbStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tier of the synthetic source (Spark 4 Python Data
+    Source streaming API): the micro-batch analog of the reference's
+    cron loop, but with real offset tracking.
+
+    Offsets are ``{"batch": n}``; every micro-batch emits
+    ``rows_per_batch`` deterministic lines keyed by (seed, batch, row)
+    — the same splitmix64 derivation as the batch reader, so
+    ``readBetweenOffsets`` replays any committed range bit-for-bit.
+    That replayability is what gives the source exactly-once semantics
+    under checkpoint recovery: a restarted query re-reads
+    [lastCommitted, latest) and gets identical rows, where the
+    reference's cron+re-list loop re-reads EVERYTHING with no offset
+    notion at all (elb_logs.py:402, cron_test.txt).
+    """
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows_per_batch", 200))
+        self.seed = int(options.get("seed", 0))
+
+    def initialOffset(self):
+        return {"batch": 0}
+
+    def read(self, start):
+        b = int(start["batch"])
+        rows = [(make_line(self.seed, b, r),) for r in range(self.rows)]
+        return iter(rows), {"batch": b + 1}
+
+    def readBetweenOffsets(self, start, end):
+        out = []
+        for b in range(int(start["batch"]), int(end["batch"])):
+            out.extend((make_line(self.seed, b, r),) for r in range(self.rows))
+        return iter(out)
+
+
 class SyntheticElbDataSource(DataSource):
     """``spark.read.format("elb_synthetic")`` after
     ``spark.dataSource.register(SyntheticElbDataSource)``.
@@ -115,6 +156,9 @@ class SyntheticElbDataSource(DataSource):
 
     def reader(self, schema) -> _SyntheticElbReader:
         return _SyntheticElbReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "_SyntheticElbStreamReader":
+        return _SyntheticElbStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -50,3 +50,57 @@ def test_source_feeds_the_elb_parser(spark):
     fivehundreds = parsed.filter("elb_status_code >= 500")
     assert fivehundreds.count() > 0
     assert fivehundreds.filter("request_processing_time IS NOT NULL").count() == 0
+
+
+def test_streaming_source_is_deterministic_and_exactly_once(spark, tmp_path):
+    """The streaming tier must (a) deliver the same splitmix64 lines
+    the offline generator defines, with no duplicates across
+    micro-batches, and (b) resume from the checkpoint after a restart
+    without re-emitting committed batches."""
+    import time
+
+    from elb_log_etl_enrichment_spark.sources.synthetic_elb import (
+        make_line,
+        register,
+    )
+
+    register(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_until(min_rows, timeout_s=60):
+        q = (
+            spark.readStream.format("elb_synthetic")
+            .option("rows_per_batch", 50)
+            .option("seed", 7)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + timeout_s
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out).count() >= min_rows:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    run_until(150)  # ≥3 committed micro-batches
+    first = spark.read.parquet(out).count()
+    run_until(first + 100)  # restart from checkpoint, make progress
+
+    got = [r.value for r in spark.read.parquet(out).collect()]
+    n_batches = len(got) // 50
+    assert len(got) == n_batches * 50  # whole batches only
+    expected = [
+        make_line(7, b, r) for b in range(n_batches) for r in range(50)
+    ]
+    assert sorted(got) == sorted(expected)  # deterministic, no dup/loss
