@@ -257,16 +257,19 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     b = probe.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "k", "byte"
     )
-    cand = (
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    # Verify BEFORE dedup: bit_count is one instruction, so the Hamming
+    # filter runs on the raw candidate stream and the distinct only
+    # dedups true pairs (a close pair shares several untouched bytes →
+    # generated up to 4×). On a correlated-signature corpus the raw
+    # candidate volume is ~50× the true-pair volume; deduping first
+    # shuffles all of it, filtering first shuffles only matches.
+    return (
         a.join(b, on=["k", "byte"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
-    return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
