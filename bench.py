@@ -114,6 +114,7 @@ HEADLINE = [
     "regression_battery",
     "readability_scores",
     "cosine_topk_pq",
+    "session_relative_features",
 ]
 
 

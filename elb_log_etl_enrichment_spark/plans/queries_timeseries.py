@@ -488,3 +488,78 @@ def max_concurrent_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# --------------------------------------------------------------------------
+# Session-relative event features — the per-event feature-engineering
+# companion to `sessionize_events`. The naive formulation windows over
+# (user_id, session_number), which needs a SECOND Exchange after the
+# session-number window; instead every feature here is expressed as a
+# running aggregate over the SAME (user_id // ms, event_id) window
+# spec — session start rank/ms are running MAXes gated on the break
+# flag — so Catalyst plans ONE Exchange + ONE Sort for all five
+# window functions. At 100 TB that's half the shuffle I/O of the
+# naive plan.
+# --------------------------------------------------------------------------
+@register(
+    "session_relative_features",
+    sql="""
+    WITH t AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+    ), d AS (
+        SELECT *,
+               row_number() OVER w AS rn,
+               CASE WHEN ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS brk
+        FROM t
+        WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+    ), s AS (
+        SELECT *,
+               CAST(SUM(brk) OVER w2 AS BIGINT) AS session_number,
+               MAX(CASE WHEN brk = 1 OR rn = 1 THEN rn END) OVER w2 AS start_rn,
+               MAX(CASE WHEN brk = 1 OR rn = 1 THEN ms END) OVER w2 AS start_ms
+        FROM d
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ms, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id,
+           user_id,
+           concat(user_id, '_s', session_number) AS session_id,
+           CAST(rn - start_rn + 1 AS BIGINT) AS idx_in_session,
+           CAST(ms - start_ms AS BIGINT)     AS ms_since_session_start
+    FROM s
+    """,
+    tags=("timeseries", "session", "window", "features"),
+)
+def session_relative_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event index within session + ms since session start, computed
+    with running aggregates only (no per-session partitioning)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = e.select("user_id", "event_id", F.unix_millis("ts").alias("ms"))
+    d = t.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.when(
+            F.col("ms") - F.lag("ms").over(w) > 1800000, 1
+        ).otherwise(0).alias("brk"),
+    )
+    start_gate = F.when((F.col("brk") == 1) | (F.col("rn") == 1), F.col("rn"))
+    start_ms_gate = F.when((F.col("brk") == 1) | (F.col("rn") == 1), F.col("ms"))
+    s = d.select(
+        "*",
+        F.sum("brk").over(w2).cast("long").alias("session_number"),
+        F.max(start_gate).over(w2).alias("start_rn"),
+        F.max(start_ms_gate).over(w2).alias("start_ms"),
+    )
+    return s.select(
+        "event_id",
+        "user_id",
+        F.concat(F.col("user_id"), F.lit("_s"), F.col("session_number")).alias(
+            "session_id"
+        ),
+        (F.col("rn") - F.col("start_rn") + 1).cast("long").alias("idx_in_session"),
+        (F.col("ms") - F.col("start_ms")).cast("long").alias("ms_since_session_start"),
+    )

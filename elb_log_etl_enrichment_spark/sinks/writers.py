@@ -172,3 +172,50 @@ def write_zorder_parquet(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dest_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ⌈total_bytes / target⌉ files and return that file count.
+
+    The small-files problem is the classic failure mode of the
+    reference's cron loop at scale (one output file per 2-minute tick
+    → millions of tiny objects whose per-file open/footer cost
+    dominates the scan). Compaction sizes output files from the
+    ACTUAL on-disk byte size — not row counts, which mispredict badly
+    across compression ratios. repartition (not coalesce) so the
+    rewrite redistributes evenly: coalesce would glue existing tiny
+    files into skewed unions and, fused upstream, can silently shrink
+    the parallelism of the whole read stage."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src_dir).repartition(n_files).write.mode(mode).parquet(
+        dest_dir
+    )
+    return n_files
+
+
+def read_with_schema_evolution(spark, *paths: str):
+    """Read parquet directories whose schemas drifted across
+    generations (columns added/dropped over time — exactly what a
+    long-lived partitioned sink accumulates).
+
+    ``mergeSchema`` makes the scan reconcile footers into the union
+    schema; files missing a column yield NULLs for it. Column
+    TYPE conflicts still fail fast (correct — silent coercion hides
+    data bugs). One scan, normal pushdown/pruning on the union
+    schema."""
+    return spark.read.option("mergeSchema", True).parquet(*paths)

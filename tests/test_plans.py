@@ -153,3 +153,19 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_window_group_limit_prunes_topk_before_shuffle(spark):
+    """rank()<=k filters compile to WindowGroupLimit, and Spark inserts
+    it BOTH below the exchange (per-partition partial top-k, like a
+    partial agg) and above it — so the shuffle carries at most k rows
+    per group per input partition, not the whole table. This is the
+    plan property that makes ranking top-k viable at 100 TB."""
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["top3_customers_per_nation"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    # tree text is top-down: the partial WGL sits BELOW (after) the
+    # Exchange line, i.e. on the scan side of the shuffle
+    assert "WindowGroupLimit" in plan.split("Exchange", 1)[1], plan
