@@ -115,6 +115,8 @@ HEADLINE = [
     "readability_scores",
     "cosine_topk_pq",
     "session_relative_features",
+    "iqr_outlier_audit",
+    "association_rules_parts",
 ]
 
 

@@ -99,6 +99,21 @@ def run_pipeline(
     # cache entry is LRU-evictable; callers that are done can
     # `frames["enriched"].unpersist()`.
     enriched = enriched.persist()
+    # Pipeline observability (df.observe): named aggregate metrics
+    # computed DURING the first action over the enriched frame — no
+    # extra pass, no extra job, the accumulation rides the existing
+    # scan. The reference's only telemetry is log lines; a production
+    # pipeline alerts on these counters per run.
+    from pyspark.sql import Observation
+
+    obs = Observation("pipeline_metrics")
+    enriched = enriched.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("is_bot")).alias("n_bots"),
+        F.count_if(F.col("waf_blocked")).alias("n_waf_blocked"),
+        F.count_if(F.col("countryCode").isNull()).alias("n_geo_missing"),
+    )
     write_cleaned_logs(enriched, os.path.join(output_dir, "cleaned_logs"))
     hourly = hourly_geo_aggregates(enriched)
     write_parquet(
@@ -121,4 +136,5 @@ def run_pipeline(
         "errors": errors,
         "bot_detail": bot_detail,
         "bot_summary": bot_summary,
+        "metrics": obs.get,
     }

@@ -345,3 +345,131 @@ def knn_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("t") * 1.0 / F.sum(F.col("d") * (F.col("d") - 1) / 2), 6
         ).alias("transitivity"),
     )
+
+
+# --------------------------------------------------------------------------
+# IQR outlier audit (Tukey fences per group)
+# --------------------------------------------------------------------------
+@register(
+    "iqr_outlier_audit",
+    sql="""
+    WITH fences AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+                           THEN 1 END) AS BIGINT) AS n_low,
+           CAST(COUNT(CASE WHEN e.value > f.q3 + 1.5 * (f.q3 - f.q1)
+                           THEN 1 END) AS BIGINT) AS n_high,
+           ROUND(MIN(f.q1 - 1.5 * (f.q3 - f.q1)), 6) AS lo_fence,
+           ROUND(MIN(f.q3 + 1.5 * (f.q3 - f.q1)), 6) AS hi_fence
+    FROM events e JOIN fences f USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    tags=("profiling", "outliers", "percentile"),
+)
+def iqr_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counts per event type. Exact interpolated
+    percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`) build a
+    groups-sized fence table that broadcasts back onto the fact scan;
+    both aggregates are map-side combinable, so the fact table
+    shuffles nothing wider than the group key."""
+    e = _t(spark, sf_dir, "events")
+    fences = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        e.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("value") < lo).alias("n_low"),
+            F.count_if(F.col("value") > hi).alias("n_high"),
+            F.round(F.min(lo), 6).alias("lo_fence"),
+            F.round(F.min(hi), 6).alias("hi_fence"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Market-basket association rules (support / confidence / lift)
+# --------------------------------------------------------------------------
+_MIN_PAIR_SUPPORT = 3
+
+
+@register(
+    "association_rules_parts",
+    sql=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT ok) AS n FROM items),
+    item_cnt AS (SELECT pk, COUNT(*) AS c FROM items GROUP BY pk),
+    pair_cnt AS (
+        SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS cab
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk
+        HAVING COUNT(*) >= {_MIN_PAIR_SUPPORT}
+    )
+    SELECT p.pa, p.pb,
+           CAST(p.cab AS BIGINT) AS n_both,
+           ROUND(p.cab * 1.0 / n.n, 6)             AS support,
+           ROUND(p.cab * 1.0 / ca.c, 6)            AS confidence_a_to_b,
+           ROUND(p.cab * 1.0 * n.n / (ca.c * cb.c), 6) AS lift
+    FROM pair_cnt p
+    JOIN item_cnt ca ON ca.pk = p.pa
+    JOIN item_cnt cb ON cb.pk = p.pb
+    CROSS JOIN n_orders n
+    """,
+    tags=("profiling", "association", "basket", "join"),
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-pair association rules mined from order baskets. The pair
+    explosion is bounded by items-per-order (≤7 here — C(7,2) rows per
+    order, never corpus²); pair counts aggregate map-side before the
+    min-support cut, and the item-frequency and 1-row totals tables
+    broadcast back onto the surviving pairs."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = items.agg(F.count_distinct("ok").alias("n"))
+    item_cnt = items.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
+    pair_cnt = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= _MIN_PAIR_SUPPORT)
+    )
+    ca = item_cnt.select(F.col("pk").alias("pa"), F.col("c").alias("c_a"))
+    cb = item_cnt.select(F.col("pk").alias("pb"), F.col("c").alias("c_b"))
+    return (
+        pair_cnt.join(F.broadcast(ca), "pa")
+        .join(F.broadcast(cb), "pb")
+        .join(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            F.col("cab").cast("long").alias("n_both"),
+            F.round(F.col("cab") * 1.0 / F.col("n"), 6).alias("support"),
+            F.round(F.col("cab") * 1.0 / F.col("c_a"), 6).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                F.col("cab") * 1.0 * F.col("n") / (F.col("c_a") * F.col("c_b")), 6
+            ).alias("lift"),
+        )
+    )

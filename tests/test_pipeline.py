@@ -102,3 +102,21 @@ def test_pipeline_golden_output_hash(spark, tmp_path):
     )
     digest = hashlib.md5("\n".join(serial).encode()).hexdigest()
     assert digest == "ce1f2f05ea4513532d3fa6991ecc4556"
+
+
+def test_pipeline_observe_metrics_ride_the_first_action(spark, tmp_path):
+    """run_pipeline attaches df.observe counters to the enriched frame;
+    they must be collected by the sink actions (no extra job) and agree
+    with direct recounts of the returned frame."""
+    from elb_log_etl_enrichment_spark.plans.pipeline import run_pipeline
+
+    lines = spark.createDataFrame(
+        [(ln,) for ln in fixture_lines()], "value string"
+    )
+    frames = run_pipeline(spark, lines, str(tmp_path / "obs_out"))
+    m = frames["metrics"]
+    enriched = frames["enriched"]
+    assert m["n_rows"] == enriched.count() > 0
+    assert m["n_bots"] == enriched.filter("is_bot").count()
+    assert m["n_waf_blocked"] == enriched.filter("waf_blocked").count()
+    assert m["n_geo_missing"] == enriched.filter("countryCode IS NULL").count()
