@@ -117,6 +117,7 @@ HEADLINE = [
     "session_relative_features",
     "iqr_outlier_audit",
     "association_rules_parts",
+    "minhash_calibration",
 ]
 
 

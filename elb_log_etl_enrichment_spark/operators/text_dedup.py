@@ -147,6 +147,24 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     return verified
 
 
+def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
+    """(doc_id, g0..g15) — the 16 minhash signatures, computed as 16
+    streamed ``min`` partial aggregates over ONE shingle explosion
+    (see minhash_band_keys for why this beats the alternatives)."""
+    sh = shingles(docs) if sh is None else sh
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long") % MINHASH_P
+    exploded = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", h.alias("h")
+    )
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(MINHASH_A[s]) * F.col("h") + F.lit(MINHASH_B[s])) % MINHASH_P)
+            .alias(f"g{s}")
+            for s in range(MINHASH_SEEDS)
+        ]
+    )
+
+
 def minhash_band_keys(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, band, band_key) — the LSH bucket assignment.
 
@@ -163,18 +181,7 @@ def minhash_band_keys(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame
     streamed hash-agg. A previous md5-per-(seed,shingle) formulation
     measured ~2.3× slower than this integer family.)
     """
-    sh = shingles(docs) if sh is None else sh
-    h = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long") % MINHASH_P
-    exploded = sh.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", h.alias("h")
-    )
-    sigs = exploded.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(MINHASH_A[s]) * F.col("h") + F.lit(MINHASH_B[s])) % MINHASH_P)
-            .alias(f"g{s}")
-            for s in range(MINHASH_SEEDS)
-        ]
-    )
+    sigs = minhash_signatures(docs, sh=sh)
     rows_per_band = MINHASH_SEEDS // LSH_BANDS
     band_structs = [
         F.struct(

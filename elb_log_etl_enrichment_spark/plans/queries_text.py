@@ -969,3 +969,94 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash sketch calibration: estimated vs exact Jaccard on the LSH
+# candidate set, summarized per exact-Jaccard decile. This is the
+# query you run before trusting a sketch at 100 TB — it quantifies
+# the 16-signature estimator's bias/error on YOUR corpus, using one
+# signature pass and the same candidate join the dedup pipeline
+# already does (sketch state: 16 longs/doc, mergeable; the exact
+# verify exists here only to ground the calibration).
+# --------------------------------------------------------------------------
+@register(
+    "minhash_calibration",
+    sql=f"""
+    WITH {_MINHASH_CTES},
+    est AS (
+        SELECT v.doc_a, v.doc_b, v.jaccard,
+               (CASE WHEN a.g0 = b.g0 THEN 1 ELSE 0 END + CASE WHEN a.g1 = b.g1 THEN 1 ELSE 0 END + CASE WHEN a.g2 = b.g2 THEN 1 ELSE 0 END + CASE WHEN a.g3 = b.g3 THEN 1 ELSE 0 END + CASE WHEN a.g4 = b.g4 THEN 1 ELSE 0 END + CASE WHEN a.g5 = b.g5 THEN 1 ELSE 0 END + CASE WHEN a.g6 = b.g6 THEN 1 ELSE 0 END + CASE WHEN a.g7 = b.g7 THEN 1 ELSE 0 END + CASE WHEN a.g8 = b.g8 THEN 1 ELSE 0 END + CASE WHEN a.g9 = b.g9 THEN 1 ELSE 0 END + CASE WHEN a.g10 = b.g10 THEN 1 ELSE 0 END + CASE WHEN a.g11 = b.g11 THEN 1 ELSE 0 END + CASE WHEN a.g12 = b.g12 THEN 1 ELSE 0 END + CASE WHEN a.g13 = b.g13 THEN 1 ELSE 0 END + CASE WHEN a.g14 = b.g14 THEN 1 ELSE 0 END + CASE WHEN a.g15 = b.g15 THEN 1 ELSE 0 END) / 16.0 AS est
+        FROM verified v
+        JOIN sigs a ON a.doc_id = v.doc_a
+        JOIN sigs b ON b.doc_id = v.doc_b
+    )
+    SELECT CAST(LEAST(FLOOR(jaccard * 10), 9) AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(jaccard), 6)   AS avg_exact,
+           ROUND(AVG(est), 6)       AS avg_est,
+           ROUND(AVG(ABS(est - jaccard)), 6) AS mae
+    FROM est
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("dedup", "minhash", "sketch", "calibration"),
+)
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile MinHash estimator error over LSH candidates."""
+    from ..operators.text_dedup import (
+        MINHASH_SEEDS,
+        _jaccard,
+        minhash_band_keys,
+        minhash_signatures,
+        shingles,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sh = shingles(d).persist()
+    sigs = minhash_signatures(d, sh=sh)
+    bands = minhash_band_keys(d, sh=sh)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), on=["band", "band_key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    matches = sum(
+        (
+            F.when(F.col(f"a.g{s}") == F.col(f"b.g{s}"), 1).otherwise(0)
+            for s in range(MINHASH_SEEDS)
+        ),
+        F.lit(0),
+    )
+    est = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .join(sigs.alias("a"), F.col("a.doc_id") == F.col("doc_a"))
+        .join(sigs.alias("b"), F.col("b.doc_id") == F.col("doc_b"))
+        .select(
+            F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+            (matches / 16.0).alias("est"),
+        )
+    )
+    return (
+        est.groupBy(
+            F.least(F.floor(F.col("jaccard") * 10), F.lit(9))
+            .cast("long")
+            .alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_exact"),
+            F.round(F.avg("est"), 6).alias("avg_est"),
+            F.round(F.avg(F.abs(F.col("est") - F.col("jaccard"))), 6).alias("mae"),
+        )
+        .orderBy("decile")
+    )
