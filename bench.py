@@ -118,6 +118,8 @@ HEADLINE = [
     "iqr_outlier_audit",
     "association_rules_parts",
     "minhash_calibration",
+    "weighted_sample_audit",
+    "equi_depth_histogram_orders",
 ]
 
 

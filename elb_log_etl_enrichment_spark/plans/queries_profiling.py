@@ -473,3 +473,114 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic weighted Bernoulli sampling (P(keep) ∝ length)
+# --------------------------------------------------------------------------
+@register(
+    "weighted_sample_audit",
+    sql="""
+    WITH scored AS (
+        SELECT source,
+               LEAST(n_chars / 400.0, 1.0) AS p,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                    % 1000000) / 1000000.0 AS u
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                     AS n_docs,
+           CAST(COUNT(CASE WHEN u < p THEN 1 END) AS BIGINT) AS n_kept,
+           ROUND(AVG(p), 6)                             AS avg_p,
+           ROUND(COUNT(CASE WHEN u < p THEN 1 END) * 1.0 / COUNT(*), 6)
+               AS kept_frac
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("profiling", "sampling", "deterministic"),
+)
+def weighted_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted Bernoulli sampling with a content-hash uniform:
+    u = md5(doc_id) mod 1e6 / 1e6, keep iff u < min(n_chars/400, 1).
+    Unlike rand(), the decision is a pure function of the row — stable
+    across retries, partitionings, and engines (the property
+    `deterministic_split_counts` uses, extended to weighted rates).
+    Narrow map + sources-sized agg; zero shuffle before the agg."""
+    d = _t(spark, sf_dir, "documents")
+    p = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        % 1000000
+    ).cast("double") / 1000000.0
+    return (
+        d.select("source", p.alias("p"), u.alias("u"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("u") < F.col("p")).alias("n_kept"),
+            F.round(F.avg("p"), 6).alias("avg_p"),
+            F.round(
+                F.count_if(F.col("u") < F.col("p")) * 1.0 / F.count(F.lit(1)), 6
+            ).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram (8 buckets on exact interpolated octile bounds)
+# --------------------------------------------------------------------------
+@register(
+    "equi_depth_histogram_orders",
+    sql="""
+    WITH bounds AS (
+        SELECT [quantile_cont(o_totalprice, 0.125),
+                quantile_cont(o_totalprice, 0.25),
+                quantile_cont(o_totalprice, 0.375),
+                quantile_cont(o_totalprice, 0.5),
+                quantile_cont(o_totalprice, 0.625),
+                quantile_cont(o_totalprice, 0.75),
+                quantile_cont(o_totalprice, 0.875)] AS bs
+        FROM orders
+    )
+    SELECT CAST(len(list_filter(b.bs, x -> x <= o.o_totalprice)) AS BIGINT)
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT)       AS n,
+           ROUND(MIN(o.o_totalprice), 6)  AS lo,
+           ROUND(MAX(o.o_totalprice), 6)  AS hi
+    FROM orders o CROSS JOIN bounds b
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("profiling", "histogram", "percentile"),
+)
+def equi_depth_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (octile) histogram of order totals: exact
+    interpolated boundary array from ONE aggregate, broadcast back;
+    bucket id = boundaries ≤ value, counted by an array HOF — the
+    profiler's histogram the optimizer itself would want, with ~equal
+    mass per bucket by construction."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.array(
+            *[
+                F.percentile("o_totalprice", F.lit(q / 8.0))
+                for q in range(1, 8)
+            ]
+        ).alias("bs")
+    )
+    bucket = F.size(
+        F.filter(F.col("bs"), lambda x: x <= F.col("o_totalprice"))
+    ).cast("long")
+    return (
+        o.join(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
