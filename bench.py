@@ -120,6 +120,7 @@ HEADLINE = [
     "minhash_calibration",
     "weighted_sample_audit",
     "equi_depth_histogram_orders",
+    "listagg_bitwise_battery",
 ]
 
 

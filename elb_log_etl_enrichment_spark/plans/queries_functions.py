@@ -609,3 +609,47 @@ def regression_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered string aggregation + bitwise aggregate surface. listagg
+# (SQL:2016, Spark 4) needs an explicit WITHIN GROUP order to be
+# deterministic under distributed partial aggregation — unordered
+# listagg output depends on partitioning and can never hash-match.
+# Bitwise aggs are order-free (associative+commutative), so they
+# merge map-side like any sum.
+# --------------------------------------------------------------------------
+@register(
+    "listagg_bitwise_battery",
+    sql="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS statuses,
+           CAST(bit_and(o_orderkey) AS BIGINT) AS key_and,
+           CAST(bit_or(o_orderkey)  AS BIGINT) AS key_or,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("functions", "listagg", "bitwise", "agg"),
+)
+def listagg_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority ordered DISTINCT status roster + bitwise key
+    folds, one hash aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "listagg(DISTINCT o_orderstatus, ',') "
+                "WITHIN GROUP (ORDER BY o_orderstatus)"
+            ).alias("statuses"),
+            F.bit_and("o_orderkey").cast("long").alias("key_and"),
+            F.bit_or("o_orderkey").cast("long").alias("key_or"),
+            F.bit_xor("o_orderkey").cast("long").alias("key_xor"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
