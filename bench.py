@@ -121,6 +121,8 @@ HEADLINE = [
     "weighted_sample_audit",
     "equi_depth_histogram_orders",
     "listagg_bitwise_battery",
+    "quarterly_growth_by_priority",
+    "null_safe_join_battery",
 ]
 
 

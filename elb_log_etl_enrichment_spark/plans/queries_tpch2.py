@@ -503,3 +503,109 @@ def important_parts_value_threshold(spark: SparkSession, sf_dir: str) -> DataFra
             F.round("part_value_raw", 2).alias("part_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Quarter-over-quarter growth: window functions over an AGGREGATED
+# series. The lag/ratio pass runs on |priorities × quarters| rows —
+# the fact table collapses in the first hash agg, so the window
+# Exchange moves a few hundred rows no matter how many billion
+# orders feed it. Growth is NULL for each priority's first quarter
+# (lag has no predecessor), matching the oracle exactly.
+# --------------------------------------------------------------------------
+@register(
+    "quarterly_growth_by_priority",
+    sql="""
+    WITH q AS (
+        SELECT o_orderpriority AS priority,
+               date_trunc('quarter', o_orderdate) AS qtr,
+               SUM(o_totalprice) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY 1, 2
+    )
+    SELECT priority,
+           strftime(qtr, '%Y-%m') AS quarter,
+           ROUND(revenue, 2) AS revenue,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           ROUND(revenue / lag(revenue) OVER
+                 (PARTITION BY priority ORDER BY qtr) - 1, 6) AS qoq_growth
+    FROM q
+    ORDER BY priority, quarter
+    """,
+    tags=("agg", "window", "growth", "timeseries"),
+)
+def quarterly_growth_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue + QoQ growth per order priority."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    q = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("quarter", "o_orderdate").alias("qtr"),
+    ).agg(
+        F.sum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.partitionBy("priority").orderBy("qtr")
+    return q.select(
+        "priority",
+        F.date_format("qtr", "yyyy-MM").alias("quarter"),
+        F.round("revenue", 2).alias("revenue"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 6).alias(
+            "qoq_growth"
+        ),
+    ).orderBy("priority", "quarter")
+
+
+# --------------------------------------------------------------------------
+# Null-safe equality join (IS NOT DISTINCT FROM / <=>): NULL keys
+# match each other instead of disappearing. The demonstration key is
+# NULLIF(o_orderstatus, 'O') — a third of orders get a NULL key, and
+# the null-safe self-join count proves NULL≡NULL semantics against
+# the oracle (a plain equi-join would drop every NULL row). Spark
+# plans this as a regular hash join on a coalesced key — null-safe
+# equality is still an equi-join, NOT a nested loop.
+# --------------------------------------------------------------------------
+@register(
+    "null_safe_join_battery",
+    sql="""
+    WITH k AS (
+        SELECT o_orderpriority AS priority,
+               NULLIF(o_orderstatus, 'O') AS k
+        FROM orders
+    ),
+    agg AS (SELECT priority, k, COUNT(*) AS c FROM k GROUP BY priority, k)
+    SELECT a.priority,
+           COALESCE(CAST(a.k AS VARCHAR), '<null>') AS join_key,
+           CAST(SUM(b.c) AS BIGINT) AS partner_rows
+    FROM agg a
+    JOIN agg b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.priority, a.k
+    ORDER BY a.priority, join_key
+    """,
+    tags=("join", "null-safe", "semantics"),
+)
+def null_safe_join_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe self-join over a deliberately nullable key."""
+    o = _t(spark, sf_dir, "orders")
+    k = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.nullif("o_orderstatus", F.lit("O")).alias("k"),
+    )
+    agg = k.groupBy("priority", "k").agg(F.count(F.lit(1)).alias("c"))
+    a, b = agg.alias("a"), agg.alias("b")
+    return (
+        a.join(b, F.col("a.k").eqNullSafe(F.col("b.k")))
+        .groupBy(F.col("a.priority").alias("priority"), F.col("a.k").alias("k"))
+        .agg(F.sum("b.c").cast("long").alias("partner_rows"))
+        .select(
+            "priority",
+            F.coalesce(F.col("k").cast("string"), F.lit("<null>")).alias(
+                "join_key"
+            ),
+            "partner_rows",
+        )
+        .orderBy("priority", "join_key")
+    )
