@@ -123,6 +123,7 @@ HEADLINE = [
     "listagg_bitwise_battery",
     "quarterly_growth_by_priority",
     "null_safe_join_battery",
+    "batch_session_window_stats",
 ]
 
 

@@ -563,3 +563,55 @@ def session_relative_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rn") - F.col("start_rn") + 1).cast("long").alias("idx_in_session"),
         (F.col("ms") - F.col("start_ms")).cast("long").alias("ms_since_session_start"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch session_window: Spark's dedicated sessionization operator
+# (gap-merged grouping state, the same primitive the streaming tier
+# uses) run in BATCH mode — vs `sessionize_events`, which derives
+# sessions from lag/cumsum window functions. Both must agree: the
+# oracle reproduces session_window's [min ts, max ts + gap) windows
+# from the break-flag recursion, so this query cross-validates the
+# two sessionization formulations against each other AND DuckDB.
+# --------------------------------------------------------------------------
+@register(
+    "batch_session_window_stats",
+    sql="""
+    WITH t AS (
+        SELECT user_id, value, epoch_ms(ts) AS ms, event_id FROM events
+    ), d AS (
+        SELECT *, CASE WHEN ms - lag(ms) OVER w > 1800000
+                       THEN 1 ELSE 0 END AS brk
+        FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+    ), s AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sn
+        FROM d
+    )
+    SELECT user_id,
+           MIN(ms)            AS session_start_ms,
+           MAX(ms) + 1800000  AS session_end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6)     AS total_value
+    FROM s
+    GROUP BY user_id, sn
+    """,
+    tags=("timeseries", "session", "session_window", "batch"),
+)
+def batch_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessions via the native session_window aggregate."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("w.end").alias("session_end_ms"),
+            "n_events",
+            "total_value",
+        )
+    )
