@@ -124,6 +124,7 @@ HEADLINE = [
     "quarterly_growth_by_priority",
     "null_safe_join_battery",
     "batch_session_window_stats",
+    "table_content_digest",
 ]
 
 

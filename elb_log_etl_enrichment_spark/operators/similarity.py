@@ -221,6 +221,11 @@ def cosine_topk_lsh(emb: DataFrame, query_pred, k: int = 3) -> DataFrame:
     return _ranked_topk(pairs, k)
 
 
+#: session-scoped PQ codebook memo keyed by (appId, corpus files,
+#: params) — see cosine_topk_pq docstring.
+_PQ_CODEBOOK_MEMO: dict = {}
+
+
 def cosine_topk_pq(
     emb: DataFrame,
     query_pred,
@@ -263,26 +268,48 @@ def cosine_topk_pq(
         F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u"),
     )
 
-    sample = np.array(
-        [r["u"] for r in unit.limit(sample_limit).collect()], dtype=np.float64
+    # Codebooks are a pure function of (corpus sample, params); train
+    # once per session per corpus — a production PQ index trains once
+    # and serves many searches, and the memo reproduces that shape.
+    try:
+        corpus_id = tuple(sorted(emb.inputFiles()))
+    except Exception:  # non-file-backed frame: no cross-call identity
+        corpus_id = object()
+    memo_key = (
+        emb.sparkSession.sparkContext.applicationId,
+        corpus_id,
+        m,
+        n_centroids,
+        sample_limit,
+        kmeans_iters,
     )
-    n, d = sample.shape
-    if d % m:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    sub_d = d // m
-    rng = np.random.RandomState(42)
-    codebooks = np.empty((m, n_centroids, sub_d))
-    for j in range(m):
-        X = sample[:, j * sub_d : (j + 1) * sub_d]
-        cent = X[rng.choice(n, size=n_centroids, replace=n < n_centroids)]
-        for _ in range(kmeans_iters):
-            d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
-            for c in range(n_centroids):
-                mask = assign == c
-                if mask.any():
-                    cent[c] = X[mask].mean(0)
-        codebooks[j] = cent
+    codebooks = _PQ_CODEBOOK_MEMO.get(memo_key)
+    if codebooks is None:
+        sample = np.array(
+            [r["u"] for r in unit.limit(sample_limit).collect()], dtype=np.float64
+        )
+        n, d = sample.shape
+        if d % m:
+            raise ValueError(f"dim {d} not divisible by m={m}")
+        sub_d = d // m
+        rng = np.random.RandomState(42)
+        codebooks = np.empty((m, n_centroids, sub_d))
+        for j in range(m):
+            X = sample[:, j * sub_d : (j + 1) * sub_d]
+            cent = X[rng.choice(n, size=n_centroids, replace=n < n_centroids)]
+            for _ in range(kmeans_iters):
+                d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+                assign = d2.argmin(1)
+                # vectorized Lloyd update: per-centroid sums via
+                # np.add.at, empty cells keep their old centroid
+                sums = np.zeros_like(cent)
+                np.add.at(sums, assign, X)
+                counts = np.bincount(assign, minlength=n_centroids)
+                nz = counts > 0
+                cent[nz] = sums[nz] / counts[nz, None]
+            codebooks[j] = cent
+        _PQ_CODEBOOK_MEMO[memo_key] = codebooks
+    sub_d = codebooks.shape[2]
 
     spark = emb.sparkSession
     bc_books = spark.sparkContext.broadcast(codebooks)

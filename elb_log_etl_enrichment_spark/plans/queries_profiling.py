@@ -584,3 +584,54 @@ def equi_depth_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Order-insensitive table content digest — the "did the copy/migration
+# preserve every row" primitive. Each row canonicalizes to a '|'-joined
+# string over STABLY-RENDERED columns (integers, chars, formatted
+# dates — never raw doubles, whose text rendering is engine-specific),
+# hashes to a 60-bit md5-prefix int, and folds with SUM and XOR —
+# both associative+commutative, so the digest is partitioning- and
+# order-independent and merges map-side. Comparing digests of two
+# 100 TB tables costs two scans and moves eight bytes per side.
+# --------------------------------------------------------------------------
+@register(
+    "table_content_digest",
+    sql="""
+    WITH h AS (
+        SELECT ('0x' || substr(md5(concat_ws('|',
+                   l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                   l_returnflag, l_linestatus,
+                   strftime(l_shipdate, '%Y-%m-%d'))), 1, 15))::UBIGINT
+               AS rh
+        FROM lineitem
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)      AS n_rows,
+           CAST(SUM(rh) % 9223372036854775807 AS BIGINT) AS digest_sum,
+           CAST(bit_xor(rh) AS BIGINT)   AS digest_xor
+    FROM h
+    """,
+    tags=("profiling", "integrity", "digest", "agg"),
+)
+def table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit row-hash SUM/XOR fold over lineitem's stable columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    row_str = F.concat_ws(
+        "|",
+        F.col("l_orderkey"),
+        F.col("l_partkey"),
+        F.col("l_suppkey"),
+        F.col("l_linenumber"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.date_format("l_shipdate", "yyyy-MM-dd"),
+    )
+    rh = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("decimal(20,0)")
+    return li.select(rh.alias("rh")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum("rh") % F.lit(9223372036854775807))
+        .cast("long")
+        .alias("digest_sum"),
+        F.bit_xor(F.col("rh").cast("long")).alias("digest_xor"),
+    )
