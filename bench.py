@@ -164,17 +164,30 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    report = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # The driver stores a bounded stdout tail; a single multi-KB JSON line
+    # can be truncated mid-object and parse as nothing. Emit a compact
+    # summary line FIRST (always parseable), persist the full per-query
+    # report to BENCH.local.json, then print the full contract line.
+    compact = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": sf,
+        "detail": "BENCH.local.json",
+    }
+    print(json.dumps(compact), flush=True)
+    with open(os.path.join(REPO_ROOT, "BENCH.local.json"), "w") as fh:
+        json.dump(report, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(report), flush=True)
     spark.stop()
 
 

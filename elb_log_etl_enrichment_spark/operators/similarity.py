@@ -272,18 +272,27 @@ def cosine_topk_pq(
     # once per session per corpus — a production PQ index trains once
     # and serves many searches, and the memo reproduces that shape.
     try:
-        corpus_id = tuple(sorted(emb.inputFiles()))
-    except Exception:  # non-file-backed frame: no cross-call identity
-        corpus_id = object()
-    memo_key = (
-        emb.sparkSession.sparkContext.applicationId,
-        corpus_id,
-        m,
-        n_centroids,
-        sample_limit,
-        kmeans_iters,
-    )
-    codebooks = _PQ_CODEBOOK_MEMO.get(memo_key)
+        input_files = emb.inputFiles()
+    except Exception:
+        input_files = []
+    if input_files:
+        memo_key = (
+            emb.sparkSession.sparkContext.applicationId,
+            tuple(sorted(input_files)),
+            m,
+            n_centroids,
+            sample_limit,
+            kmeans_iters,
+        )
+        codebooks = _PQ_CODEBOOK_MEMO.get(memo_key)
+    else:
+        # Non-file-backed frame: no stable cross-call identity, so train
+        # fresh and do NOT insert into the memo — an unmatchable sentinel
+        # key would grow the module-level dict without bound. (File-backed
+        # keys can still serve stale codebooks if files are rewritten in
+        # place under the same names; acceptable for a session-scoped memo.)
+        memo_key = None
+        codebooks = None
     if codebooks is None:
         sample = np.array(
             [r["u"] for r in unit.limit(sample_limit).collect()], dtype=np.float64
@@ -308,7 +317,8 @@ def cosine_topk_pq(
                 nz = counts > 0
                 cent[nz] = sums[nz] / counts[nz, None]
             codebooks[j] = cent
-        _PQ_CODEBOOK_MEMO[memo_key] = codebooks
+        if memo_key is not None:
+            _PQ_CODEBOOK_MEMO[memo_key] = codebooks
     sub_d = codebooks.shape[2]
 
     spark = emb.sparkSession

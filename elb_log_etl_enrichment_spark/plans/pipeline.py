@@ -97,8 +97,12 @@ def run_pipeline(
     # caller inspects them after we return (unpersisting here would
     # silently re-run the whole enrichment per caller action). The
     # cache entry is LRU-evictable; callers that are done can
-    # `frames["enriched"].unpersist()`.
+    # `frames["enriched"].unpersist()` — which is why the RETURNED frame
+    # must be this persisted plan, not the observe() wrapper below:
+    # DataFrame.unpersist matches by sameResult, and CollectMetrics(...)
+    # does not match the pre-observe persisted plan.
     enriched = enriched.persist()
+    persisted = enriched
     # Pipeline observability (df.observe): named aggregate metrics
     # computed DURING the first action over the enriched frame — no
     # extra pass, no extra job, the accumulation rides the existing
@@ -131,7 +135,7 @@ def run_pipeline(
         os.path.join(output_dir, "reports", "bot_traffic_by_origin_summary.csv"),
     )
     return {
-        "enriched": enriched,
+        "enriched": persisted,
         "hourly": hourly,
         "errors": errors,
         "bot_detail": bot_detail,

@@ -1042,7 +1042,10 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sigs.alias("a"), F.col("a.doc_id") == F.col("doc_a"))
         .join(sigs.alias("b"), F.col("b.doc_id") == F.col("doc_b"))
         .select(
-            F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+            # raw (unrounded) jaccard, matching the oracle's `verified` CTE:
+            # decile bucketing and AVG/MAE must aggregate identical values
+            # on both engines; only the final aggregates are rounded.
+            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
             (matches / 16.0).alias("est"),
         )
     )

@@ -192,15 +192,27 @@ def compact_parquet(
     across compression ratios. repartition (not coalesce) so the
     rewrite redistributes evenly: coalesce would glue existing tiny
     files into skewed unions and, fused upstream, can silently shrink
-    the parallelism of the whole read stage."""
-    import math
-    import os
+    the parallelism of the whole read stage.
 
+    Sizes are resolved through the Hadoop FileSystem API so any Spark
+    path scheme works (local, s3a, hdfs); finding zero parquet bytes
+    raises instead of silently compacting "everything" into 1 file."""
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     total = 0
-    for root, _dirs, files in os.walk(src_dir):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        status = it.next()
+        if status.getPath().getName().endswith(".parquet"):
+            total += status.getLen()
+    if total == 0:
+        raise ValueError(
+            f"compact_parquet: no parquet bytes found under {src_dir!r} "
+            "(wrong path, or an empty/non-parquet directory)"
+        )
     n_files = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(src_dir).repartition(n_files).write.mode(mode).parquet(
         dest_dir

@@ -120,3 +120,14 @@ def test_pipeline_observe_metrics_ride_the_first_action(spark, tmp_path):
     assert m["n_bots"] == enriched.filter("is_bot").count()
     assert m["n_waf_blocked"] == enriched.filter("waf_blocked").count()
     assert m["n_geo_missing"] == enriched.filter("countryCode IS NULL").count()
+
+
+def test_run_pipeline_returned_enriched_unpersists_cache(spark, tmp_path):
+    """The returned frames["enriched"] must be the PERSISTED plan, so a
+    caller's .unpersist() actually releases the cache entry (ADVICE r01:
+    the observe() wrapper would not sameResult-match the cached plan)."""
+    frames = run_pipeline(spark, _lines_df(spark), str(tmp_path / "out"))
+    enriched = frames["enriched"]
+    assert enriched.storageLevel.useMemory or enriched.storageLevel.useDisk
+    enriched.unpersist(blocking=True)
+    assert not (enriched.storageLevel.useMemory or enriched.storageLevel.useDisk)

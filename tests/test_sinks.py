@@ -213,3 +213,16 @@ def test_schema_evolution_read_fills_missing_columns(spark, tmp_path):
     rows = {r.id: r for r in merged.collect()}
     assert rows[1].legacy == "a" and rows[1].added is None
     assert rows[2].legacy is None and rows[2].added == 9.5
+
+
+def test_compact_parquet_raises_on_zero_bytes(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from elb_log_etl_enrichment_spark.sinks.writers import compact_parquet
+
+    empty = str(tmp_path / "empty_src")
+    os.makedirs(empty, exist_ok=True)
+    with pytest.raises(Exception):
+        compact_parquet(spark, empty, str(tmp_path / "dest"))

@@ -154,3 +154,45 @@ def test_rolling_distinct_users_window_is_inclusive(spark, tmp_path):
     out = REGISTRY["rolling_distinct_users"].fn(spark, str(tmp_path)).collect()[0]
     # rolling counts per event: 1, 2, 2 -> peak 2
     assert out["peak_rolling_users"] == 2 and out["n_events"] == 3
+
+
+def test_session_window_exact_gap_boundary(spark, tmp_path):
+    """Pin the 30-min boundary semantics (ADVICE r01): an event exactly
+    1800000 ms after its predecessor MERGES into the same session under
+    Spark's session_window (empirically: next_start == window_end still
+    merges), matching the oracle's strict `diff > 1800000` break rule.
+    One ms past the gap splits. The lag/cumsum formulation
+    (sessionize_events) must agree on both cases."""
+    import pandas as pd
+
+    rows = [
+        # user 1: pair exactly 1800000 ms apart -> ONE session
+        (0, "2024-01-01 00:00:00.000", 1, "view", 1.0, "{}"),
+        (1, "2024-01-01 00:30:00.000", 1, "view", 1.0, "{}"),
+        # user 2: pair 1800001 ms apart -> TWO sessions
+        (2, "2024-01-01 00:00:00.000", 2, "view", 1.0, "{}"),
+        (3, "2024-01-01 00:30:00.001", 2, "view", 1.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).assign(ts=lambda d: pd.to_datetime(d["ts"])).to_parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    native = REGISTRY["batch_session_window_stats"].fn(spark, str(tmp_path))
+    per_user = {
+        r["user_id"]: r["n"]
+        for r in native.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_user == {1: 1, 2: 2}
+
+    lagged = REGISTRY["sessionize_events"].fn(spark, str(tmp_path))
+    n_sessions = {
+        r["user_id"]: r["n"]
+        for r in lagged.groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n"))
+        .collect()
+    }
+    assert n_sessions == {1: 1, 2: 2}
