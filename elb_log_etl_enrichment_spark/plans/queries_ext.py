@@ -750,21 +750,126 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # --------------------------------------------------------------------------
-# Full ELB pipeline over the packaged fixture lines (rows-only: the
-# input is synthesized, not a driver table, so no oracle view exists).
+# Full ELB pipeline — the reference's headline artifact
+# (export_hourly_aggregates, reference elb_logs.py:351-368) composed
+# end-to-end: parse (shlex-grammar tokenize + typed casts) → filter
+# (health checks, null ip/request) → geo enrich (deterministic
+# fake_fetch through the real anti-join/upsert/broadcast-join cache
+# path) → US/Eastern time features → hourly 6-key aggregate.
+#
+# Input is the committed fixture parquet (sources/data/) so the DuckDB
+# oracle can read the SAME bytes by absolute path and replay the whole
+# composition in SQL: regexp_extract_all('"[^"]*"|\S+') reproduces the
+# quoted-field split, try_strptime the strict ts parse, a digit guard
+# the int casts, and the fake_fetch octet formula the geo columns.
 # --------------------------------------------------------------------------
-@register("elb_pipeline_hourly", sql=None, tags=("pipeline", "e2e", "elb"))
+from ..sources.alb_fixtures import FIXTURE_PARQUET as _ELB_FIXTURE_PARQUET
+
+_ELB_PIPELINE_HOURLY_SQL = f"""
+    WITH raw AS (
+        SELECT regexp_extract_all(value, '"[^"]*"|\\S+') AS t
+        FROM read_parquet('{_ELB_FIXTURE_PARQUET}')
+    ),
+    parsed AS (
+        SELECT
+            try_strptime(t[2], '%Y-%m-%dT%H:%M:%S.%fZ') AS time_utc,
+            split_part(t[4], ':', 1) AS client_ip,
+            try_cast(t[6] AS DOUBLE)  AS rpt,
+            try_cast(t[7] AS DOUBLE)  AS tpt,
+            try_cast(t[8] AS DOUBLE)  AS rspt,
+            CASE WHEN regexp_matches(t[9],  '^[0-9]+$') THEN CAST(t[9]  AS BIGINT) END AS status,
+            CASE WHEN regexp_matches(t[11], '^[0-9]+$') THEN CAST(t[11] AS BIGINT) END AS received_bytes,
+            CASE WHEN regexp_matches(t[12], '^[0-9]+$') THEN CAST(t[12] AS BIGINT) END AS sent_bytes,
+            trim(t[13], '"') AS request,
+            trim(t[14], '"') AS user_agent
+        FROM raw
+        WHERE len(t) >= 29
+    ),
+    filtered AS (
+        SELECT *,
+            timezone('America/New_York', time_utc AT TIME ZONE 'UTC') AS time_local,
+            COALESCE(rpt, 0) + COALESCE(tpt, 0) + COALESCE(rspt, 0) AS total_processing_time,
+            CASE WHEN status IS NULL THEN 'Unknown'
+                 WHEN status >= 200 AND status < 300 THEN '2xx_Success'
+                 WHEN status >= 400 AND status < 500 THEN '4xx_ClientError'
+                 WHEN status >= 500 AND status < 600 THEN '5xx_ServerError'
+                 ELSE 'Other' END AS status_code_type,
+            list_aggregate(
+                list_transform(string_split(client_ip, '.'),
+                               x -> try_cast(x AS BIGINT)), 'sum') % 5 AS octet
+        FROM parsed
+        WHERE time_utc IS NOT NULL
+          AND client_ip IS NOT NULL AND request IS NOT NULL
+          AND NOT COALESCE(
+              regexp_matches(lower(user_agent),
+                             'datadog|healthchecker|kube-probe|aws-elb'), FALSE)
+    )
+    SELECT
+        CAST(year(time_local)  AS BIGINT) AS request_year,
+        CAST(month(time_local) AS BIGINT) AS request_month,
+        CAST(day(time_local)   AS BIGINT) AS request_day,
+        CAST(hour(time_local)  AS BIGINT) AS request_hour,
+        'Country' || octet AS "countryName",
+        'City' || octet    AS city,
+        CAST(COUNT(client_ip) AS BIGINT)          AS request_count,
+        CAST(COUNT(DISTINCT client_ip) AS BIGINT) AS unique_client_ips_count,
+        ROUND(AVG(total_processing_time), 6)      AS average_total_processing_time,
+        ROUND(MEDIAN(total_processing_time), 6)   AS median_total_processing_time,
+        CAST(SUM(sent_bytes) AS BIGINT)           AS sum_sent_bytes,
+        CAST(SUM(received_bytes) AS BIGINT)       AS sum_received_bytes,
+        CAST(COUNT(*) FILTER (status_code_type = '2xx_Success') AS BIGINT)     AS count_2xx,
+        CAST(COUNT(*) FILTER (status_code_type = '4xx_ClientError') AS BIGINT) AS count_4xx,
+        CAST(COUNT(*) FILTER (status_code_type = '5xx_ServerError') AS BIGINT) AS count_5xx
+    FROM filtered
+    GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+
+@register(
+    "elb_pipeline_hourly",
+    sql=_ELB_PIPELINE_HOURLY_SQL,
+    tags=("pipeline", "e2e", "elb", "agg", "join", "parse"),
+)
 def elb_pipeline_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     from ..operators.aggregate import hourly_geo_aggregates
     from ..plans.pipeline import enrich_and_featurize
-    from ..sources.alb_fixtures import fixture_lines
+    from ..session import ensure_engine_confs
+    from ..sources.alb_fixtures import write_fixture_parquet
     from ..sources.elb_logs import parse_elb_lines
 
-    lines = spark.createDataFrame([Row(value=ln) for ln in fixture_lines()])
+    # tz-sensitive calendar features: pin session tz even on the
+    # driver's vanilla session (no driver table → no load_table call)
+    ensure_engine_confs(spark)
+    if not os.path.exists(_ELB_FIXTURE_PARQUET):
+        write_fixture_parquet()
+    lines = spark.read.parquet(_ELB_FIXTURE_PARQUET)
     parsed = parse_elb_lines(lines)
     cache_dir = _fresh_checkpoint("elb_geo_cache") + "/cache.parquet"
     enriched = enrich_and_featurize(spark, parsed, cache_dir)
-    return hourly_geo_aggregates(enriched)
+    agg = hourly_geo_aggregates(enriched)
+    return agg.select(
+        F.col("request_year").cast("long").alias("request_year"),
+        F.col("request_month").cast("long").alias("request_month"),
+        F.col("request_day").cast("long").alias("request_day"),
+        F.col("request_hour").cast("long").alias("request_hour"),
+        "countryName",
+        "city",
+        F.col("request_count").cast("long").alias("request_count"),
+        F.col("unique_client_ips_count").cast("long").alias("unique_client_ips_count"),
+        F.round("average_total_processing_time", 6).alias(
+            "average_total_processing_time"
+        ),
+        F.round("median_total_processing_time", 6).alias(
+            "median_total_processing_time"
+        ),
+        F.col("sum_sent_bytes").cast("long").alias("sum_sent_bytes"),
+        F.col("sum_received_bytes").cast("long").alias("sum_received_bytes"),
+        F.col("count_2xx").cast("long").alias("count_2xx"),
+        F.col("count_4xx").cast("long").alias("count_4xx"),
+        F.col("count_5xx").cast("long").alias("count_5xx"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -81,3 +81,28 @@ def fixture_lines() -> list[str]:
     # garbage (must be dropped by the parser)
     lines += ["", "not a log line", "https 2025-05-26T12:00:00.000000Z short"]
     return lines
+
+
+#: Committed parquet of the raw fixture lines — shared input for the
+#: `elb_pipeline_hourly` registry query AND its DuckDB oracle (which
+#: reads it by absolute path, since the driver registers only the
+#: testdata tables as views). Regenerate with `write_fixture_parquet()`.
+import os as _os
+
+FIXTURE_PARQUET = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "data", "elb_fixture_lines.parquet"
+)
+
+
+def write_fixture_parquet(path: str = FIXTURE_PARQUET) -> str:
+    """Write `fixture_lines()` to a single-column (`value`) parquet file.
+
+    Deterministic (fixed lines, fixed encoding) so the committed file
+    never churns; pyarrow directly — no SparkSession needed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _os.makedirs(_os.path.dirname(path), exist_ok=True)
+    table = pa.table({"value": pa.array(fixture_lines(), pa.string())})
+    pq.write_table(table, path, compression="snappy")
+    return path

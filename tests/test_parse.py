@@ -135,3 +135,16 @@ def test_filter_categorize_drops_health_checks_and_flags_waf(spark):
     assert out[0].ua_browser_family == "Chrome"
     assert out[0].ua_os_family == "Windows"
     assert out[0].is_bot is False
+
+
+def test_committed_fixture_parquet_matches_fixture_lines():
+    """The committed parquet (shared input of elb_pipeline_hourly and
+    its DuckDB oracle) must stay in sync with fixture_lines()."""
+    import pyarrow.parquet as pq
+
+    from elb_log_etl_enrichment_spark.sources.alb_fixtures import (
+        FIXTURE_PARQUET,
+        fixture_lines,
+    )
+
+    assert pq.read_table(FIXTURE_PARQUET)["value"].to_pylist() == fixture_lines()
