@@ -125,6 +125,13 @@ HEADLINE = [
     "null_safe_join_battery",
     "batch_session_window_stats",
     "table_content_digest",
+    # round 4: approx-percentile scale twins, builtin zscore window twin,
+    # the oracle-checked composed ELB pipeline, bounded-IVF
+    "equi_depth_histogram_orders_approx",
+    "iqr_outlier_audit_approx",
+    "zscore_outlier_events_builtin",
+    "elb_pipeline_hourly",
+    "cosine_topk_ivf",
 ]
 
 

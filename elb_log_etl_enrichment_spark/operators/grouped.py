@@ -134,3 +134,35 @@ def cogroup_user_activity(
         .cogroup(od.groupBy("b"))
         .applyInPandas(lambda e, o: merge(e, o), schema=COGROUP_SCHEMA)
     )
+
+
+def zscore_outliers_builtin(events: DataFrame, threshold: float = 2.0) -> DataFrame:
+    """Window-function formulation of ``zscore_outliers`` — identical
+    semantics (sample stddev, <2-row and zero-variance groups emit
+    nothing), zero Python in the plan: `avg`/`stddev_samp`/`count`
+    over a user_id window stay inside whole-stage codegen, so the only
+    cost is the one `user_id` exchange the grouping requires.
+
+    This is the hot-path form (SURVEY §2.9: prefer built-ins); the
+    ``applyInPandas`` version above stays as the documented
+    extension-point demo for logic SQL can't express. Both share one
+    DuckDB oracle.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    t = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("m"),
+        F.stddev_samp("value").over(w).alias("s"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    z = (F.col("value") - F.col("m")) / F.col("s")
+    return t.filter(
+        (F.col("n") >= 2)
+        & F.col("s").isNotNull()
+        & (F.col("s") != 0)
+        & (F.abs(z) > threshold)
+    ).select("user_id", "event_id", "value", z.alias("zscore"))

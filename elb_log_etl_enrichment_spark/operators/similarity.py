@@ -64,19 +64,29 @@ def cosine_topk_bruteforce(
 
 
 def cosine_topk_ivf(
-    emb: DataFrame, query_pred, k: int = 3, n_cells: int = 16
+    emb: DataFrame,
+    query_pred,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 1,
+    sample_limit: int = 16384,
 ) -> DataFrame:
     """IVF-style approximate top-k: KMeans-learned centroids partition
-    the corpus into cells; each query searches only its own cell
-    (n_probe=1; probe more cells for recall by unioning the next
-    nearest centroids).
+    the corpus into cells; each query searches its ``n_probe`` nearest
+    cells (n_probe=1 is the fastest/lowest-recall point; more probes
+    trade candidate volume for recall).
 
     vs sign-LSH: centroids adapt to the data distribution, so cell
     populations are balanced even when vectors cluster — at 100 TB the
     cell id becomes the partition key of a bucketed table and each
-    query touches one bucket. Training runs on a sample; assignment is
-    one broadcast-join of the centroid table. Not oracle-replayable
-    (iterative training) → registered rows-only.
+    query touches ``n_probe`` buckets. Training fits on a seeded
+    ``sample_limit``-row sample (same bound as the PQ path): the index
+    BUILD must never iterate over the full corpus — a full-corpus fit
+    is the bottleneck the index exists to avoid. Assignment is one
+    broadcast pass (the centroids ride the plan as literals — no
+    second shuffle, no model scoring job). Not oracle-replayable
+    (iterative training) → registered rows-only; the test contract is
+    recall@k vs ``cosine_topk_bruteforce``.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -84,16 +94,47 @@ def cosine_topk_ivf(
     p = _prepared(emb)
     featurized = p.withColumn("features", array_to_vector(F.col("v")))
     model = KMeans(k=n_cells, seed=42, featuresCol="features").fit(
-        featurized.select("features")
+        featurized.select("features").limit(sample_limit)
     )
-    assigned = model.transform(featurized).withColumnRenamed("prediction", "cell")
-    q = assigned.filter(query_pred).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"), "cell",
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def _cell_ranking(vcol):
+        # squared distance to every centroid, JVM-side; array_sort over
+        # (dist, cell) structs orders by dist then cell — deterministic
+        return F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                vcol,
+                                F.array(*[F.lit(x) for x in c]),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ).alias("d"),
+                        F.lit(i).alias("cell"),
+                    )
+                    for i, c in enumerate(centers)
+                ]
+            )
+        )
+
+    probe = F.transform(
+        F.slice(_cell_ranking(F.col("v")), 1, n_probe), lambda s: s.getField("cell")
     )
-    c = assigned.select(
-        F.col("vec_id").alias("neighbor"), F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"), "cell",
+    q = p.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.explode(probe).alias("cell"),
+    )
+    c = p.select(
+        F.col("vec_id").alias("neighbor"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.element_at(probe, 1).alias("cell"),
     )
     pairs = q.join(c, on="cell").filter(F.col("query_id") != F.col("neighbor"))
     return _ranked_topk(pairs, k)

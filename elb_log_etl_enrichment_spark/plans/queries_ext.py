@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import attach_payload, decode_media
-from .queries import _t, register
+from .queries import REGISTRY, _t, register
 
 #: per-query checkpoint memo (name → last dir); see _fresh_checkpoint
 _CKPT_DIRS: dict[str, str] = {}
@@ -516,6 +516,30 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     out = zscore_outliers(e, threshold=2.0)
+    return out.select(
+        "user_id", "event_id", "value", F.round("zscore", 6).alias("zscore")
+    )
+
+
+_ZSCORE_SQL = REGISTRY["zscore_outlier_events"].sql
+
+
+# --------------------------------------------------------------------------
+# Built-in twin of the grouped-map demo above (VERDICT r01 item 7):
+# identical semantics via window avg/stddev_samp/count — zero Python
+# stages, whole-stage codegen end to end; this is the hot-path form,
+# the applyInPandas one is the extension-point demo. Same oracle SQL.
+# --------------------------------------------------------------------------
+@register(
+    "zscore_outlier_events_builtin",
+    sql=_ZSCORE_SQL,
+    tags=("window", "grouped", "builtin"),
+)
+def zscore_outlier_events_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.grouped import zscore_outliers_builtin
+
+    e = _t(spark, sf_dir, "events")
+    out = zscore_outliers_builtin(e, threshold=2.0)
     return out.select(
         "user_id", "event_id", "value", F.round("zscore", 6).alias("zscore")
     )

@@ -635,3 +635,81 @@ def table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digest_sum"),
         F.bit_xor(F.col("rh").cast("long")).alias("digest_xor"),
     )
+
+
+# --------------------------------------------------------------------------
+# Approx twins of the exact-percentile profilers (VERDICT r01 §wrong-2).
+# Exact interpolated `percentile` buffers the whole column in ONE
+# aggregation state — fine for oracle parity at test scale, a
+# single-reducer straggler at 100 TB. These twins swap in
+# `approx_percentile` (KLL-style mergeable sketch: bounded state,
+# map-side combined, no row buffer), the documented scale path — same
+# discipline as approx_aggregates_events (SURVEY §7.4 trap 6: approx
+# variants are SEPARATE queries, never silent substitutes). Sketches
+# are engine-specific → rows-only for the driver; the local pytest
+# contract bounds their error against the exact forms.
+# --------------------------------------------------------------------------
+_APPROX_PCT_ACCURACY = 10_000
+
+
+@register(
+    "equi_depth_histogram_orders_approx",
+    sql=None,
+    tags=("profiling", "histogram", "percentile", "approx", "sketch"),
+)
+def equi_depth_histogram_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Octile histogram on approx_percentile bounds — the 100 TB form
+    of `equi_depth_histogram_orders` (same plan shape: one aggregate,
+    broadcast bounds, HOF bucketing; sketch state instead of a full
+    column buffer)."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.percentile_approx(
+            "o_totalprice",
+            F.array(*[F.lit(q / 8.0) for q in range(1, 8)]),
+            F.lit(_APPROX_PCT_ACCURACY),
+        ).alias("bs")
+    )
+    bucket = F.size(
+        F.filter(F.col("bs"), lambda x: x <= F.col("o_totalprice"))
+    ).cast("long")
+    return (
+        o.join(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "iqr_outlier_audit_approx",
+    sql=None,
+    tags=("profiling", "outliers", "percentile", "approx", "sketch"),
+)
+def iqr_outlier_audit_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey fences from approx_percentile — the 100 TB form of
+    `iqr_outlier_audit` (per-group sketch state, map-side combinable,
+    no per-group column buffer)."""
+    e = _t(spark, sf_dir, "events")
+    fences = e.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.25), F.lit(_APPROX_PCT_ACCURACY)).alias("q1"),
+        F.percentile_approx("value", F.lit(0.75), F.lit(_APPROX_PCT_ACCURACY)).alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        e.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("value") < lo).alias("n_low"),
+            F.count_if(F.col("value") > hi).alias("n_high"),
+            F.round(F.min(lo), 6).alias("lo_fence"),
+            F.round(F.min(hi), 6).alias("hi_fence"),
+        )
+        .orderBy("event_type")
+    )

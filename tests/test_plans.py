@@ -169,3 +169,77 @@ def test_window_group_limit_prunes_topk_before_shuffle(spark):
     # tree text is top-down: the partial WGL sits BELOW (after) the
     # Exchange line, i.e. on the scan side of the shuffle
     assert "WindowGroupLimit" in plan.split("Exchange", 1)[1], plan
+
+
+def test_zscore_builtin_twin_no_python_stage_and_same_rows(spark):
+    """The window-function zscore twin must stay JVM-side (no Arrow /
+    Python eval stages) and agree row-for-row with the applyInPandas
+    extension-point demo."""
+    from elb_log_etl_enrichment_spark.plans.audit import plan_text
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    builtin = REGISTRY["zscore_outlier_events_builtin"].fn(spark, SF)
+    plan = plan_text(builtin)
+    for marker in ("Python", "Arrow", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"{marker} stage leaked into builtin plan"
+    demo = REGISTRY["zscore_outlier_events"].fn(spark, SF)
+    key = lambda r: (r["user_id"], r["event_id"])
+    assert sorted(map(tuple, builtin.collect()), key=lambda t: t[:2]) == sorted(
+        map(tuple, demo.collect()), key=lambda t: t[:2]
+    )
+    assert REGISTRY["zscore_outlier_events_builtin"].sql == REGISTRY[
+        "zscore_outlier_events"
+    ].sql
+
+
+def test_approx_percentile_twins_track_exact(spark):
+    """The approx_percentile twins are the documented 100 TB path for
+    the exact-percentile profilers; at test scale their bucket masses
+    and fences must track the exact forms closely."""
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    exact = REGISTRY["equi_depth_histogram_orders"].fn(spark, SF).collect()
+    approx = REGISTRY["equi_depth_histogram_orders_approx"].fn(spark, SF).collect()
+    n_total = sum(r["n"] for r in exact)
+    assert sum(r["n"] for r in approx) == n_total
+    ex = {r["bucket"]: r["n"] for r in exact}
+    ap = {r["bucket"]: r["n"] for r in approx}
+    for b in ex:
+        # equi-depth: every bucket holds ~n/8; approx bounds may shift
+        # boundary rows but never redistribute mass materially
+        assert abs(ap.get(b, 0) - ex[b]) <= max(5, 0.05 * n_total), (b, ex, ap)
+
+    exact_f = {r["event_type"]: r for r in REGISTRY["iqr_outlier_audit"].fn(spark, SF).collect()}
+    approx_f = {r["event_type"]: r for r in REGISTRY["iqr_outlier_audit_approx"].fn(spark, SF).collect()}
+    assert exact_f.keys() == approx_f.keys()
+    for et, er in exact_f.items():
+        ar = approx_f[et]
+        assert er["n"] == ar["n"]
+        spread = er["hi_fence"] - er["lo_fence"] or 1.0
+        assert abs(ar["lo_fence"] - er["lo_fence"]) <= 0.05 * spread
+        assert abs(ar["hi_fence"] - er["hi_fence"]) <= 0.05 * spread
+
+
+def test_registry_prefix_is_oracle_backed_and_complete(spark):
+    """Driver-sampling triage (VERDICT r01 item 8): every CORE_PREFIX
+    name must exist and be oracle-backed; the first 50 returned by
+    all_queries() must be exactly oracle-backed queries; rows-only
+    queries must all sort after every oracle-backed one."""
+    from elb_log_etl_enrichment_spark.plans.queries import (
+        CORE_PREFIX,
+        REGISTRY,
+        all_oracle_sql,
+        all_queries,
+    )
+
+    names = list(all_queries())
+    osql = all_oracle_sql()
+    missing = [n for n in CORE_PREFIX if n not in REGISTRY]
+    assert not missing, missing
+    assert names[: len(CORE_PREFIX)] == CORE_PREFIX
+    assert all(n in osql for n in names[:50]), [n for n in names[:50] if n not in osql]
+    first_rows_only = next(i for i, n in enumerate(names) if n not in osql)
+    assert all(n not in osql for n in names[first_rows_only:])
+    assert len(names) == len(set(names)) == len(REGISTRY)
