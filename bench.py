@@ -132,6 +132,7 @@ HEADLINE = [
     "zscore_outlier_events_builtin",
     "elb_pipeline_hourly",
     "cosine_topk_ivf",
+    "multimodal_sniff_stats",
 ]
 
 

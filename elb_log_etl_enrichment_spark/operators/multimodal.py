@@ -66,22 +66,68 @@ def fake_decode(payload: bytes) -> tuple[str, int, int]:
     return (FORMATS[n % 3], 64 + n % 256, 64 + (n * 7) % 256)
 
 
+def sniff_header(payload: bytes) -> tuple[str, int, int] | None:
+    """Pure-Python container-header sniff: format + pixel dimensions
+    from magic bytes, no codec library. Covers the PNG IHDR and
+    baseline-JPEG SOF0/SOF2 layouts (public file-format specs). This
+    is the zero-dependency middle tier between the deterministic fake
+    and a full Pillow decode — dimension metadata at scan time without
+    decompressing a single pixel, which is all the partitioning /
+    filtering / resize-planning stages actually need.
+    """
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return ("png", w, h)
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI; walk segments to a SOF
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+    return None
+
+
+def _pillow_decode(payload: bytes) -> tuple[str, int, int]:
+    """Real codec decode — requires Pillow on the executors."""
+    import io
+
+    from PIL import Image  # noqa: PLC0415 — optional dependency
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return ((img.format or "unknown").lower(), img.width, img.height)
+
+
 def decode_media(media: DataFrame, real: bool = False) -> DataFrame:
     """Arrow-batched "decode": payload → typed metadata columns.
 
-    ``real=True`` marks where an actual codec (Pillow/ffmpeg) plugs
-    in; unavailable in this environment by design.
+    ``real=True`` runs the actual codec (Pillow) when the library is
+    importable on the executors and raises ``NotImplementedError``
+    otherwise — the boundary is tested both ways (a hand-crafted valid
+    PNG fixture behind an importable-Pillow guard, and the raise path
+    when the codec is absent). ``real=False`` is the deterministic
+    fake for plumbing tests.
     """
+    if real:
+        try:
+            import PIL  # noqa: F401, PLC0415 — probe only
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real media decoding requires Pillow, which is not "
+                "installed; use sniff_header() for codec-free dimension "
+                "metadata or the deterministic fake decoder (real=False)"
+            ) from exc
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _pillow_decode if real else fake_decode
         for pdf in batches:
-            if real:
-                raise NotImplementedError(
-                    "real media decoding requires codec libraries (Pillow/"
-                    "ffmpeg) that are not installed; use the deterministic "
-                    "fake decoder (real=False) for plumbing tests"
-                )
-            meta = [fake_decode(p) for p in pdf["payload"]]
+            meta = [decode(p) for p in pdf["payload"]]
             out = pdf[["media_id", "payload"]].copy()
             out["media_format"] = [m[0] for m in meta]
             out["width"] = [m[1] for m in meta]
@@ -90,6 +136,24 @@ def decode_media(media: DataFrame, real: bool = False) -> DataFrame:
             yield out
 
     return media.mapInPandas(decode_batches, schema=MEDIA_SCHEMA)
+
+
+def sniff_media(media: DataFrame) -> DataFrame:
+    """Header-sniff variant of ``decode_media``: real bytes, real
+    dimensions, zero codec dependencies (``sniff_header``). Unknown
+    containers yield NULL metadata instead of failing the batch."""
+
+    def sniff_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [sniff_header(p) for p in pdf["payload"]]
+            out = pdf[["media_id", "payload"]].copy()
+            out["media_format"] = [m[0] if m else None for m in meta]
+            out["width"] = [m[1] if m else None for m in meta]
+            out["height"] = [m[2] if m else None for m in meta]
+            out["n_bytes"] = [len(p) for p in pdf["payload"]]
+            yield out
+
+    return media.mapInPandas(sniff_batches, schema=MEDIA_SCHEMA)
 
 
 def resize_stub(decoded: DataFrame, max_side: int = 128) -> DataFrame:

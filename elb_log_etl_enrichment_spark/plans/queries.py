@@ -802,6 +802,7 @@ CORE_PREFIX = [
     "pivot_event_type_counts",          # pivot
     "user_activity_calendar",           # calendar matrix
     "multimodal_decode_stats",          # multimodal binary columns
+    "multimodal_sniff_stats",           # real PNG bytes → header sniff
     "streaming_sessionize_events",      # §2.8 session_window stream
     "streaming_hourly_counts",          # §2.8 tumbling window
     "streaming_view_purchase_join",     # §2.8 stream-stream-shape join

@@ -342,6 +342,83 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Real-bytes multimodal round trip: executor-side assembly of VALID
+# PNG containers (stdlib zlib — signature/IHDR/IDAT/IEND with correct
+# CRCs, dims a pure function of doc_id), then the zero-dependency
+# header sniffer reads the dimensions back from the bytes. Every
+# width/height below comes out of actual binary parsing; the oracle
+# recomputes the same dims from doc_id arithmetic, so a sniffer bug
+# (endianness, offset, chunk walk) breaks the hash.
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_sniff_stats",
+    sql="""
+    SELECT CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 'png' END AS media_format,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(CASE WHEN doc_id % 3 <> 2 THEN 3 + doc_id % 5 END), 6)
+               AS avg_width,
+           ROUND(AVG(CASE WHEN doc_id % 3 <> 2 THEN 2 + doc_id % 7 END), 6)
+               AS avg_height,
+           CAST(MAX(CASE WHEN doc_id % 3 <> 2 THEN 3 + doc_id % 5 END) AS BIGINT)
+               AS max_width
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("multimodal", "udf", "mapInPandas", "binary", "sniff"),
+)
+def multimodal_sniff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.multimodal import sniff_media
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build_payloads(batches):
+        import struct
+        import zlib
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            raw = ctype + data
+            return (
+                struct.pack(">I", len(data))
+                + raw
+                + struct.pack(">I", zlib.crc32(raw) & 0xFFFFFFFF)
+            )
+
+        def png(w: int, h: int) -> bytes:
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            idat = zlib.compress(
+                b"".join(b"\x00" + bytes(3 * w) for _ in range(h))
+            )
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", idat)
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = [
+                b"not an image"
+                if i % 3 == 2
+                else png(int(3 + i % 5), int(2 + i % 7))
+                for i in ids
+            ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(
+        build_payloads, schema="media_id long, payload binary"
+    )
+    return sniff_media(media).groupBy("media_format").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("width"), 6).alias("avg_width"),
+        F.round(F.avg("height"), 6).alias("avg_height"),
+        F.max("width").alias("max_width"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Structured Streaming sessionization (session_window) — oracle-checked
 # against the batch lag/cumsum construction: gap-based session windows
 # are semantically identical to the reference's sessionizer.
