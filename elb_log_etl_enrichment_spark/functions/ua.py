@@ -30,26 +30,44 @@ try:  # pragma: no cover - not installed in the test container
 except Exception:  # pragma: no cover
     _ua_parse = None
 
+#: Ordered first-match rules reproducing the FAMILY NAMES the
+#: reference's classifier (`user_agents` → uap-core regexes.yaml,
+#: public PyPI/GitHub) emits for the major families — the container
+#: has no network and no `user_agents` wheel, so parity is encoded
+#: here and pinned by tests/test_parse.py's UA battery, whose expected
+#: values are uap-core's published outputs (the same battery therefore
+#: proves real-lib parity wherever `user_agents` IS importable).
 _BROWSER_RULES: list[tuple[re.Pattern, str]] = [
-    (re.compile(r"Edg(e|A|iOS)?/", re.I), "Edge"),
+    (re.compile(r"FxiOS/", re.I), "Firefox iOS"),
+    (re.compile(r"CriOS/", re.I), "Chrome Mobile iOS"),
+    (re.compile(r"EdgiOS/", re.I), "Edge Mobile"),
+    (re.compile(r"EdgA/", re.I), "Edge Mobile"),
+    (re.compile(r"Edge?/", re.I), "Edge"),
     (re.compile(r"(OPR|Opera)[/ ]", re.I), "Opera"),
     (re.compile(r"SamsungBrowser/", re.I), "Samsung Internet"),
+    (re.compile(r"Android[^)]*\).*Firefox/", re.I), "Firefox Mobile"),
     (re.compile(r"Firefox/", re.I), "Firefox"),
-    (re.compile(r"CriOS/", re.I), "Chrome Mobile iOS"),
+    (re.compile(r"Googlebot", re.I), "Googlebot"),
+    (re.compile(r"bingbot", re.I), "bingbot"),
+    (re.compile(r"; wv\).*Chrome/", re.I), "Chrome Mobile WebView"),
+    (re.compile(r"Chrome/[\d.]+ Mobile", re.I), "Chrome Mobile"),
     (re.compile(r"Chrome/", re.I), "Chrome"),
+    (re.compile(r"(iPhone|iPad|iPod).*Version/[\d.]+.*Safari/", re.I), "Mobile Safari"),
     (re.compile(r"Version/[\d.]+.*Safari/", re.I), "Safari"),
     (re.compile(r"(MSIE |Trident/)", re.I), "IE"),
     (re.compile(r"curl/", re.I), "curl"),
     (re.compile(r"python-requests/", re.I), "Python Requests"),
+    (re.compile(r"python-urllib/?", re.I), "Python-urllib"),
     (re.compile(r"wget/", re.I), "Wget"),
 ]
 
 _OS_RULES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"Windows", re.I), "Windows"),
+    (re.compile(r"CrOS", re.I), "Chrome OS"),
     (re.compile(r"Android", re.I), "Android"),
     (re.compile(r"(iPhone|iPad|iPod|iOS)", re.I), "iOS"),
     (re.compile(r"(Mac OS X|Macintosh)", re.I), "Mac OS X"),
-    (re.compile(r"CrOS", re.I), "Chrome OS"),
+    (re.compile(r"Ubuntu", re.I), "Ubuntu"),
     (re.compile(r"Linux", re.I), "Linux"),
 ]
 

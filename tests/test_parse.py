@@ -148,3 +148,97 @@ def test_committed_fixture_parquet_matches_fixture_lines():
     )
 
     assert pq.read_table(FIXTURE_PARQUET)["value"].to_pylist() == fixture_lines()
+
+
+UA_BATTERY = [
+    # (ua_string, expected_browser_family, expected_os_family) —
+    # expected values are uap-core's published family names (what the
+    # reference's `user_agents.parse` returns), so this battery checks
+    # the offline heuristic here AND real-lib parity wherever the lib
+    # is importable (see test_ua_battery_matches_real_lib).
+    (
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36",
+        "Chrome", "Windows",
+    ),
+    (
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36 Edg/124.0.2478.51",
+        "Edge", "Windows",
+    ),
+    (
+        "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 "
+        "(KHTML, like Gecko) Version/17.4 Safari/605.1.15",
+        "Safari", "Mac OS X",
+    ),
+    (
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 17_4 like Mac OS X) "
+        "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.4 "
+        "Mobile/15E148 Safari/604.1",
+        "Mobile Safari", "iOS",
+    ),
+    (
+        "Mozilla/5.0 (Linux; Android 13; Pixel 7) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/124.0.0.0 Mobile Safari/537.36",
+        "Chrome Mobile", "Android",
+    ),
+    (
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 17_4 like Mac OS X) "
+        "AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/124.0.6367.71 "
+        "Mobile/15E148 Safari/604.1",
+        "Chrome Mobile iOS", "iOS",
+    ),
+    (
+        "Mozilla/5.0 (X11; Linux x86_64; rv:125.0) Gecko/20100101 Firefox/125.0",
+        "Firefox", "Linux",
+    ),
+    (
+        "Mozilla/5.0 (Linux; Android 13; SM-S918B) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 "
+        "Mobile Safari/537.36",
+        "Samsung Internet", "Android",
+    ),
+    (
+        "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+        "Googlebot", "Other",
+    ),
+    (
+        "Mozilla/5.0 (Windows NT 6.1; Trident/7.0; rv:11.0) like Gecko",
+        "IE", "Windows",
+    ),
+    ("curl/8.5.0", "curl", "Other"),
+    ("python-requests/2.31.0", "Python Requests", "Other"),
+]
+
+
+def test_ua_battery_offline_heuristic():
+    from elb_log_etl_enrichment_spark.functions.ua import classify_ua
+
+    for ua, browser, os_family in UA_BATTERY:
+        assert classify_ua(ua) == (browser, os_family), ua
+
+
+def test_ua_battery_matches_real_lib():
+    """Real `user_agents` parity (reference elb_logs.py:119-121):
+    skipped (never silently absent) in containers without the lib."""
+    import pytest
+
+    user_agents = pytest.importorskip("user_agents")
+    for ua, browser, os_family in UA_BATTERY:
+        parsed = user_agents.parse(ua)
+        assert (parsed.browser.family or "Other") == browser, ua
+        assert (parsed.os.family or "Other") == os_family, ua
+
+
+def test_ua_battery_through_spark_udf(spark):
+    """The same battery through the Arrow pandas-UDF path AND the
+    broadcast-distinct variant — both must agree with classify_ua."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.functions.ua import ua_classify
+
+    df = spark.createDataFrame([(ua,) for ua, _, _ in UA_BATTERY], "ua string")
+    out = df.select("ua", ua_classify(F.col("ua")).alias("fam")).collect()
+    expected = {ua: (b, o) for ua, b, o in UA_BATTERY}
+    for r in out:
+        assert (r["fam"]["browser"], r["fam"]["os"]) == expected[r["ua"]], r["ua"]

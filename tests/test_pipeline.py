@@ -87,6 +87,9 @@ def test_pipeline_golden_output_hash(spark, tmp_path):
 
     If a deliberate semantic change lands, recompute with the
     recipe in this test and update the constant in the same commit.
+    (r02: constant updated when the UA heuristic gained uap-core
+    parity families — fixture Googlebot rows now classify as
+    browser='Googlebot' instead of 'Other', like the reference lib.)
     """
     import hashlib
 
@@ -101,7 +104,7 @@ def test_pipeline_golden_output_hash(spark, tmp_path):
         "|".join(cell(v) for v in r) for r in e.select(*cols).collect()
     )
     digest = hashlib.md5("\n".join(serial).encode()).hexdigest()
-    assert digest == "ce1f2f05ea4513532d3fa6991ecc4556"
+    assert digest == "10493d08998d697c70150709e9b0ae3a"
 
 
 def test_pipeline_observe_metrics_ride_the_first_action(spark, tmp_path):
