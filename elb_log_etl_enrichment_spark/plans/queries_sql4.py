@@ -70,17 +70,25 @@ def recursive_knn_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a SQL ``WITH RECURSIVE`` over the kNN edge view — the
     declarative twin of the DataFrame power-iteration loop in
     operators/graph.py (there the driver unrolls; here the engine
-    does). Path enumeration is bounded by lvl<{BFS_MAX_LVL} × the kNN
-    degree cap; the MIN(lvl) collapse dedups multipaths after the
-    fixpoint."""
-    edges = knn_edges(spark, sf_dir)
+    does). The recursive member SELECTs DISTINCT (node, lvl) so each
+    level's frontier is bounded by node count, not path count — the
+    final MIN(lvl) collapse makes the result invariant to that dedup
+    (the DuckDB oracle keeps the raw path enumeration and agrees).
+    Levels are capped at lvl<{BFS_MAX_LVL}."""
+    # Materialize the edge list ONCE. The recursive member references
+    # the view on every unrolled iteration; left lazy, the whole
+    # multi-stage kNN derivation (distinct → self-join → window top-k)
+    # would re-execute per level — measured 29 s warm at sf0.1 vs ~3 s
+    # materialized. The edge list is node-pair-sized, so lineage
+    # truncation via localCheckpoint is cheap and executor-resident.
+    edges = knn_edges(spark, sf_dir).localCheckpoint(eager=True)
     edges.createOrReplaceTempView("knn_edges_v")
     return spark.sql(
         f"""
         WITH RECURSIVE reach(s, lvl) AS (
             SELECT CAST(MIN(u) AS BIGINT) AS s, 0 AS lvl FROM knn_edges_v
             UNION ALL
-            SELECT d.v AS s, r.lvl + 1
+            SELECT DISTINCT d.v AS s, r.lvl + 1
             FROM reach r
             JOIN (SELECT u, v FROM knn_edges_v
                   UNION ALL
