@@ -63,6 +63,52 @@ def cosine_topk_bruteforce(
     return _ranked_topk(pairs, k)
 
 
+def _lloyd(X, n_centroids: int, iters: int, rng, pp_init: bool = False):
+    """Vectorized Lloyd k-means over a driver-side sample: one
+    argmin-assignment + np.add.at centroid update per iteration, empty
+    cells keep their previous centroid. Shared by the IVF coarse
+    quantizer (``pp_init=True`` — k-means++ D² seeding; with few
+    centroids over near-uniform vectors a plain random init leaves
+    them clumped and 1-probe recall collapses, 0.53 → 0.07 measured)
+    and the PQ subspace codebooks (random init — 256 centroids per
+    subspace self-spread, and keeping the original init preserves the
+    pinned recall). Both train on a bounded seeded sample (never the
+    corpus) and embed the resulting centroids in the plan as
+    literals/broadcasts."""
+    import numpy as np
+
+    n = len(X)
+    if pp_init and n > n_centroids:
+        idx = [int(rng.randint(n))]
+        d2 = ((X - X[idx[0]]) ** 2).sum(1)
+        for _ in range(1, n_centroids):
+            tot = d2.sum()
+            i = (
+                int(rng.choice(n, p=d2 / tot))
+                if tot > 0
+                else int(rng.randint(n))
+            )
+            idx.append(i)
+            d2 = np.minimum(d2, ((X - X[i]) ** 2).sum(1))
+        cent = X[np.array(idx)]
+    else:
+        cent = X[rng.choice(n, size=n_centroids, replace=n < n_centroids)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=n_centroids)
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz, None]
+    return cent
+
+
+#: session-scoped IVF centroid memo — same key discipline as
+#: _PQ_CODEBOOK_MEMO (file-backed corpora only; see cosine_topk_pq).
+_IVF_CENTROID_MEMO: dict = {}
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     query_pred,
@@ -70,6 +116,7 @@ def cosine_topk_ivf(
     n_cells: int = 16,
     n_probe: int = 1,
     sample_limit: int = 16384,
+    kmeans_iters: int = 10,
 ) -> DataFrame:
     """IVF-style approximate top-k: KMeans-learned centroids partition
     the corpus into cells; each query searches its ``n_probe`` nearest
@@ -82,21 +129,46 @@ def cosine_topk_ivf(
     query touches ``n_probe`` buckets. Training fits on a seeded
     ``sample_limit``-row sample (same bound as the PQ path): the index
     BUILD must never iterate over the full corpus — a full-corpus fit
-    is the bottleneck the index exists to avoid. Assignment is one
-    broadcast pass (the centroids ride the plan as literals — no
-    second shuffle, no model scoring job). Not oracle-replayable
-    (iterative training) → registered rows-only; the test contract is
-    recall@k vs ``cosine_topk_bruteforce``.
+    is the bottleneck the index exists to avoid. The fit itself is the
+    shared driver-side vectorized ``_lloyd`` over the collected sample
+    (a distributed KMeans on a ≤16k-row sample costs dozens of
+    scheduler round-trips for no benefit — measured 3.4 s → <1 s), and
+    centroids are memoized per corpus exactly like the PQ codebooks.
+    Assignment is one broadcast pass (the centroids ride the plan as
+    literals — no second shuffle, no model scoring job). Not
+    oracle-replayable (iterative training) → registered rows-only; the
+    test contract is recall@k vs ``cosine_topk_bruteforce``.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     p = _prepared(emb)
-    featurized = p.withColumn("features", array_to_vector(F.col("v")))
-    model = KMeans(k=n_cells, seed=42, featuresCol="features").fit(
-        featurized.select("features").limit(sample_limit)
+    try:
+        input_files = emb.inputFiles()
+    except Exception:
+        input_files = []
+    memo_key = (
+        (
+            emb.sparkSession.sparkContext.applicationId,
+            tuple(sorted(input_files)),
+            n_cells,
+            sample_limit,
+            kmeans_iters,
+        )
+        if input_files
+        else None
     )
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    centers = _IVF_CENTROID_MEMO.get(memo_key) if memo_key else None
+    if centers is None:
+        sample = np.array(
+            [r["v"] for r in p.select("v").limit(sample_limit).collect()],
+            dtype=np.float64,
+        )
+        cent = _lloyd(
+            sample, n_cells, kmeans_iters, np.random.RandomState(42), pp_init=True
+        )
+        centers = [list(map(float, c)) for c in cent]
+        if memo_key is not None:
+            _IVF_CENTROID_MEMO[memo_key] = centers
 
     def _cell_ranking(vcol):
         # squared distance to every centroid, JVM-side; array_sort over
@@ -338,7 +410,7 @@ def cosine_topk_pq(
         sample = np.array(
             [r["u"] for r in unit.limit(sample_limit).collect()], dtype=np.float64
         )
-        n, d = sample.shape
+        _, d = sample.shape
         if d % m:
             raise ValueError(f"dim {d} not divisible by m={m}")
         sub_d = d // m
@@ -346,18 +418,9 @@ def cosine_topk_pq(
         codebooks = np.empty((m, n_centroids, sub_d))
         for j in range(m):
             X = sample[:, j * sub_d : (j + 1) * sub_d]
-            cent = X[rng.choice(n, size=n_centroids, replace=n < n_centroids)]
-            for _ in range(kmeans_iters):
-                d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-                assign = d2.argmin(1)
-                # vectorized Lloyd update: per-centroid sums via
-                # np.add.at, empty cells keep their old centroid
-                sums = np.zeros_like(cent)
-                np.add.at(sums, assign, X)
-                counts = np.bincount(assign, minlength=n_centroids)
-                nz = counts > 0
-                cent[nz] = sums[nz] / counts[nz, None]
-            codebooks[j] = cent
+            # shared rng across subspaces keeps the training sequence
+            # identical to the pre-refactor inline loop
+            codebooks[j] = _lloyd(X, n_centroids, kmeans_iters, rng)
         if memo_key is not None:
             _PQ_CODEBOOK_MEMO[memo_key] = codebooks
     sub_d = codebooks.shape[2]
