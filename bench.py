@@ -76,6 +76,7 @@ HEADLINE = [
     # round 3: curation tier (decontamination, chunk dedup, unigram LM,
     # token-budget selection)
     "decontamination_overlap",
+    "bloom_decontamination_audit",
     "chunk_dedup_stats",
     "unigram_logprob_quality",
     "token_budget_topp",

@@ -124,6 +124,189 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bloom geometry: 2^20 bits = 16,384 longs (128 KiB — broadcasts as
+#: a dim table at any corpus size); k=4 probes via Kirsch-Mitzenmacher
+#: double hashing (h1 + i·(2·h2+1), the odd multiplier keeps the probe
+#: sequence full-period over the power-of-two bit space).
+_BLOOM_BITS = 1 << 20
+_BLOOM_K = 4
+
+
+@register(
+    "bloom_decontamination_audit",
+    sql=f"""
+    WITH {_SPLIT_SH_CTE},
+    test_h AS (
+        SELECT DISTINCT md5(sg) AS hx
+        FROM (SELECT unnest(s) AS sg FROM sh WHERE is_test)
+    ),
+    test_pos AS (
+        SELECT unnest([
+            (CAST(('0x' || substr(hx, 1, 15))::UBIGINT AS BIGINT)
+             + i * (2 * CAST(('0x' || substr(hx, 17, 15))::UBIGINT AS BIGINT) + 1))
+            % {_BLOOM_BITS}
+            for i in range(0, {_BLOOM_K})]) AS pos
+        FROM test_h
+    ),
+    bloom AS (
+        SELECT pos // 64 AS word_idx,
+               bit_or(1::UBIGINT << CAST(pos % 64 AS INT)) AS word
+        FROM test_pos GROUP BY pos // 64
+    ),
+    probe AS (
+        SELECT doc_id, md5(sg) AS hx
+        FROM (SELECT doc_id, unnest(s) AS sg FROM sh WHERE NOT is_test)
+    ),
+    probe_pos AS (
+        SELECT doc_id, hx, i,
+               (CAST(('0x' || substr(hx, 1, 15))::UBIGINT AS BIGINT)
+                + i * (2 * CAST(('0x' || substr(hx, 17, 15))::UBIGINT AS BIGINT) + 1))
+               % {_BLOOM_BITS} AS pos
+        FROM probe, (SELECT unnest(range(0, {_BLOOM_K})) AS i)
+    ),
+    cand AS (
+        SELECT doc_id, hx,
+               SUM(CASE WHEN (b.word & (1::UBIGINT << CAST(pos % 64 AS INT))) <> 0
+                        THEN 1 ELSE 0 END) AS nb
+        FROM probe_pos p JOIN bloom b ON b.word_idx = pos // 64
+        GROUP BY doc_id, hx
+    ),
+    verdicts AS (
+        SELECT p.doc_id, p.hx,
+               COALESCE(c.nb, 0) = {_BLOOM_K} AS bloom_pos,
+               p.hx IN (SELECT hx FROM test_h) AS exact_pos
+        FROM probe p LEFT JOIN cand c ON c.doc_id = p.doc_id AND c.hx = p.hx
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sh WHERE NOT is_test)
+               AS n_train_docs,
+           CAST(COUNT(*) AS BIGINT) AS probes,
+           CAST(SUM(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS bloom_pos_probes,
+           CAST(SUM(CASE WHEN exact_pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_pos_probes,
+           CAST(SUM(CASE WHEN bloom_pos AND NOT exact_pos THEN 1 ELSE 0 END)
+               AS BIGINT) AS false_pos_probes,
+           ROUND(SUM(CASE WHEN bloom_pos AND NOT exact_pos THEN 1 ELSE 0 END)
+                 * 1.0
+                 / GREATEST(SUM(CASE WHEN NOT exact_pos THEN 1 ELSE 0 END), 1),
+                 6) AS fp_rate,
+           CAST(COUNT(DISTINCT CASE WHEN bloom_pos THEN doc_id END) AS BIGINT)
+               AS flagged_docs_bloom,
+           CAST(COUNT(DISTINCT CASE WHEN exact_pos THEN doc_id END) AS BIGINT)
+               AS flagged_docs_exact
+    FROM verdicts
+    """,
+    tags=("curation", "decontamination", "bloom", "bitops"),
+)
+def bloom_decontamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination by bloom filter instead of exact digest set —
+    the variant that stays broadcast-able when the benchmark suite is
+    itself large. The exact-set broadcast in decontamination_overlap
+    grows with the benchmark (8 B per distinct n-gram); the bloom is a
+    FIXED 128 KiB bitmap regardless of benchmark size, built with one
+    ``bit_or`` aggregation over k=4 double-hashed bit positions and
+    probed JVM-side with shift/mask expressions — no UDF, no shuffle
+    of document text. A probe is a candidate only if ALL k bits are
+    set; the query also joins candidates back to the exact digest set
+    to report the realized false-positive rate (the tunable the 100 TB
+    operator trades memory against). Bloom semantics guarantee zero
+    false negatives — asserted by the oracle match (flagged_docs_bloom
+    ⊇ flagged_docs_exact) and pinned in tests."""
+    d = _t(spark, sf_dir, "documents")
+    is_test = F.substring(F.md5("text"), 1, 1) > "c"
+    sh_all = shingles(
+        d.withColumn("is_test", is_test), keep_cols=("is_test",)
+    ).persist()
+
+    h1 = F.conv(F.substring("hx", 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring("hx", 17, 15), 16, 10).cast("long")
+
+    def _pos(i):
+        return (h1 + i * (2 * h2 + 1)) % _BLOOM_BITS
+
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+    word_idx = F.shiftright("pos", 6)
+
+    test_h = (
+        sh_all.filter("is_test")
+        .select(F.explode("sh").alias("sg"))
+        .select(F.md5("sg").alias("hx"))
+        .distinct()
+        .persist()  # feeds the bloom build AND the exact-verdict probe
+    )
+    bloom = (
+        test_h.select(
+            F.explode(F.array(*[_pos(i) for i in range(_BLOOM_K)])).alias("pos")
+        )
+        .groupBy(word_idx.alias("word_idx"))
+        .agg(F.bit_or(mask).alias("word"))
+    )
+
+    probe = (
+        sh_all.filter(~F.col("is_test"))
+        .select("doc_id", F.explode("sh").alias("sg"))
+        .select("doc_id", F.md5("sg").alias("hx"))
+        .persist()  # probed once against the bloom, once against exact
+    )
+    probe_pos = probe.select(
+        "doc_id",
+        "hx",
+        F.explode(F.array(*[_pos(i) for i in range(_BLOOM_K)])).alias("pos"),
+    )
+    cand = (
+        probe_pos.join(F.broadcast(bloom), word_idx == F.col("word_idx"))
+        .withColumn(
+            "hit", (F.col("word").bitwiseAND(mask) != 0).cast("int")
+        )
+        .groupBy("doc_id", "hx")
+        .agg(F.sum("hit").alias("nb"))
+    )
+    verdicts = (
+        probe.join(cand, ["doc_id", "hx"], "left")
+        .join(
+            F.broadcast(test_h.withColumn("exact_pos", F.lit(True))),
+            "hx",
+            "left",
+        )
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("nb"), F.lit(0)) == _BLOOM_K).alias("bloom_pos"),
+            F.coalesce("exact_pos", F.lit(False)).alias("exact_pos"),
+        )
+    )
+    n_train = sh_all.filter(~F.col("is_test")).agg(
+        F.count(F.lit(1)).alias("n_train_docs")
+    )
+    fp = F.sum((F.col("bloom_pos") & ~F.col("exact_pos")).cast("int"))
+    summary = verdicts.agg(
+        F.count(F.lit(1)).alias("probes"),
+        F.sum(F.col("bloom_pos").cast("int")).cast("long").alias("bloom_pos_probes"),
+        F.sum(F.col("exact_pos").cast("int")).cast("long").alias("exact_pos_probes"),
+        fp.cast("long").alias("false_pos_probes"),
+        F.round(
+            fp * 1.0
+            / F.greatest(F.sum((~F.col("exact_pos")).cast("int")), F.lit(1)),
+            6,
+        ).alias("fp_rate"),
+        F.count_distinct(
+            F.when(F.col("bloom_pos"), F.col("doc_id"))
+        ).alias("flagged_docs_bloom"),
+        F.count_distinct(
+            F.when(F.col("exact_pos"), F.col("doc_id"))
+        ).alias("flagged_docs_exact"),
+    )
+    return n_train.crossJoin(summary).select(
+        "n_train_docs",
+        "probes",
+        "bloom_pos_probes",
+        "exact_pos_probes",
+        "false_pos_probes",
+        "fp_rate",
+        "flagged_docs_bloom",
+        "flagged_docs_exact",
+    )
+
+
 _CHUNK_T = 8  # tokens per dedup chunk
 
 

@@ -70,3 +70,54 @@ def test_decontamination_broadcasts_test_set(spark):
     # the synthetic corpus's tiny vocabulary guarantees real overlap
     assert 0 < row["n_contaminated_docs"] <= row["n_train_docs"]
     assert row["total_hits"] >= row["n_contaminated_docs"]
+
+
+def test_bloom_decontamination_no_false_negatives(spark):
+    """Bloom contract: candidates are a SUPERSET of exact hits (zero
+    false negatives by construction), the filter broadcasts, and at
+    2^20 bits / k=4 the realized FP rate on this corpus stays tiny."""
+    df = _q("bloom_decontamination_audit")(spark, "/root/testdata/sf0.001")
+    stats = plan_stats(df)
+    assert stats["broadcast_joins"] >= 1
+    row = df.collect()[0]
+    assert row["bloom_pos_probes"] >= row["exact_pos_probes"] > 0
+    assert row["flagged_docs_bloom"] >= row["flagged_docs_exact"]
+    assert (
+        row["false_pos_probes"]
+        == row["bloom_pos_probes"] - row["exact_pos_probes"]
+    )
+    assert row["fp_rate"] <= 0.05
+
+
+def test_bloom_flags_planted_contamination(spark, tmp_path):
+    """A train document sharing a 3-gram with a test document must be
+    bloom-flagged; md5-prefix split buckets are chosen by trial
+    strings so the fixture controls which side each doc lands on."""
+    import hashlib
+
+    def side(text):
+        return hashlib.md5(text.encode()).hexdigest()[0] > "c"
+
+    # find one test-side and two train-side texts deterministically
+    shared = "alpha beta gamma"
+    test_text = train_hit = train_clean = None
+    for i in range(200):
+        cand = f"{shared} tdoc{i}"
+        if side(cand):
+            test_text = test_text or cand
+        else:
+            train_hit = train_hit or cand
+        clean = f"delta epsilon zeta udoc{i}"
+        if not side(clean):
+            train_clean = train_clean or clean
+        if test_text and train_hit and train_clean:
+            break
+    assert test_text and train_hit and train_clean
+    _docs(
+        spark,
+        [(test_text, "en", "s"), (train_hit, "en", "s"), (train_clean, "en", "s")],
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    row = _q("bloom_decontamination_audit")(spark, str(tmp_path)).collect()[0]
+    assert row["n_train_docs"] == 2
+    assert row["flagged_docs_exact"] == 1
+    assert row["flagged_docs_bloom"] >= 1
