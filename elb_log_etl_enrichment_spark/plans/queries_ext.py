@@ -495,6 +495,44 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Streaming watermark-bounded dedup — oracle-checked against batch
+# DISTINCT. The streamed frame is projected to the dedup KEY columns
+# only, so the surviving row set is exactly the distinct key set —
+# deterministic even though WHICH physical duplicate survives is not.
+# --------------------------------------------------------------------------
+@register(
+    "streaming_dedup_distinct_users",
+    sql="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("streaming", "dedup", "watermark", "dropDuplicatesWithinWatermark"),
+)
+def streaming_dedup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once replay dedup at the ingest edge
+    (``dropDuplicatesWithinWatermark``): per-key state lives only
+    until the watermark passes, so state is bounded by key cardinality
+    × watermark horizon, never by stream length. Draining the whole
+    input under Trigger.AvailableNow, the surviving key set must equal
+    batch DISTINCT — the oracle for the streaming operator."""
+    from ..streaming.stream import (
+        deduped_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    dd = deduped_stream(
+        events.select("user_id", "event_type", "ts"),
+        keys=["user_id", "event_type"],
+    )
+    ckpt = _fresh_checkpoint("stream_dedup")
+    result = run_available_now(
+        dd, spark, "mem_stream_dedup", ckpt, output_mode="append"
+    )
+    return result.select("user_id", "event_type")
+
+
+# --------------------------------------------------------------------------
 # Stream-stream interval join (attribution) — oracle-checked against
 # the equivalent batch self-join: with Trigger.AvailableNow draining
 # the whole input, the watermarked streaming join must produce exactly
