@@ -84,6 +84,7 @@ HEADLINE = [
     "scd2_user_event_intervals",
     "rolling_distinct_users",
     "bigram_repetition_flags",
+    "token_entropy_quality",
     # round 3: iterative graph analytics on an aggregate-compressed graph
     "nation_trade_pagerank",
     # round 3: product analytics (cohorts, sequence modeling)

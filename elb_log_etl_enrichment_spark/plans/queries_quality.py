@@ -275,6 +275,93 @@ def bigram_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Token-distribution Shannon entropy per document — the gibberish /
+# boilerplate detector that complements type-token ratio: TTR sees
+# "how many distinct tokens", entropy sees "how evenly they're used"
+# (a doc that is 90% one token + 10% unique tail can pass TTR yet
+# score near-zero entropy). H = log2(n) − Σ c·log2(c)/n.
+# --------------------------------------------------------------------------
+@register(
+    "token_entropy_quality",
+    sql=r"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(regexp_extract_all(text, '\S+')) AS tok
+        FROM documents
+    ),
+    tc AS (
+        SELECT doc_id, lang, tok, COUNT(*) AS c
+        FROM tok GROUP BY doc_id, lang, tok
+    ),
+    perdoc AS (
+        SELECT doc_id, lang,
+               ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS entropy
+        FROM tc GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(entropy), 6) AS avg_entropy,
+           ROUND(MIN(entropy), 6) AS min_entropy,
+           ROUND(MAX(entropy), 6) AS max_entropy,
+           CAST(SUM(CASE WHEN entropy < 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low_entropy
+    FROM perdoc
+    GROUP BY lang
+    """,
+    tags=("text", "quality", "entropy", "hof"),
+)
+def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token entropy as a single fold over the SORTED
+    token array: extending a run from r to r+1 adds the telescoping
+    delta (r+1)·log2(r+1) − r·log2(r), so the fold finishes with
+    Σ c·log2(c) without ever exploding (doc, token) rows — the only
+    Exchange in the plan is the final per-lang aggregate. Per-doc
+    entropies are rounded to 6 dp in BOTH engines before aggregating
+    (the advisor's round-alignment rule), keeping the low-entropy flag
+    and averages hash-stable."""
+    from ..functions.text import TOKEN_RE
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)
+    base = d.select("doc_id", "lang", t.alias("t")).filter(F.size("t") >= 1)
+
+    def _step(acc, x):
+        same = x == acc["prev"]
+        newrun = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        delta = F.when(
+            same,
+            newrun.cast("double") * F.log2(newrun)
+            - acc["run"].cast("double") * F.log2(acc["run"]),
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            x.alias("prev"), newrun.alias("run"), (acc["s"] + delta).alias("s")
+        )
+
+    clogc = F.aggregate(
+        F.array_sort("t"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("s"),
+        ),
+        _step,
+        lambda acc: acc["s"],
+    )
+    n = F.size("t").cast("double")
+    perdoc = base.select(
+        "lang", F.round(F.log2(n) - clogc / n, 6).alias("entropy")
+    )
+    return perdoc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("entropy"), 6).alias("avg_entropy"),
+        F.round(F.min("entropy"), 6).alias("min_entropy"),
+        F.round(F.max("entropy"), 6).alias("max_entropy"),
+        F.sum((F.col("entropy") < 2.0).cast("int")).cast("long").alias(
+            "n_low_entropy"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # Readability scoring (Flesch reading ease, regex-approximated).
 # Syllables ≈ vowel-group runs per word; sentences ≈ terminal-punct
 # runs. Everything is JVM-side regexp counting over one narrow scan —

@@ -121,3 +121,24 @@ def test_bloom_flags_planted_contamination(spark, tmp_path):
     assert row["n_train_docs"] == 2
     assert row["flagged_docs_exact"] == 1
     assert row["flagged_docs_bloom"] >= 1
+
+
+def test_token_entropy_known_values(spark, tmp_path):
+    """Closed-form checks: a constant doc has entropy 0 (flagged low),
+    a uniform 4-token doc has exactly log2(4) = 2.0 (not flagged —
+    threshold is strict <)."""
+    _docs(
+        spark,
+        [
+            ("a a a a a a", "const", "s"),
+            ("w x y z", "unif", "s"),
+        ],
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r["lang"]: r
+        for r in _q("token_entropy_quality")(spark, str(tmp_path)).collect()
+    }
+    assert rows["const"]["avg_entropy"] == 0.0
+    assert rows["const"]["n_low_entropy"] == 1
+    assert rows["unif"]["avg_entropy"] == 2.0
+    assert rows["unif"]["n_low_entropy"] == 0
