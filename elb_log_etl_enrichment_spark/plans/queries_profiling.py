@@ -308,9 +308,9 @@ def knn_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     over nodes with d≥2; transitivity is 3·triangles / wedges where
     wedges = Σ C(d(v),2). Both are pure integer-ratio math until the
     final division."""
-    from .queries_training import knn_edges
+    from .queries_training import knn_edges_cached
 
-    edges = knn_edges(spark, sf_dir).persist()
+    edges = knn_edges_cached(spark, sf_dir)
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import _t, register
-from .queries_training import _KNN_EDGE_CTE, knn_edges
+from .queries_training import _KNN_EDGE_CTE, knn_edges_cached
 
 #: BFS hop cap for the recursive CTE (bounds path enumeration).
 BFS_MAX_LVL = 3
@@ -81,7 +81,7 @@ def recursive_knn_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would re-execute per level — measured 29 s warm at sf0.1 vs ~3 s
     # materialized. The edge list is node-pair-sized, so lineage
     # truncation via localCheckpoint is cheap and executor-resident.
-    edges = knn_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = knn_edges_cached(spark, sf_dir)
     edges.createOrReplaceTempView("knn_edges_v")
     return spark.sql(
         f"""
