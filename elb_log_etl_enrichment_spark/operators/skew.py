@@ -29,6 +29,38 @@ SALTABLE = {
 }
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key-safe shuffle equi-join: the manual fix for join skew
+    when the small side is too big to broadcast and one join key is
+    pathologically hot (AQE skew splitting covers sort-merge; this is
+    the explicit form that also pins the layout).
+
+    The big side gets a deterministic salt (xxhash64 of its non-key
+    columns mod ``n_salts``); the small side replicates each row once
+    per salt value via a literal-array explode. The join key becomes
+    (key, salt), so a hot key's rows spread over ``n_salts`` reducers
+    instead of serializing one. Results are EXACTLY the plain join
+    (every big row meets exactly the one replica carrying its salt) —
+    the oracle checks this with an unsalted JOIN. Cost: the small side
+    shuffles ``n_salts``× its size — bounded and chosen, unlike the
+    unbounded straggler it removes.
+    """
+    on = list(on)
+    value_cols = [c for c in big.columns if c not in on]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in value_cols]), F.lit(n_salts))
+    big_s = big.withColumn("__salt", salt)
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big_s.join(small_s, [*on, "__salt"], how).drop("__salt")
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],

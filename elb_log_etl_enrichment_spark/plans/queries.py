@@ -819,9 +819,12 @@ CORE_PREFIX = [
     "langid_confusion",                 # LLM tier: language id
     "doc_fingerprint_summary",          # LLM tier: fingerprinting
     "decontamination_overlap",          # curation tier
+    "bloom_decontamination_audit",      # curation tier: fixed-memory bloom
     "chunk_dedup_stats",
     "unigram_logprob_quality",
     "token_budget_topp",
+    "token_entropy_quality",            # quality tier: Shannon entropy fold
+    "streaming_dedup_distinct_users",   # §2.8 dropDuplicatesWithinWatermark
     "events_within_5min_pairs",         # range join
     "hierarchical_time_rollup",
 ]

@@ -606,6 +606,50 @@ def salted_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Skew-safe salted JOIN (operators/skew.salted_join) — replicate the
+# small side per salt, spread the big side's hot keys over n_salts
+# reducers. Result must equal the plain join, which is the oracle.
+# --------------------------------------------------------------------------
+@register(
+    "salted_event_mktsegment_join",
+    sql="""
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("join", "skew", "salting"),
+)
+def salted_event_mktsegment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events ⋈ customer through the salted-join operator, forced onto
+    the shuffle-hash path (`hint('shuffle_hash')`) — the scenario the
+    operator exists for is a dim too big to broadcast with a hot fact
+    key, so letting AQE broadcast the 150-row test dim would demo
+    nothing. Every fact row meets exactly one replica (the one
+    carrying its salt), so the result is the plain join — the oracle
+    runs the unsalted JOIN."""
+    from ..operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events").select("user_id", "value")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        .hint("shuffle_hash")
+    )
+    joined = salted_join(e, c, on=["user_id"], n_salts=8)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
 # applyInPandas grouped custom operator (operators/grouped.py): the
 # oracle replays the same math in SQL, hash-checking the whole Arrow
 # grouped-map round trip.

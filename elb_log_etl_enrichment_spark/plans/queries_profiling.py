@@ -254,6 +254,117 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Count-min sketch frequency audit — the fixed-memory twin of exact
+# heavy hitters (and the frequency analog of the bloom filter in
+# queries_curation): D×W counters, estimate = min over D cells, with
+# the provable one-sided guarantee est ≥ exact. The audit reports the
+# realized overcount for the true top-10 tokens.
+# --------------------------------------------------------------------------
+_CMS_W = 1024  # counters per row
+_CMS_D = 4  # hash rows
+
+
+@register(
+    "count_min_sketch_audit",
+    sql=rf"""
+    WITH tok AS (
+        SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+        FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    hashed AS (
+        SELECT token, cnt,
+               CAST(('0x' || substr(md5(token), 1, 15))::UBIGINT AS BIGINT) AS h1,
+               CAST(('0x' || substr(md5(token), 17, 15))::UBIGINT AS BIGINT) AS h2
+        FROM counts
+    ),
+    ii AS (SELECT unnest(range(0, {_CMS_D})) AS i),
+    cells AS (
+        SELECT i, (h1 + i * (2 * h2 + 1)) % {_CMS_W} AS pos, SUM(cnt) AS c
+        FROM hashed CROSS JOIN ii
+        GROUP BY 1, 2
+    ),
+    topk AS (
+        SELECT token, cnt, h1, h2 FROM hashed
+        ORDER BY cnt DESC, token LIMIT 10
+    ),
+    probe AS (
+        SELECT t.token, t.cnt, ii.i,
+               (t.h1 + ii.i * (2 * t.h2 + 1)) % {_CMS_W} AS pos
+        FROM topk t CROSS JOIN ii
+    )
+    SELECT token,
+           CAST(cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(c) AS BIGINT) AS cms_est,
+           CAST(MIN(c) - cnt AS BIGINT) AS overcount
+    FROM probe JOIN cells USING (i, pos)
+    GROUP BY token, cnt
+    ORDER BY exact_cnt DESC, token
+    """,
+    tags=("profiling", "sketch", "count-min", "bitops"),
+)
+def count_min_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream, audited against exact
+    counts for the true top-10. The sketch is {_CMS_D}×{_CMS_W} = 4,096
+    counters regardless of vocabulary size — at 100 TB it replaces the
+    vocabulary-sized frequency shuffle with a fixed broadcast-able
+    table (build: ONE weighted aggregate over distinct tokens, which
+    inserts each token count times without re-hashing occurrences).
+    Estimates use the same Kirsch-Mitzenmacher double hashing as the
+    bloom filter; min-over-rows can only OVERcount (collisions add,
+    never subtract) — `overcount ≥ 0` is pinned in tests and the exact
+    parity is the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.explode(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hashed = counts.select(
+        "token",
+        "cnt",
+        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("token"), 17, 15), 16, 10).cast("long").alias("h2"),
+    ).persist()  # feeds the cell build AND the top-k probe
+
+    def _cell(i):
+        return F.struct(
+            F.lit(i).alias("i"),
+            ((F.col("h1") + i * (2 * F.col("h2") + 1)) % _CMS_W).alias("pos"),
+        )
+
+    cells = (
+        hashed.select(
+            "cnt", F.explode(F.array(*[_cell(i) for i in range(_CMS_D)])).alias("ip")
+        )
+        .groupBy(F.col("ip.i").alias("i"), F.col("ip.pos").alias("pos"))
+        .agg(F.sum("cnt").alias("c"))
+    )
+    topk = hashed.orderBy(F.col("cnt").desc(), "token").limit(10)
+    probe = topk.select(
+        "token",
+        "cnt",
+        F.explode(F.array(*[_cell(i) for i in range(_CMS_D)])).alias("ip"),
+    ).select("token", "cnt", F.col("ip.i").alias("i"), F.col("ip.pos").alias("pos"))
+    return (
+        probe.join(F.broadcast(cells), ["i", "pos"])
+        .groupBy("token", "cnt")
+        .agg(F.min("c").alias("mc"))
+        .select(
+            "token",
+            F.col("cnt").cast("long").alias("exact_cnt"),
+            F.col("mc").cast("long").alias("cms_est"),
+            (F.col("mc") - F.col("cnt")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "token")
+    )
+
+
+# --------------------------------------------------------------------------
 # Clustering coefficient over the supplier kNN graph
 # --------------------------------------------------------------------------
 

@@ -142,3 +142,12 @@ def test_token_entropy_known_values(spark, tmp_path):
     assert rows["const"]["n_low_entropy"] == 1
     assert rows["unif"]["avg_entropy"] == 2.0
     assert rows["unif"]["n_low_entropy"] == 0
+
+
+def test_count_min_sketch_never_undercounts(spark):
+    """CMS one-sided error: collisions only ADD, so the estimate can
+    never be below the exact count."""
+    rows = _q("count_min_sketch_audit")(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "top-k must be non-empty"
+    assert all(r["overcount"] >= 0 for r in rows)
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)

@@ -243,3 +243,38 @@ def test_registry_prefix_is_oracle_backed_and_complete(spark):
     first_rows_only = next(i for i, n in enumerate(names) if n not in osql)
     assert all(n not in osql for n in names[first_rows_only:])
     assert len(names) == len(set(names)) == len(REGISTRY)
+
+
+def test_salted_join_spreads_hot_key_and_matches_plain_join(spark):
+    """salted_join contract: (1) the physical plan is a shuffle-hash
+    join on (key, salt) — no broadcast (a broadcast would make salting
+    a no-op demo); (2) on a pathologically hot key the result is
+    row-identical to the plain join."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.operators.skew import salted_join
+
+    big = spark.range(0, 10_000).select(
+        (F.when(F.col("id") < 9_000, 7).otherwise(F.col("id") % 50))
+        .cast("long")
+        .alias("k"),          # 90% of rows share key 7
+        (F.col("id") * 3).alias("v"),
+    )
+    small = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("attr")
+    ).hint("shuffle_hash")
+    salted = salted_join(big, small, on=["k"], n_salts=8)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    plain = big.join(small, "k")
+    agg = lambda df: sorted(
+        df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"),
+             F.sum("attr").alias("sa"))
+        .collect()
+    )
+    assert agg(salted) == agg(plain)
+    # plan shape on the registry query: shuffle-hash, never broadcast
+    q = _q(spark, "salted_event_mktsegment_join")
+    qplan = q._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in qplan and "BroadcastHashJoin" not in qplan
