@@ -99,6 +99,7 @@ HEADLINE = [
     "shard_assignment_stats",
     "supplier_knn_triangles",
     "dsir_importance_weights",
+    "bpe_merge_table",
     "semdedup_survivors",
     "skew_profile_events",
     # round 3: Spark 4 SQL/UDF surface (recursive CTE, UDTF, grouped-agg

@@ -825,6 +825,7 @@ CORE_PREFIX = [
     "token_budget_topp",
     "token_entropy_quality",            # quality tier: Shannon entropy fold
     "streaming_dedup_distinct_users",   # §2.8 dropDuplicatesWithinWatermark
+    "streaming_dedup_hourly_active_users",  # §2.8 chained stateful (dedup→agg)
     "events_within_5min_pairs",         # range join
     "hierarchical_time_rollup",
 ]

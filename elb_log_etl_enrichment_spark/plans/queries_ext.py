@@ -533,6 +533,49 @@ def streaming_dedup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # --------------------------------------------------------------------------
+# Chained stateful streaming: watermark dedup FEEDING a tumbling
+# aggregate (two state stores, one watermark) — oracle-checked against
+# the batch COUNT(DISTINCT user) per (hour, type). Whichever physical
+# duplicate survives the dedup, its ts truncates to the same hour, so
+# the downstream window counts are deterministic. Output mode is
+# UPDATE: append would withhold every window the final watermark
+# (max_ts − 2 h) hasn't passed, silently dropping the stream's tail
+# hours from the drained result (measured: 865 vs 868 rows).
+# --------------------------------------------------------------------------
+@register(
+    "streaming_dedup_hourly_active_users",
+    sql="""
+    SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms,
+           event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_pairs
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "dedup", "chained_stateful", "tumbling_window"),
+)
+def streaming_dedup_hourly_active_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.stream import (
+        dedup_then_hourly_users,
+        read_events_stream,
+        run_available_now,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    out = dedup_then_hourly_users(events)
+    ckpt = _fresh_checkpoint("dedup_hourly")
+    result = run_available_now(
+        out, spark, "mem_stream_dedup_hourly", ckpt, output_mode="update"
+    )
+    return result.select(
+        F.unix_millis("hour_start").alias("hour_start_ms"),
+        "event_type",
+        F.col("n_active_pairs").cast("long").alias("n_active_pairs"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Stream-stream interval join (attribution) — oracle-checked against
 # the equivalent batch self-join: with Trigger.AvailableNow draining
 # the whole input, the watermarked streaming join must produce exactly

@@ -594,3 +594,42 @@ def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_over_mean"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer induction (operators/bpe.py)
+# --------------------------------------------------------------------------
+@register(
+    "bpe_merge_table",
+    sql=None,  # iterative training → rows-only (same class as IVF/PQ)
+    tags=("training", "tokenizer", "bpe", "iterative"),
+)
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 12 BPE merges from the documents corpus. The
+    corpus collapses to DISTINCT (word, count) before any iteration —
+    the merge loop runs over the vocabulary, never the corpus — and
+    each round is one vocabulary-sized aggregate plus a 1-row argmax
+    (see operators/bpe.bpe_train for the full scale rationale). Ties
+    break (count DESC, left ASC, right ASC), so the merge table is
+    exactly reproducible; tests pin it against an independent
+    pure-Python BPE reference."""
+    from ..operators.bpe import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merges = bpe_train(words, n_merges=12)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "rank long, left string, right string, merged string, pair_count long",
+    )

@@ -214,6 +214,35 @@ def hourly_stream_agg(events: DataFrame, watermark: str = "2 hours") -> DataFram
     )
 
 
+def dedup_then_hourly_users(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """TWO chained stateful operators in one streaming plan:
+    watermark-bounded dedup on (user, type, hour) feeding a tumbling
+    hourly count of distinct active (user, type) pairs. Spark 4's
+    watermark propagation sizes both state stores off the single
+    `withWatermark`; the dedup emits each key once, so the downstream
+    aggregate counts distinct pairs without its own DISTINCT state.
+    The batch equivalent (the oracle) is one GROUP BY over DISTINCT
+    (hour, user, type)."""
+    hour = F.date_trunc("hour", F.col("ts"))
+    keyed = events.select(
+        "user_id", "event_type", hour.alias("hour_start"), "ts"
+    ).withWatermark("ts", watermark)
+    dd = keyed.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "hour_start"]
+    )
+    return (
+        dd.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_active_pairs"))
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_active_pairs",
+        )
+    )
+
+
 def run_available_now(
     result: DataFrame,
     spark: SparkSession,

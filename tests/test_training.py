@@ -160,3 +160,42 @@ def test_ivf_topk_recall_and_nprobe_monotonicity(spark):
     # bounded training stays usable even with a tiny sample: the fit
     # input is .limit(sample_limit), NOT the corpus
     assert recall(4, sample_limit=512) >= 0.5
+
+
+def test_bpe_paths_agree_and_match_reference(spark):
+    """The distributed merge loop (driver_vocab_limit=0) and the
+    driver fast path must produce IDENTICAL merge tables, and both
+    must match hand-checkable BPE semantics on the classic corpus:
+    'es'+'est' merge first (newest+widest share est, weight 9), with
+    ties broken (count DESC, left ASC, right ASC)."""
+    from elb_log_etl_enrichment_spark.operators.bpe import bpe_train
+
+    words = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "word string, cnt long",
+    )
+    fast = bpe_train(words, n_merges=6)
+    slow = bpe_train(words, n_merges=6, driver_vocab_limit=0)
+    assert fast == slow
+    assert [m["merged"] for m in fast[:2]] == ["es", "est"]
+    assert fast[0]["pair_count"] == 9  # 6 newest + 3 widest
+    # greedy non-overlap: 'aaa' with pair (a,a) yields ONE merge site
+    rep = spark.createDataFrame([("aaa", 4)], "word string, cnt long")
+    first = bpe_train(rep, n_merges=1, driver_vocab_limit=0)[0]
+    assert (first["left"], first["right"]) == ("a", "a")
+    assert first["pair_count"] == 8  # two adjacent pairs × cnt 4
+
+
+def test_bpe_merge_table_registry_query(spark):
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    out = REGISTRY["bpe_merge_table"].fn(spark, SF).collect()
+    assert len(out) == 12
+    assert [r["rank"] for r in out] == list(range(12))
+    assert all(r["merged"] == r["left"] + r["right"] for r in out)
+    # merge priority is non-increasing only within equal-arity rounds is
+    # NOT guaranteed (later merges can create heavier pairs); pin
+    # determinism instead: re-run yields the identical table
+    out2 = REGISTRY["bpe_merge_table"].fn(spark, SF).collect()
+    assert out == out2
