@@ -81,7 +81,9 @@ def sniff_header(payload: bytes) -> tuple[str, int, int] | None:
         return ("png", w, h)
     if payload[:2] == b"\xff\xd8":  # JPEG SOI; walk segments to a SOF
         i = 2
-        while i + 9 < len(payload):
+        # <=: the SOF dimension bytes may END exactly at the buffer
+        # boundary (payload[i+5:i+9] needs i+9 bytes, not i+10)
+        while i + 9 <= len(payload):
             if payload[i] != 0xFF:
                 break
             marker = payload[i + 1]
@@ -107,12 +109,16 @@ def _pillow_decode(payload: bytes) -> tuple[str, int, int]:
 def decode_media(media: DataFrame, real: bool = False) -> DataFrame:
     """Arrow-batched "decode": payload → typed metadata columns.
 
-    ``real=True`` runs the actual codec (Pillow) when the library is
-    importable on the executors and raises ``NotImplementedError``
-    otherwise — the boundary is tested both ways (a hand-crafted valid
-    PNG fixture behind an importable-Pillow guard, and the raise path
-    when the codec is absent). ``real=False`` is the deterministic
-    fake for plumbing tests.
+    ``real=True`` runs the actual codec (Pillow) and raises
+    ``NotImplementedError`` eagerly when the library is missing — the
+    boundary is tested both ways (a hand-crafted valid PNG fixture
+    behind an importable-Pillow guard, and the raise path when the
+    codec is absent). The eager probe runs on the DRIVER, which is
+    exact in local mode (one Python env) but only a proxy on a real
+    cluster: executors with a different image can still fail at task
+    time inside ``mapInPandas`` — ship Pillow in the executor
+    environment, don't rely on this probe. ``real=False`` is the
+    deterministic fake for plumbing tests.
     """
     if real:
         try:

@@ -41,19 +41,35 @@ def salted_join(
     pathologically hot (AQE skew splitting covers sort-merge; this is
     the explicit form that also pins the layout).
 
-    The big side gets a deterministic salt (xxhash64 of its non-key
-    columns mod ``n_salts``); the small side replicates each row once
-    per salt value via a literal-array explode. The join key becomes
-    (key, salt), so a hot key's rows spread over ``n_salts`` reducers
-    instead of serializing one. Results are EXACTLY the plain join
-    (every big row meets exactly the one replica carrying its salt) —
-    the oracle checks this with an unsalted JOIN. Cost: the small side
-    shuffles ``n_salts``× its size — bounded and chosen, unlike the
-    unbounded straggler it removes.
+    The big side is salted by ROW POSITION (monotonically_increasing_id
+    mod ``n_salts``) — never by row content: a hot key's rows are often
+    literal duplicates (replays, enum-valued columns), and any
+    content-derived salt maps them all to one reducer, keeping exactly
+    the straggler this operator exists to remove. Salt values cannot
+    affect results (each big row meets exactly the one replica carrying
+    its salt), so position-dependence is harmless. The small side
+    replicates each row once per salt via a literal-array explode, and
+    the join key becomes (key, salt) — the oracle checks the result
+    against the unsalted JOIN. Cost: the small side shuffles
+    ``n_salts``× its size — bounded and chosen, unlike the unbounded
+    straggler it removes.
+
+    Only big-side-preserving join types are accepted: with the small
+    side replicated, right/full joins would emit one null-extended row
+    per UNMATCHED REPLICA (up to ``n_salts`` spurious rows per small
+    key) — for those, salt the other way around.
     """
+    _BIG_PRESERVING = {
+        "inner", "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
+    }
+    if how.lower() not in _BIG_PRESERVING:
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only, got {how!r}: "
+            "replicated small-side rows would null-extend once per salt"
+        )
     on = list(on)
-    value_cols = [c for c in big.columns if c not in on]
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in value_cols]), F.lit(n_salts))
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     big_s = big.withColumn("__salt", salt)
     small_s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

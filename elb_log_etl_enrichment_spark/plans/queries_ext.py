@@ -568,10 +568,20 @@ def streaming_dedup_hourly_active_users(
     result = run_available_now(
         out, spark, "mem_stream_dedup_hourly", ckpt, output_mode="update"
     )
-    return result.select(
-        F.unix_millis("hour_start").alias("hour_start_ms"),
-        "event_type",
-        F.col("n_active_pairs").cast("long").alias("n_active_pairs"),
+    # Update mode APPENDS each batch's changed rows to the memory sink:
+    # in a multi-batch drain a window emits once per batch it grows in,
+    # leaving stale intermediate counts alongside the final one. The
+    # per-window count is nondecreasing (the upstream dedup only ever
+    # admits new pairs), so MAX per window recovers exactly the final
+    # emission regardless of batch slicing.
+    return (
+        result.groupBy("hour_start", "event_type")
+        .agg(F.max("n_active_pairs").alias("n_active_pairs"))
+        .select(
+            F.unix_millis("hour_start").alias("hour_start_ms"),
+            "event_type",
+            F.col("n_active_pairs").cast("long").alias("n_active_pairs"),
+        )
     )
 
 

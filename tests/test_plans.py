@@ -278,3 +278,35 @@ def test_salted_join_spreads_hot_key_and_matches_plain_join(spark):
     q = _q(spark, "salted_event_mktsegment_join")
     qplan = q._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in qplan and "BroadcastHashJoin" not in qplan
+
+
+def test_salted_join_guards_and_key_only_frames(spark):
+    """Review follow-ups: outer joins that would null-extend per
+    replica are rejected; a key-only big frame salts fine (position
+    salt, no content hash); identical duplicate rows of a hot key
+    spread across salts instead of landing on one reducer."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.operators.skew import salted_join
+
+    big = spark.range(0, 1000).select(F.lit(7).cast("long").alias("k"))
+    small = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+    )
+    with pytest.raises(ValueError, match="big-side-preserving"):
+        salted_join(big, small, on=["k"], how="full")
+    # key-only big frame: no value columns to hash — must still work
+    out = salted_join(big, small, on=["k"], n_salts=8)
+    assert out.count() == 1000
+    # identical rows spread: rebuild the salt expression the operator
+    # uses and check the hot key occupies >1 salt bucket
+    n_salts = (
+        big.withColumn(
+            "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(8))
+        )
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1
