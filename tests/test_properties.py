@@ -151,3 +151,66 @@ def test_asof_joins_match_bruteforce(events, orders):
             ).collect()
         }
         assert got == _brute_asof(events, orders, forward), f"forward={forward}"
+
+
+def _py_merge(sym: list, a: str, b: str, merged: str) -> list:
+    """Independent greedy left-to-right non-overlapping replacement."""
+    sym = list(sym)
+    i = 0
+    while i < len(sym) - 1:
+        if sym[i] == a and sym[i + 1] == b:
+            sym[i : i + 2] = [merged]
+        i += 1
+    return sym
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=8),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from(["aa", "ab", "ba", "bb"]),
+)
+def test_bpe_merge_fold_matches_reference(words, pair):
+    """The HOF merge fold (the subtle part of distributed BPE: pending
+    symbol + just-merged flag) must agree with an independent Python
+    greedy replacement on adversarial repeat-heavy arrays ('aaaa' with
+    pair (a,a) → [aa, aa], never [aa, a, a] or [aaa, a])."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.operators.bpe import _merge_fold
+
+    a, b = pair[0], pair[1]
+    df = _spark.createDataFrame([(w,) for w in words], "sym array<string>")
+    got = [
+        r["m"]
+        for r in df.select(
+            _merge_fold(F.col("sym"), a, b, a + b).alias("m")
+        ).collect()
+    ]
+    assert got == [_py_merge(w, a, b, a + b) for w in words]
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_bpe_paths_agree_random(vocab):
+    """Driver fast path and the distributed merge loop produce the
+    identical merge table on random vocabularies (shared tie-breaks)."""
+    from elb_log_etl_enrichment_spark.operators.bpe import bpe_train
+
+    words = _spark.createDataFrame(vocab, "word string, cnt long")
+    fast = bpe_train(words, n_merges=3)
+    slow = bpe_train(words, n_merges=3, driver_vocab_limit=0)
+    assert fast == slow
