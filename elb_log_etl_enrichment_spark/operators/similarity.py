@@ -160,7 +160,7 @@ def cosine_topk_ivf(
     centers = _IVF_CENTROID_MEMO.get(memo_key) if memo_key else None
     if centers is None:
         sample = np.array(
-            [r["v"] for r in p.select("v").limit(sample_limit).collect()],
+            p.select("v").limit(sample_limit).toArrow().column("v").to_pylist(),
             dtype=np.float64,
         )
         cent = _lloyd(
@@ -407,20 +407,42 @@ def cosine_topk_pq(
         memo_key = None
         codebooks = None
     if codebooks is None:
+        # Arrow transfer: a Py4J collect of array<double> rows costs
+        # ~2× the Arrow path even at 16k rows (row-at-a-time boxing)
         sample = np.array(
-            [r["u"] for r in unit.limit(sample_limit).collect()], dtype=np.float64
+            unit.select("u").limit(sample_limit).toArrow().column("u").to_pylist(),
+            dtype=np.float64,
         )
         _, d = sample.shape
         if d % m:
             raise ValueError(f"dim {d} not divisible by m={m}")
         sub_d = d // m
         rng = np.random.RandomState(42)
-        codebooks = np.empty((m, n_centroids, sub_d))
-        for j in range(m):
-            X = sample[:, j * sub_d : (j + 1) * sub_d]
-            # shared rng across subspaces keeps the training sequence
-            # identical to the pre-refactor inline loop
-            codebooks[j] = _lloyd(X, n_centroids, kmeans_iters, rng)
+        n = len(sample)
+        X3 = sample.reshape(n, m, sub_d)
+        # init draws stay per-subspace in j order (same rng sequence as
+        # the historical per-subspace loop); the Lloyd iterations batch
+        # ALL subspaces per step via one einsum — the per-j Python loop
+        # was the driver-side cold-start cost (~10 s → ~1 s measured)
+        cent = np.stack(
+            [
+                X3[rng.choice(n, size=n_centroids, replace=n < n_centroids), j]
+                for j in range(m)
+            ]
+        )  # (m, k, sub_d)
+        x_sq = (X3**2).sum(-1)  # (n, m)
+        for _ in range(kmeans_iters):
+            # ||x - c||² = ||x||² - 2·x·c + ||c||², argmin over k
+            cross = np.einsum("nms,mks->nmk", X3, cent)
+            d2 = x_sq[:, :, None] - 2.0 * cross + (cent**2).sum(-1)[None, :, :]
+            assign = d2.argmin(2)  # (n, m)
+            for j in range(m):
+                sums = np.zeros((n_centroids, sub_d))
+                np.add.at(sums, assign[:, j], X3[:, j])
+                counts = np.bincount(assign[:, j], minlength=n_centroids)
+                nz = counts > 0
+                cent[j, nz] = sums[nz] / counts[nz, None]
+        codebooks = cent
         if memo_key is not None:
             _PQ_CODEBOOK_MEMO[memo_key] = codebooks
     sub_d = codebooks.shape[2]

@@ -83,3 +83,32 @@ def test_graph_on_empty_edges(spark):
     sizes = {r.cluster_size for r in cluster_sizes(labels).collect()}
     assert labels.count() == 5
     assert sizes == {1}
+
+
+def test_round2_operators_on_empty_inputs(spark, tmp_path):
+    """Round-2 operators: bloom/CMS/entropy/BPE/salted-join totality on
+    an empty corpus (registry queries read parquet, so an empty typed
+    documents table is written to disk)."""
+    from elb_log_etl_enrichment_spark.operators.bpe import bpe_train
+    from elb_log_etl_enrichment_spark.operators.skew import salted_join
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    _empty_like(spark, SF, "documents").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    # single-row summaries stay single-row with zero counts; per-group
+    # outputs are empty
+    bloom = REGISTRY["bloom_decontamination_audit"].fn(spark, str(tmp_path)).collect()
+    assert len(bloom) == 1 and bloom[0]["probes"] == 0
+    assert REGISTRY["count_min_sketch_audit"].fn(spark, str(tmp_path)).count() == 0
+    assert REGISTRY["token_entropy_quality"].fn(spark, str(tmp_path)).count() == 0
+    assert REGISTRY["bpe_merge_table"].fn(spark, str(tmp_path)).count() == 0
+
+    words = spark.createDataFrame([], "word string, cnt long")
+    assert bpe_train(words, n_merges=3) == []
+    assert bpe_train(words, n_merges=3, driver_vocab_limit=0) == []
+
+    e = _empty_like(spark, SF, "events").select("user_id", "value")
+    c = spark.createDataFrame([(1, "A")], "user_id long, c_mktsegment string")
+    assert salted_join(e, c, on=["user_id"]).count() == 0
