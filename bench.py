@@ -85,6 +85,7 @@ HEADLINE = [
     "rolling_distinct_users",
     "bigram_repetition_flags",
     "token_entropy_quality",
+    "naive_bayes_langid_confusion",
     # round 3: iterative graph analytics on an aggregate-compressed graph
     "nation_trade_pagerank",
     # round 3: product analytics (cohorts, sequence modeling)

@@ -824,6 +824,7 @@ CORE_PREFIX = [
     "unigram_logprob_quality",
     "token_budget_topp",
     "token_entropy_quality",            # quality tier: Shannon entropy fold
+    "naive_bayes_langid_confusion",     # learned-classifier inference tier
     "streaming_dedup_distinct_users",   # §2.8 dropDuplicatesWithinWatermark
     "streaming_dedup_hourly_active_users",  # §2.8 chained stateful (dedup→agg)
     "events_within_5min_pairs",         # range join

@@ -18,7 +18,7 @@ Three capabilities a 100 TB text pipeline needs beyond dedup:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.text_dedup import (
@@ -433,4 +433,174 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("flesch") >= 60).alias("n_easy"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Naive Bayes language classifier — distributed TRAINING (pure
+# counting aggregates: multinomial NB with add-1 smoothing is
+# closed-form) and INFERENCE (vocabulary-sized model broadcast back
+# onto the token stream) in one declarative plan. The learned twin of
+# the stopword-heuristic `langid_confusion`. Absent (lang, token)
+# pairs use the smoothing default via the delta trick:
+# score = prior + n_toks·default_l + Σ_hits c·(logp − default_l),
+# so the join touches only OBSERVED pairs — no dense cross join.
+# Scores round to 6 dp in BOTH engines before the argmax (ties break
+# by lang ASC), keeping the prediction hash-stable.
+# --------------------------------------------------------------------------
+@register(
+    "naive_bayes_langid_confusion",
+    sql=r"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(regexp_extract_all(text, '\S+')) AS tok
+        FROM documents
+    ),
+    doc_tok AS (
+        SELECT doc_id, lang, tok, COUNT(*) AS c FROM tok
+        GROUP BY doc_id, lang, tok
+    ),
+    doc_len AS (
+        SELECT doc_id, lang AS actual_lang, SUM(c) AS n_toks FROM doc_tok
+        GROUP BY doc_id, lang
+    ),
+    vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM tok),
+    lang_tot AS (
+        SELECT lang, SUM(c) AS tot,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM doc_tok GROUP BY lang
+    ),
+    n_all AS (SELECT SUM(n_docs) AS nd FROM lang_tot),
+    model AS (
+        SELECT lang, tok, SUM(c) AS cnt FROM doc_tok GROUP BY lang, tok
+    ),
+    langs AS (
+        SELECT lang,
+               ln(n_docs * 1.0 / nd)        AS prior,
+               ln(1.0 / (tot + v))          AS dflt,
+               tot, v
+        FROM lang_tot CROSS JOIN vocab CROSS JOIN n_all
+    ),
+    hits AS (
+        SELECT dt.doc_id, m.lang,
+               SUM(dt.c * (ln((m.cnt + 1.0) / (l.tot + l.v)) - l.dflt)) AS s
+        FROM doc_tok dt
+        JOIN model m ON m.tok = dt.tok
+        JOIN langs l ON l.lang = m.lang
+        GROUP BY dt.doc_id, m.lang
+    ),
+    scored AS (
+        SELECT d.doc_id, d.actual_lang, l.lang AS cand,
+               ROUND(l.prior + d.n_toks * l.dflt + COALESCE(h.s, 0), 6)
+                   AS score
+        FROM doc_len d
+        CROSS JOIN langs l
+        LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.lang = l.lang
+    ),
+    pred AS (
+        SELECT doc_id, actual_lang, cand AS pred_lang
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, cand ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT actual_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred
+    GROUP BY actual_lang, pred_lang
+    ORDER BY actual_lang, pred_lang
+    """,
+    tags=("quality", "langid", "naive_bayes", "ml"),
+)
+def naive_bayes_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-sample confusion matrix of the NB classifier. Plan shape:
+    one token shuffle builds doc_tok (persisted — it feeds the model,
+    doc lengths, AND the scoring join), the model/priors/vocab are
+    lang×vocab-sized broadcasts, and scoring is a broadcast join over
+    observed (doc, token) pairs only."""
+    d = _t(spark, sf_dir, "documents")
+    from ..functions.text import TOKEN_RE
+
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))).alias(
+            "tok"
+        ),
+    )
+    doc_tok = (
+        tok.groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    doc_len = doc_tok.groupBy(
+        "doc_id", F.col("lang").alias("actual_lang")
+    ).agg(F.sum("c").alias("n_toks"))
+    vocab = tok.agg(F.count_distinct("tok").alias("v"))
+    lang_tot = doc_tok.groupBy("lang").agg(
+        F.sum("c").alias("tot"), F.count_distinct("doc_id").alias("n_docs")
+    )
+    n_all = lang_tot.agg(F.sum("n_docs").alias("nd"))
+    model = doc_tok.groupBy("lang", "tok").agg(F.sum("c").alias("cnt"))
+    langs = (
+        lang_tot.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "lang",
+            F.log(F.col("n_docs") * 1.0 / F.col("nd")).alias("prior"),
+            F.log(1.0 / (F.col("tot") + F.col("v"))).alias("dflt"),
+            "tot",
+            "v",
+        )
+    )
+    hits = (
+        doc_tok.alias("dt")
+        .join(F.broadcast(model.alias("m")), F.col("m.tok") == F.col("dt.tok"))
+        .join(F.broadcast(langs.alias("l")), F.col("l.lang") == F.col("m.lang"))
+        .groupBy(F.col("dt.doc_id").alias("doc_id"), F.col("m.lang").alias("lang"))
+        .agg(
+            F.sum(
+                F.col("dt.c")
+                * (
+                    F.log((F.col("m.cnt") + 1.0) / (F.col("l.tot") + F.col("l.v")))
+                    - F.col("l.dflt")
+                )
+            ).alias("s")
+        )
+    )
+    scored = (
+        doc_len.alias("d")
+        .crossJoin(
+            F.broadcast(langs.select("lang", "prior", "dflt")).alias("l")
+        )
+        .join(
+            hits.alias("h"),
+            (F.col("h.doc_id") == F.col("d.doc_id"))
+            & (F.col("h.lang") == F.col("l.lang")),
+            "left",
+        )
+        .select(
+            F.col("d.doc_id").alias("doc_id"),
+            F.col("d.actual_lang").alias("actual_lang"),
+            F.col("l.lang").alias("cand"),
+            F.round(
+                F.col("l.prior")
+                + F.col("d.n_toks") * F.col("l.dflt")
+                + F.coalesce(F.col("h.s"), F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("actual_lang", F.col("cand").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("actual_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("actual_lang", "pred_lang")
     )

@@ -151,3 +151,20 @@ def test_count_min_sketch_never_undercounts(spark):
     assert rows, "top-k must be non-empty"
     assert all(r["overcount"] >= 0 for r in rows)
     assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)
+
+
+def test_naive_bayes_perfectly_separates_disjoint_vocab(spark, tmp_path):
+    """Sanity on a separable fixture: two languages with disjoint
+    vocabularies must classify in-sample with a perfect diagonal."""
+    _docs(
+        spark,
+        [
+            ("aaa bbb aaa ccc", "xx", "s"),
+            ("bbb aaa aaa", "xx", "s"),
+            ("zzz yyy zzz", "yy", "s"),
+            ("yyy zzz yyy yyy", "yy", "s"),
+        ],
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = _q("naive_bayes_langid_confusion")(spark, str(tmp_path)).collect()
+    got = {(r["actual_lang"], r["pred_lang"]): r["n"] for r in rows}
+    assert got == {("xx", "xx"): 2, ("yy", "yy"): 2}
