@@ -113,6 +113,7 @@ HEADLINE = [
     "referential_integrity_audit",
     "heavy_hitter_tokens",
     "count_min_sketch_audit",
+    "vocab_growth_audit",
     "knn_clustering_coefficient",
     "max_concurrent_shipments",
     # round 3b: regr_* OLS surface, readability, PQ-ADC ANN

@@ -28,7 +28,7 @@ Scale notes
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import TOKEN_RE
@@ -823,4 +823,69 @@ def iqr_outlier_audit_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min(hi), 6).alias("hi_fence"),
         )
         .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary-growth (Heaps'-law) audit: how much NEW vocabulary each
+# corpus quartile contributes — the curve data-mixing decisions read
+# (a flattening curve means more of the same; a steep tail means the
+# corpus is still discovering vocabulary). Quartiles come from ntile
+# over doc_id; a token's first quartile is the quartile of its first
+# document (min doc_id), identical in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "vocab_growth_audit",
+    sql=r"""
+    WITH dq AS (
+        SELECT doc_id, ntile(4) OVER (ORDER BY doc_id) AS q FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        FROM documents
+    ),
+    firsts AS (
+        SELECT t.tok, MIN(dq.q) AS first_q
+        FROM tok t JOIN dq ON dq.doc_id = t.doc_id
+        GROUP BY t.tok
+    )
+    SELECT CAST(first_q AS BIGINT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS new_tokens,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY first_q
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+    FROM firsts GROUP BY first_q ORDER BY first_q
+    """,
+    tags=("profiling", "vocab", "heaps", "ntile"),
+)
+def vocab_growth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vocabulary contribution per corpus quartile. The ntile
+    window sorts ONLY doc_id (8 bytes/doc — the text never enters the
+    sort); the token side reduces to (token, min doc quartile) before
+    the 4-row cumulative window. At petabyte doc counts, swap the
+    global ntile for three percentile_approx doc_id cutpoints
+    broadcast into a CASE — the audit tolerates approximate quartile
+    boundaries; the oracle form keeps exact ntile semantics."""
+    d = _t(spark, sf_dir, "documents")
+    dq = d.select(
+        "doc_id", F.ntile(4).over(Window.orderBy("doc_id")).alias("q")
+    )
+    tok = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))).alias(
+            "tok"
+        ),
+    )
+    firsts = tok.join(dq, "doc_id").groupBy("tok").agg(
+        F.min("q").alias("first_q")
+    )
+    w = Window.orderBy("first_q").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        firsts.groupBy("first_q")
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+        .select(
+            F.col("first_q").cast("long").alias("quartile"),
+            F.col("new_tokens").cast("long").alias("new_tokens"),
+            F.sum("new_tokens").over(w).cast("long").alias("cum_vocab"),
+        )
+        .orderBy("quartile")
     )

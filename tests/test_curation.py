@@ -168,3 +168,25 @@ def test_naive_bayes_perfectly_separates_disjoint_vocab(spark, tmp_path):
     rows = _q("naive_bayes_langid_confusion")(spark, str(tmp_path)).collect()
     got = {(r["actual_lang"], r["pred_lang"]): r["n"] for r in rows}
     assert got == {("xx", "xx"): 2, ("yy", "yy"): 2}
+
+
+def test_vocab_growth_multi_quartile_curve(spark, tmp_path):
+    """Fixture with vocabulary arriving in waves: each quartile (4
+    docs -> 1 doc per quartile) introduces known new tokens."""
+    _docs(
+        spark,
+        [
+            ("a b", "en", "s"),          # Q1: a,b new
+            ("a b c", "en", "s"),        # Q2: c new
+            ("a c", "en", "s"),          # Q3: nothing new
+            ("d e f", "en", "s"),        # Q4: d,e,f new
+        ],
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r["quartile"]: r
+        for r in _q("vocab_growth_audit")(spark, str(tmp_path)).collect()
+    }
+    assert rows[1]["new_tokens"] == 2 and rows[1]["cum_vocab"] == 2
+    assert rows[2]["new_tokens"] == 1 and rows[2]["cum_vocab"] == 3
+    assert 3 not in rows  # no new vocabulary in Q3
+    assert rows[4]["new_tokens"] == 3 and rows[4]["cum_vocab"] == 6
