@@ -536,7 +536,9 @@ def naive_bayes_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_len = doc_tok.groupBy(
         "doc_id", F.col("lang").alias("actual_lang")
     ).agg(F.sum("c").alias("n_toks"))
-    vocab = tok.agg(F.count_distinct("tok").alias("v"))
+    # vocab from the persisted doc_tok — same distinct-token set as the
+    # raw stream, without re-exploding the corpus for a second scan
+    vocab = doc_tok.agg(F.count_distinct("tok").alias("v"))
     lang_tot = doc_tok.groupBy("lang").agg(
         F.sum("c").alias("tot"), F.count_distinct("doc_id").alias("n_docs")
     )
