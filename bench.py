@@ -185,10 +185,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    # The driver stores a bounded stdout tail; a single multi-KB JSON line
-    # can be truncated mid-object and parse as nothing. Emit a compact
-    # summary line FIRST (always parseable), persist the full per-query
-    # report to BENCH.local.json, then print the full contract line.
+    # The driver stores a bounded stdout tail KEPT FROM THE END (r01's
+    # recorded tail is front-truncated), so the multi-KB full-report line
+    # must NOT be last: its leading "metric" key would be cut and the
+    # whole line would parse as nothing. Print the full contract line
+    # first, persist it to BENCH.local.json, and print a compact totals
+    # line LAST — the final complete line in any end-retained tail is
+    # then always parseable.
     compact = {
         "metric": "headline_queries_total_time",
         "value": total,
@@ -197,11 +200,11 @@ def main() -> None:
         "sf": sf,
         "detail": "BENCH.local.json",
     }
-    print(json.dumps(compact), flush=True)
+    print(json.dumps(report), flush=True)
     with open(os.path.join(REPO_ROOT, "BENCH.local.json"), "w") as fh:
         json.dump(report, fh, indent=1)
         fh.write("\n")
-    print(json.dumps(report), flush=True)
+    print(json.dumps(compact), flush=True)
     spark.stop()
 
 
