@@ -80,6 +80,7 @@ HEADLINE = [
     "chunk_dedup_stats",
     "unigram_logprob_quality",
     "token_budget_topp",
+    "duplicated_span_coverage",
     # round 3: SCD2 islands, rolling distinct cardinality, Gopher bigram
     "scd2_user_event_intervals",
     "rolling_distinct_users",
@@ -120,6 +121,7 @@ HEADLINE = [
     "regression_battery",
     "readability_scores",
     "cosine_topk_pq",
+    "cosine_topk_ivfpq",
     "session_relative_features",
     "iqr_outlier_audit",
     "association_rules_parts",

@@ -504,3 +504,151 @@ def token_budget_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kept_frac"),
     )
+
+
+_SPAN_W = 8  # tokens per sliding duplicate-detection window
+
+
+@register(
+    "duplicated_span_coverage",
+    sql=f"""
+    WITH tk AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+    ),
+    sp AS (
+        SELECT doc_id,
+               unnest(range(0, len(t) - {_SPAN_W - 1})) AS start,
+               unnest([CAST(('0x' || substr(md5(array_to_string(
+                           t[i : i + {_SPAN_W - 1}], ' ')), 1, 15))::UBIGINT AS BIGINT)
+                       for i in range(1, len(t) - {_SPAN_W - 2})]) AS digest
+        FROM tk
+        WHERE len(t) >= {_SPAN_W}
+    ),
+    freq AS (SELECT digest FROM sp GROUP BY digest HAVING COUNT(*) >= 2),
+    dup AS (SELECT doc_id, start FROM sp JOIN freq USING (digest)),
+    lagd AS (
+        SELECT doc_id, start,
+               CASE WHEN start > COALESCE(lag(start) OVER w + {_SPAN_W - 1}, -1)
+                    THEN 1 ELSE 0 END AS brk
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY start)
+    ),
+    grp AS (
+        SELECT doc_id, start, SUM(brk) OVER (PARTITION BY doc_id ORDER BY start
+                                             ROWS UNBOUNDED PRECEDING) AS g
+        FROM lagd
+    ),
+    merged AS (
+        SELECT doc_id, g, COUNT(*) AS n_w,
+               MAX(start) + {_SPAN_W} - MIN(start) AS cov
+        FROM grp GROUP BY doc_id, g
+    ),
+    perdoc AS (
+        SELECT doc_id, SUM(n_w) AS n_dup_windows, SUM(cov) AS covered
+        FROM merged GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(len(tk.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(p.covered, 0) AS BIGINT) AS covered_tokens,
+           CASE WHEN len(tk.t) > 0
+                THEN ROUND(COALESCE(p.covered, 0) * 1.0 / len(tk.t), 6)
+                ELSE 0.0 END AS dup_fraction
+    FROM tk LEFT JOIN perdoc p USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("curation", "dedup", "substring", "span", "window"),
+)
+def duplicated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring accounting (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): every sliding
+    8-token window is digested corpus-wide; windows whose digest occurs
+    ≥2 times anywhere (other docs OR a repeat within the same doc) are
+    "duplicated", and per document the duplicated windows are merged
+    into maximal spans (interval union) to report exactly how many
+    TOKENS sit inside repeated substrings — the quantity substring-level
+    dedup would remove. Distinct from `chunk_dedup_stats` (non-overlap
+    8-token chunks miss duplicates that straddle a chunk boundary;
+    sliding windows cannot) and from winnowing (sampled fingerprints vs
+    exhaustive windows).
+
+    Scale shape: the explode is ~1 row per corpus token carrying only
+    (doc_id, start, 8-byte md5-prefix digest) — document text never
+    shuffles. Three narrow exchanges: digest-frequency aggregate,
+    digest join-back (duplicate-digest set only; AQE broadcasts it when
+    small), and the doc_id re-shuffle for the interval-merge window —
+    whose HashPartitioning(doc_id) then satisfies every downstream
+    grouping (doc_id, g) → (doc_id) with no further exchange. Interval
+    union via the classic lag-break/cumsum-group trick: window ends are
+    monotone in start (fixed width), so lag(start)+W-1 IS the running
+    max end and the union size is exact.
+    """
+    d = _t(spark, sf_dir, "documents")
+    t = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
+    tok = d.select("doc_id", t.alias("t")).select(
+        "doc_id", "t", F.size("t").alias("n_tokens")
+    )
+    digest = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    spans = (
+        tok.filter(F.col("n_tokens") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - _SPAN_W),
+                    lambda i: F.struct(
+                        i.cast("long").alias("start"),
+                        digest(F.concat_ws(" ", F.slice("t", i + 1, _SPAN_W))).alias(
+                            "digest"
+                        ),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.start", "s.digest")
+        .persist()  # feeds the frequency agg AND the join-back probe
+    )
+    freq = (
+        spans.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("digest")
+    )
+    dup = spans.join(freq, "digest").select("doc_id", "start")
+    w = Window.partitionBy("doc_id").orderBy("start")
+    brk = F.when(
+        F.col("start")
+        > F.coalesce(F.lag("start").over(w) + (_SPAN_W - 1), F.lit(-1)),
+        1,
+    ).otherwise(0)
+    grp = dup.withColumn("brk", brk).withColumn(
+        "g",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    merged = grp.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("n_w"),
+        (F.max("start") + _SPAN_W - F.min("start")).alias("cov"),
+    )
+    perdoc = merged.groupBy("doc_id").agg(
+        F.sum("n_w").alias("n_dup_windows"), F.sum("cov").alias("covered")
+    )
+    return (
+        tok.select("doc_id", "n_tokens")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("covered", F.lit(0)).cast("long").alias("covered_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce("covered", F.lit(0)) * 1.0 / F.col("n_tokens"), 6
+                ),
+            )
+            .otherwise(0.0)
+            .alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )

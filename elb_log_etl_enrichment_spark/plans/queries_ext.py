@@ -951,6 +951,22 @@ def cosine_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF-PQ composed index (Jégou et al. 2011 IVFADC): coarse cells + PQ
+# over cell residuals, one broadcast-everything mapInPandas search
+# pass. Iterative training → rows-only; recall contract pinned in
+# test_training (≥ plain PQ at the same code budget).
+# --------------------------------------------------------------------------
+@register(
+    "cosine_topk_ivfpq", sql=None, tags=("similarity", "ann", "ivf", "pq", "residual")
+)
+def cosine_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_ivfpq
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivfpq(e, F.col("vec_id") % 100 == 0, k=5, n_probe=4)
+
+
+# --------------------------------------------------------------------------
 # Approximate aggregates — the documented 100 TB substitutes for exact
 # count-distinct/median (SURVEY §7.4 trap 6). Engine-specific sketches
 # (HLL++/KLL) cannot match DuckDB bit-for-bit → rows-only check.

@@ -190,3 +190,65 @@ def test_vocab_growth_multi_quartile_curve(spark, tmp_path):
     assert rows[2]["new_tokens"] == 1 and rows[2]["cum_vocab"] == 3
     assert 3 not in rows  # no new vocabulary in Q3
     assert rows[4]["new_tokens"] == 3 and rows[4]["cum_vocab"] == 6
+
+
+def test_duplicated_span_coverage_straddles_chunk_boundary(spark, tmp_path):
+    """A repeated 8-token run placed at offset 4 in doc1 straddles the
+    non-overlapping chunk grid — exactly the duplicate chunk_dedup_stats
+    misses — and two overlapping duplicate windows must interval-merge
+    into one span (union, not sum-of-windows)."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = [
+        # doc0: shared run at offset 0 (16 tokens total)
+        (shared + " a1 a2 a3 a4 a5 a6 a7 a8", "en", "s"),
+        # doc1: shared run at offset 4 of 16 tokens — chunk grid splits it
+        ("b1 b2 b3 b4 " + shared + " b5 b6 b7 b8", "en", "s"),
+        # doc2: unique, and shorter than one window
+        ("u1 u2 u3", "en", "s"),
+        # doc3: SELF-repeat — "r1..r8 r1..r8" duplicates within one doc;
+        # windows at start 0 and 8 share a digest, plus every window in
+        # between pairs with its shifted twin? (no: interior windows mix
+        # r-suffix+r-prefix and appear twice too — all 9 windows dup,
+        # merging to one span covering all 16 tokens)
+        ("r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8", "en", "s"),
+    ]
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, (t, lang, src) in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r["doc_id"]: r
+        for r in _q("duplicated_span_coverage")(spark, str(tmp_path)).collect()
+    }
+    # doc0/doc1: exactly the one shared window each, covering 8 tokens
+    assert rows[0]["n_dup_windows"] == 1 and rows[0]["covered_tokens"] == 8
+    assert rows[1]["n_dup_windows"] == 1 and rows[1]["covered_tokens"] == 8
+    assert rows[1]["dup_fraction"] == 0.5
+    # doc2: below window width -> zero everything, still present
+    assert rows[2]["n_dup_windows"] == 0 and rows[2]["covered_tokens"] == 0
+    assert rows[2]["dup_fraction"] == 0.0
+    # doc3 self-repeat: start-0 and start-8 windows are identical ("r1..r8");
+    # every interior window w_i (i=1..7) equals... no other window, so dup
+    # windows = {0, 8}, which merge-coverage = [0,7] ∪ [8,15] = 16 tokens
+    # via two ADJACENT (non-overlapping) groups.
+    assert rows[3]["n_dup_windows"] == 2 and rows[3]["covered_tokens"] == 16
+    assert rows[3]["dup_fraction"] == 1.0
+
+
+def test_duplicated_span_interval_union_not_window_sum(spark, tmp_path):
+    """Three consecutive duplicate windows (starts 0,1,2 over a 10-token
+    shared run) must merge to ONE 10-token span, not 3x8 tokens."""
+    shared = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    docs = [(shared, "en", "s"), (shared + " z1 z2", "en", "s")]
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, (t, lang, src) in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r["doc_id"]: r
+        for r in _q("duplicated_span_coverage")(spark, str(tmp_path)).collect()
+    }
+    assert rows[0]["n_dup_windows"] == 3 and rows[0]["covered_tokens"] == 10
+    assert rows[0]["dup_fraction"] == 1.0
+    assert rows[1]["n_dup_windows"] == 3 and rows[1]["covered_tokens"] == 10
+    assert rows[1]["dup_fraction"] == 0.833333

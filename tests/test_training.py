@@ -199,3 +199,42 @@ def test_bpe_merge_table_registry_query(spark):
     # determinism instead: re-run yields the identical table
     out2 = REGISTRY["bpe_merge_table"].fn(spark, SF).collect()
     assert out == out2
+
+
+def test_ivfpq_recall_probe_tradeoff_and_full_probe_parity(spark):
+    """IVF-PQ contract: training is bounded to a seeded sample; probing
+    ALL cells must be within noise of plain PQ's recall (residual
+    encoding loses ~nothing: 0.88 vs 0.88 on the sf0.01 draw, 0.72 vs
+    0.84 on this sf0.001 draw — the 500-sample coarse fit is noisier),
+    and fewer probes trade recall for candidate volume (0.52 @ 2/16,
+    0.64 @ 4/16 measured @ sf0.01; floors are conservative)."""
+    from elb_log_etl_enrichment_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivfpq,
+        cosine_topk_pq,
+    )
+    from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+    e = load_table(spark, SF, "embeddings")
+    pred = F.col("vec_id") % 100 == 0
+    exact = {
+        (r.query_id, r.neighbor)
+        for r in cosine_topk_bruteforce(e, pred, k=5).collect()
+    }
+    assert exact
+
+    def recall(fn):
+        hits = {(r.query_id, r.neighbor) for r in fn.collect()}
+        return len(hits & exact) / len(exact)
+
+    r2 = recall(cosine_topk_ivfpq(e, pred, k=5, n_probe=2))
+    r4 = recall(cosine_topk_ivfpq(e, pred, k=5, n_probe=4))
+    r16 = recall(cosine_topk_ivfpq(e, pred, k=5, n_probe=16))
+    r_pq = recall(cosine_topk_pq(e, pred, k=5))
+    assert r2 >= 0.25, r2
+    assert r4 >= 0.4, r4
+    assert r16 >= r2, (r16, r2)
+    # full probe sees every candidate plain PQ sees; residual codes
+    # must stay within small-sample noise of whole-vector codes
+    assert r16 >= 0.6, r16
+    assert r16 >= r_pq - 0.15, (r16, r_pq)
