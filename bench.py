@@ -102,6 +102,7 @@ HEADLINE = [
     "supplier_knn_triangles",
     "dsir_importance_weights",
     "bpe_merge_table",
+    "bpe_encode_stats",
     "semdedup_survivors",
     "skew_profile_events",
     # round 3: Spark 4 SQL/UDF surface (recursive CTE, UDTF, grouped-agg

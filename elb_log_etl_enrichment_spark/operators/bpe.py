@@ -170,3 +170,40 @@ def bpe_train(
             _merge_fold(F.col("sym"), a, b, merged).alias("sym"), "cnt"
         ).localCheckpoint(eager=True)
     return merges
+
+
+def bpe_encode_tokens(
+    words: DataFrame, merges: list[dict], checkpoint_every: int = 32
+) -> DataFrame:
+    """Encode a (word, …) vocabulary frame with a FIXED merge table:
+    chars → subwords by applying every merge in rank order as one
+    ``_merge_fold`` HOF — the exact rewriting rule training used, so
+    train-then-encode round-trips bit-identically. Single-pass-per-
+    merge in ascending rank is exactly Sennrich's iterative
+    min-rank-first encoder for tables learned by this trainer: a pair
+    involving a merged token can only have been learned AFTER that
+    token existed, so applicable pairs always appear in rank order and
+    no earlier-rank pair can re-appear once passed (pinned against an
+    independent pure-Python encoder in tests).
+
+    Scale shape: encoding runs over the DISTINCT-word vocabulary —
+    never the corpus token stream; callers join ``n_bpe_tokens`` back
+    to their corpus by word (vocabulary-sized build side, broadcast
+    when it fits). The merge chain is pure JVM expression work (no
+    Python, no shuffle); every ``checkpoint_every`` merges the frame
+    localCheckpoints so very long tables neither stack a
+    lineage/codegen tower nor re-fold from scratch downstream.
+
+    Adds columns ``bpe_sym`` (array<string>) and ``n_bpe_tokens``.
+    """
+    sym = F.split(F.col("word"), "")
+    out = words
+    ordered = sorted(merges, key=lambda m: m["rank"])
+    for i, m in enumerate(ordered):
+        sym = _merge_fold(sym, m["left"], m["right"], m["merged"])
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < len(ordered):
+            out = out.withColumn("bpe_sym", sym).localCheckpoint(eager=False)
+            sym = F.col("bpe_sym")
+    return out.withColumn("bpe_sym", sym).withColumn(
+        "n_bpe_tokens", F.size(F.col("bpe_sym"))
+    )

@@ -633,3 +633,49 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rank long, left string, right string, merged string, pair_count long",
     )
+
+
+@register(
+    "bpe_encode_stats",
+    sql=None,  # encodes with the iteratively-TRAINED merge table → rows-only
+    tags=("training", "tokenizer", "bpe", "encode"),
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the learned BPE merge table — the
+    actual "tokenize 100 TB" step. Train (12 merges, vocabulary-
+    bounded loop) then encode: the merge chain is applied ONCE per
+    DISTINCT word as pure JVM HOF folds (operators/bpe.
+    bpe_encode_tokens), and per-word token counts broadcast-join back
+    to the corpus word stream — the corpus itself is touched exactly
+    twice (vocabulary count + stats join), never per-merge. Reports
+    per-source subword inflation: whitespace words → BPE tokens →
+    chars/token, the numbers a tokenizer-budget plan needs."""
+    from ..operators.bpe import bpe_encode_tokens, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    stream = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))).alias(
+            "word"
+        ),
+    )
+    vocab = stream.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    merges = bpe_train(vocab, n_merges=12)
+    enc = bpe_encode_tokens(vocab, merges).select("word", "n_bpe_tokens")
+    return (
+        stream.join(F.broadcast(enc), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.round(F.sum("n_bpe_tokens") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "tokens_per_word"
+            ),
+            F.round(
+                F.sum(F.length("word")) * 1.0 / F.sum("n_bpe_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )

@@ -238,3 +238,74 @@ def test_ivfpq_recall_probe_tradeoff_and_full_probe_parity(spark):
     # must stay within small-sample noise of whole-vector codes
     assert r16 >= 0.6, r16
     assert r16 >= r_pq - 0.15, (r16, r_pq)
+
+
+def _sennrich_encode(word: str, merges: list[dict]) -> list[str]:
+    """Independent reference BPE encoder: iteratively find the
+    LOWEST-RANK adjacent pair present and merge all its occurrences
+    left-to-right (greedy non-overlapping), repeat until none apply —
+    the classic subword-nmt apply_bpe loop."""
+    ranks = {(m["left"], m["right"]): m["rank"] for m in merges}
+    merged_of = {(m["left"], m["right"]): m["merged"] for m in merges}
+    sym = list(word)
+    while len(sym) > 1:
+        pairs = {(sym[i], sym[i + 1]) for i in range(len(sym) - 1)}
+        cand = [p for p in pairs if p in ranks]
+        if not cand:
+            break
+        best = min(cand, key=lambda p: ranks[p])
+        out, i = [], 0
+        while i < len(sym):
+            if i < len(sym) - 1 and (sym[i], sym[i + 1]) == best:
+                out.append(merged_of[best])
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def test_bpe_encode_matches_independent_encoder(spark):
+    """The chained _merge_fold encoding must equal the iterative
+    min-rank-first reference encoder on chain-merge edge cases (runs
+    of one char, back-to-back pairs, merged-token-feeds-later-merge),
+    using a merge table the trainer itself produced on this corpus."""
+    from elb_log_etl_enrichment_spark.operators.bpe import (
+        bpe_encode_tokens,
+        bpe_train,
+    )
+
+    corpus_words = [
+        ("aaaa", 50), ("aaab", 40), ("abab", 30), ("banana", 20),
+        ("abcabc", 10), ("a", 5), ("bb", 4), ("cab", 3),
+    ]
+    words = spark.createDataFrame(corpus_words, "word string, cnt long")
+    merges = bpe_train(words, n_merges=6)
+    assert merges, "trainer must learn merges on this corpus"
+    enc = {
+        r["word"]: (list(r["bpe_sym"]), r["n_bpe_tokens"])
+        for r in bpe_encode_tokens(words, merges).collect()
+    }
+    for w, _ in corpus_words:
+        ref = _sennrich_encode(w, merges)
+        assert enc[w][0] == ref, (w, enc[w][0], ref)
+        assert enc[w][1] == len(ref)
+    # reconstruction invariant: concatenating subwords restores the word
+    for w, (sym, _) in enc.items():
+        assert "".join(sym) == w
+
+
+def test_bpe_encode_stats_query_shape(spark):
+    """Registry query: per-source stats exist, tokens_per_word ≥ 1 is
+    impossible (BPE splits words into ≥1 subwords, so n_bpe_tokens ≥
+    n_words) and chars/token ≥ 1."""
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    out = REGISTRY["bpe_encode_stats"].fn(spark, SF).collect()
+    assert out
+    for r in out:
+        assert r["n_bpe_tokens"] >= r["n_words"]
+        assert r["chars_per_token"] >= 1.0
+        assert r["tokens_per_word"] >= 1.0
