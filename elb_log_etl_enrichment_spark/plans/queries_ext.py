@@ -192,11 +192,21 @@ def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.round(F.percentile("value", 0.25), 6).alias("p25"),
-        F.round(F.percentile("value", 0.50), 6).alias("p50"),
-        F.round(F.percentile("value", 0.75), 6).alias("p75"),
-        F.round(F.percentile("value", 0.90), 6).alias("p90"),
+    # one array-percentage aggregate = one value buffer + one sort per
+    # group (four scalar percentile() calls would keep four)
+    qs = F.percentile(
+        "value", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75), F.lit(0.90))
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(qs.alias("qs"))
+        .select(
+            "event_type",
+            F.round(F.col("qs")[0], 6).alias("p25"),
+            F.round(F.col("qs")[1], 6).alias("p50"),
+            F.round(F.col("qs")[2], 6).alias("p75"),
+            F.round(F.col("qs")[3], 6).alias("p90"),
+        )
     )
 
 

