@@ -81,6 +81,9 @@ HEADLINE = [
     "unigram_logprob_quality",
     "token_budget_topp",
     "duplicated_span_coverage",
+    "leakage_safe_split_audit",
+    "padding_waste_audit",
+    "incremental_ingest_dedup",
     # round 3: SCD2 islands, rolling distinct cardinality, Gopher bigram
     "scd2_user_event_intervals",
     "rolling_distinct_users",

@@ -816,6 +816,7 @@ CORE_PREFIX = [
     "token_count_documents",            # LLM tier: token counting
     "text_quality_scores",              # LLM tier: quality scoring
     # --- past the r01 sample size; still ordered by coverage value ---
+    "duplicated_span_coverage",         # LLM tier: sliding-window exact-substring dedup
     "langid_confusion",                 # LLM tier: language id
     "doc_fingerprint_summary",          # LLM tier: fingerprinting
     "decontamination_overlap",          # curation tier

@@ -652,3 +652,92 @@ def duplicated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "incremental_ingest_dedup",
+    sql="""
+    WITH tagged AS (
+        SELECT doc_id, source,
+               md5(array_to_string(regexp_extract_all(text, '\\S+')[1:8], ' '))
+                   AS digest,
+               doc_id % 5 = 0 AS is_batch
+        FROM documents
+    ),
+    hist AS (SELECT DISTINCT digest FROM tagged WHERE NOT is_batch),
+    batch AS (SELECT * FROM tagged WHERE is_batch),
+    cls AS (
+        SELECT b.doc_id, b.source, b.digest,
+               h.digest IS NOT NULL AS in_hist,
+               MIN(b.doc_id) OVER (PARTITION BY b.digest) AS survivor
+        FROM batch b LEFT JOIN hist h USING (digest)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(COUNT(CASE WHEN in_hist THEN 1 END) AS BIGINT)
+               AS n_dup_of_history,
+           CAST(COUNT(CASE WHEN NOT in_hist AND doc_id <> survivor THEN 1 END)
+                AS BIGINT) AS n_dup_within_batch,
+           CAST(COUNT(CASE WHEN NOT in_hist AND doc_id = survivor THEN 1 END)
+                AS BIGINT) AS n_ingested
+    FROM cls
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("curation", "dedup", "incremental", "ingest"),
+)
+def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup against a persisted index: an
+    incoming batch (simulated as ``doc_id % 5 == 0``) checked against
+    the historical corpus (the rest) on an 8-token PREFIX digest (the
+    C4-style leading-boilerplate rule — this synthetic corpus has no
+    full-text duplicates, but shared openings are plentiful and the
+    prefix rule is what catches templated/boilerplate reposts in real
+    web data). Every batch doc is either a duplicate of history, a
+    within-batch duplicate (non-survivor copy), or newly ingested. The join direction is the scale-critical choice: the
+    HISTORY side (the 100 TB index) is probed with a semi-join against
+    the batch digest set and never re-shuffles — only the digests that
+    actually matched (≤ batch-sized) come back to classify the batch.
+    A production run persists the ingested survivors' digests back to
+    the index, exactly the geo-cache upsert pattern
+    (sources/geo_cache.py) applied to content digests."""
+    d = _t(spark, sf_dir, "documents")
+    prefix = F.concat_ws(
+        " ",
+        F.slice(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0)), 1, 8),
+    )
+    tagged = d.select(
+        "doc_id", "source", F.md5(prefix).alias("digest"),
+        (F.col("doc_id") % 5 == 0).alias("is_batch"),
+    )
+    batch = tagged.filter(F.col("is_batch")).drop("is_batch").persist()
+    hist = tagged.filter(~F.col("is_batch")).select("digest")
+    # semi-join the (huge) history against the broadcast batch digest
+    # set; result is at most batch-sized
+    matched = (
+        hist.join(
+            F.broadcast(batch.select("digest").distinct()), "digest", "left_semi"
+        )
+        .distinct()
+        .withColumn("in_hist", F.lit(True))
+    )
+    w = Window.partitionBy("digest")
+    cls = (
+        batch.join(F.broadcast(matched), "digest", "left")
+        .withColumn("in_hist", F.coalesce("in_hist", F.lit(False)))
+        .withColumn("survivor", F.min("doc_id").over(w))
+    )
+    return (
+        cls.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batch"),
+            F.count_if(F.col("in_hist")).cast("long").alias("n_dup_of_history"),
+            F.count_if(
+                ~F.col("in_hist") & (F.col("doc_id") != F.col("survivor"))
+            ).cast("long").alias("n_dup_within_batch"),
+            F.count_if(
+                ~F.col("in_hist") & (F.col("doc_id") == F.col("survivor"))
+            ).cast("long").alias("n_ingested"),
+        )
+        .orderBy("source")
+    )

@@ -1063,3 +1063,117 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe train/test split: near-duplicate documents must land in
+# the SAME split, or the held-out set silently overlaps the training
+# set (the contamination path benchmarks suffer from). Split decision
+# is made per dedup CLUSTER (md5 of the connected-component label),
+# not per document — and the audit quantifies exactly what the naive
+# per-document hash split would have torn apart.
+# --------------------------------------------------------------------------
+@register(
+    "leakage_safe_split_audit",
+    sql=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    edges AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
+    undirected AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION
+        SELECT doc_b, doc_a FROM edges
+    ),
+    reach(id, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT u.dst, r.root FROM reach r JOIN undirected u ON u.src = r.id
+    ),
+    comp AS (SELECT id, MIN(root) AS cluster_id FROM reach GROUP BY id),
+    assign AS (
+        SELECT c.id AS doc_id, c.cluster_id,
+               CASE WHEN substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 1) <= 'c'
+                    THEN 'train' ELSE 'test' END AS split,
+               CASE WHEN substr(md5(d.text), 1, 1) <= 'c'
+                    THEN 'train' ELSE 'test' END AS naive_split
+        FROM comp c JOIN documents d ON d.doc_id = c.id
+    ),
+    torn AS (
+        SELECT
+            COUNT(CASE WHEN n_naive > 1 THEN 1 END) AS naive_torn,
+            COUNT(CASE WHEN n_safe  > 1 THEN 1 END) AS safe_torn
+        FROM (
+            SELECT cluster_id,
+                   COUNT(DISTINCT naive_split) AS n_naive,
+                   COUNT(DISTINCT split)       AS n_safe
+            FROM assign GROUP BY cluster_id
+        )
+    )
+    SELECT a.split,
+           CAST(COUNT(*) AS BIGINT)                    AS n_docs,
+           CAST(COUNT(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters,
+           CAST(t.naive_torn AS BIGINT)                AS naive_torn_clusters,
+           CAST(t.safe_torn AS BIGINT)                 AS safe_torn_clusters
+    FROM assign a CROSS JOIN torn t
+    GROUP BY a.split, t.naive_torn, t.safe_torn
+    ORDER BY a.split
+    """,
+    tags=("dedup", "split", "leakage", "graph", "curation"),
+)
+def leakage_safe_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-granular deterministic split + tearing audit. Labels
+    come from the memoized MinHash-LSH component pass; the split is a
+    pure hash of the cluster label (content-derived: the label is the
+    min doc_id, stable for a fixed corpus), so membership reproduces
+    on any engine/partitioning. ``safe_torn_clusters`` is structurally
+    0 — the audit PROVES the invariant rather than assuming it —
+    while ``naive_torn_clusters`` counts the near-dup clusters a
+    per-document hash split would have leaked across the boundary.
+    Scale shape: everything after the (memoized) LSH pass is
+    cluster/doc-id-sized — the torn audit aggregates label frames,
+    never text."""
+    from ..operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = _minhash_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(
+        d.select("doc_id"), pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    ).select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    safe = F.when(
+        F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1) <= "c",
+        "train",
+    ).otherwise("test")
+    naive = F.when(F.substring(F.md5("text"), 1, 1) <= "c", "train").otherwise(
+        "test"
+    )
+    assign = (
+        labels.join(d.select("doc_id", "text"), "doc_id")
+        .select("doc_id", "cluster_id", safe.alias("split"), naive.alias("naive_split"))
+        .persist()  # feeds the torn audit AND the per-split rollup
+    )
+    torn = (
+        assign.groupBy("cluster_id")
+        .agg(
+            F.count_distinct("naive_split").alias("n_naive"),
+            F.count_distinct("split").alias("n_safe"),
+        )
+        .agg(
+            F.count_if(F.col("n_naive") > 1).alias("naive_torn"),
+            F.count_if(F.col("n_safe") > 1).alias("safe_torn"),
+        )
+    )
+    return (
+        assign.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(torn))
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            F.col("naive_torn").cast("long").alias("naive_torn_clusters"),
+            F.col("safe_torn").cast("long").alias("safe_torn_clusters"),
+        )
+        .orderBy("split")
+    )

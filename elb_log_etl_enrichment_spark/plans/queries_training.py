@@ -679,3 +679,107 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_BATCH_B = 32  # docs per inference batch
+
+
+def _distributed_global_rank(
+    df: DataFrame, val_col: str, tiebreak: str, n_buckets: int = 32
+) -> DataFrame:
+    """Exact global row_number over ORDER BY (val_col, tiebreak)
+    WITHOUT a single-reducer global window — the classic two-pass
+    scheme: (1) percentile cuts split the value domain into
+    ``n_buckets`` ranges (ties share a value so they can never
+    straddle a cut), (2) per-bucket row_number runs in parallel and a
+    broadcast of the tiny per-bucket count prefix-sum turns local
+    ranks into global ones. The only global-ordered structure ever
+    materialized is the (n_buckets+1)-row offset frame.
+
+    Adds column ``rnk`` (1-based global rank)."""
+    cuts = df.agg(
+        F.percentile(
+            val_col,
+            F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)]),
+        ).alias("cs")
+    )
+    rb = F.size(F.filter(F.col("cs"), lambda x: x <= F.col(val_col)))
+    b = df.join(F.broadcast(cuts)).withColumn("rb", rb).drop("cs")
+    counts = b.groupBy("rb").agg(F.count(F.lit(1)).alias("c"))
+    off_w = Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "rb", F.coalesce(F.sum("c").over(off_w), F.lit(0)).alias("off")
+    )
+    in_w = Window.partitionBy("rb").orderBy(val_col, tiebreak)
+    return (
+        b.join(F.broadcast(offsets), "rb")
+        .withColumn("rnk", F.row_number().over(in_w) + F.col("off"))
+        .drop("rb", "off")
+    )
+
+
+@register(
+    "padding_waste_audit",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n
+        FROM documents
+    ),
+    srt AS (SELECT n, (row_number() OVER (ORDER BY n, doc_id) - 1) // {_BATCH_B}
+                   AS b FROM tok),
+    arr AS (SELECT n, (row_number() OVER (ORDER BY doc_id) - 1) // {_BATCH_B}
+                   AS b FROM tok),
+    sb AS (
+        SELECT 'length_sorted' AS strategy, b,
+               COUNT(*) AS c, MAX(n) AS mx, SUM(n) AS s
+        FROM srt GROUP BY b
+        UNION ALL
+        SELECT 'arrival', b, COUNT(*), MAX(n), SUM(n) FROM arr GROUP BY b
+    )
+    SELECT strategy,
+           CAST(SUM(c) AS BIGINT)      AS n_docs,
+           CAST(COUNT(*) AS BIGINT)    AS n_batches,
+           CAST(SUM(s) AS BIGINT)      AS total_tokens,
+           CAST(SUM(c * mx) AS BIGINT) AS padded_slots,
+           ROUND(1.0 - SUM(s) * 1.0 / SUM(c * mx), 6) AS waste_frac
+    FROM sb GROUP BY strategy ORDER BY strategy
+    """,
+    tags=("training", "batching", "padding", "rank"),
+)
+def padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-batching padding audit: batch documents 32 at a time
+    in (a) arrival order and (b) length-sorted order, pad every doc in
+    a batch to the batch max, and compare the padded-slot waste — the
+    measurement that justifies length-bucketed inference batching.
+    Global sequence numbers come from the two-pass bucket-rank scheme
+    (``_distributed_global_rank``): at 100 TB a bare
+    ``row_number() OVER (ORDER BY …)`` is a single-reducer sort, while
+    this plan's only global structure is a 32-row offset table; the
+    DuckDB oracle uses the plain global window — proving the two-pass
+    rank exactly reproduces it."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))).alias("n"),
+    )
+
+    def batched(ranked: DataFrame, strategy: str) -> DataFrame:
+        per_batch = ranked.groupBy(
+            F.floor((F.col("rnk") - 1) / _BATCH_B).alias("b")
+        ).agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("n").alias("mx"),
+            F.sum("n").alias("s"),
+        )
+        return per_batch.agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("s").cast("long").alias("total_tokens"),
+            F.sum(F.col("c") * F.col("mx")).cast("long").alias("padded_slots"),
+            F.round(
+                1.0 - F.sum("s") * 1.0 / F.sum(F.col("c") * F.col("mx")), 6
+            ).alias("waste_frac"),
+        ).select(F.lit(strategy).alias("strategy"), "*")
+    srt = batched(_distributed_global_rank(tok, "n", "doc_id"), "length_sorted")
+    arr = batched(_distributed_global_rank(tok, "doc_id", "doc_id"), "arrival")
+    return arr.unionByName(srt).orderBy("strategy")

@@ -252,3 +252,61 @@ def test_duplicated_span_interval_union_not_window_sum(spark, tmp_path):
     assert rows[0]["dup_fraction"] == 1.0
     assert rows[1]["n_dup_windows"] == 3 and rows[1]["covered_tokens"] == 10
     assert rows[1]["dup_fraction"] == 0.833333
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark, tmp_path):
+    """Two near-identical docs whose TEXT hashes fall on opposite sides
+    of the naive split boundary must still land in the SAME split under
+    the cluster-granular rule, and the audit must report the naive
+    tearing while proving safe_torn == 0."""
+    import hashlib
+
+    base = " ".join(f"w{i}" for i in range(40))
+    # find a suffix word that flips the naive md5-nibble split of the
+    # variant relative to the base (guaranteed to exist quickly)
+    base_side = hashlib.md5(base.encode()).hexdigest()[0] <= "c"
+    variant = None
+    for k in range(200):
+        cand = base + f" extra{k}"
+        if (hashlib.md5(cand.encode()).hexdigest()[0] <= "c") != base_side:
+            variant = cand
+            break
+    assert variant is not None
+    docs = [base, variant, "zz1 zz2 zz3 zz4 zz5"]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = _q("leakage_safe_split_audit")(spark, str(tmp_path)).collect()
+    assert sum(r["n_docs"] for r in out) == 3
+    for r in out:
+        assert r["safe_torn_clusters"] == 0
+        assert r["naive_torn_clusters"] == 1  # exactly the planted pair
+
+
+def test_incremental_ingest_classifies_all_three_ways(spark, tmp_path):
+    """Planted corpus: doc 5 shares its 8-token prefix with history
+    doc 1 (dup_of_history); docs 10 and 15 share a prefix unseen in
+    history (one survivor ingested, one within-batch dup); doc 20 is
+    fresh. doc_id % 5 == 0 defines the batch."""
+    pre_a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    pre_b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = {
+        1: pre_a + " hist tail words here",      # history
+        2: "h1 h2 h3 h4 h5 h6 h7 h8 other",      # history
+        5: pre_a + " different continuation",    # batch: dup of history
+        10: pre_b + " one continuation",          # batch: survivor
+        15: pre_b + " another continuation",      # batch: within-batch dup
+        20: "f1 f2 f3 f4 f5 f6 f7 f8 fresh",      # batch: fresh
+    }
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = _q("incremental_ingest_dedup")(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_batch"] == 4
+    assert r["n_dup_of_history"] == 1
+    assert r["n_dup_within_batch"] == 1   # doc 15 (doc 10 is the survivor)
+    assert r["n_ingested"] == 2           # docs 10 and 20

@@ -309,3 +309,43 @@ def test_bpe_encode_stats_query_shape(spark):
         assert r["n_bpe_tokens"] >= r["n_words"]
         assert r["chars_per_token"] >= 1.0
         assert r["tokens_per_word"] >= 1.0
+
+
+def test_two_pass_global_rank_equals_single_window(spark):
+    """The bucket-rank scheme must reproduce the exact global
+    row_number for any value distribution — including heavy ties that
+    straddle percentile cut positions."""
+    import random
+
+    from pyspark.sql import Window
+    from elb_log_etl_enrichment_spark.plans.queries_training import (
+        _distributed_global_rank,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice([3, 3, 3, 5, 8, 8, 13, 21])) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = {
+        r["doc_id"]: r["rnk"]
+        for r in _distributed_global_rank(df, "n", "doc_id").collect()
+    }
+    want = {
+        r["doc_id"]: r["rnk"]
+        for r in df.withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy("n", "doc_id")),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_padding_waste_sorted_never_worse_than_arrival(spark):
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    rows = {r["strategy"]: r for r in
+            REGISTRY["padding_waste_audit"].fn(spark, SF).collect()}
+    assert rows["length_sorted"]["waste_frac"] <= rows["arrival"]["waste_frac"]
+    for r in rows.values():
+        assert r["padded_slots"] >= r["total_tokens"]
+        assert r["n_batches"] == -(-r["n_docs"] // 32)  # ceil
