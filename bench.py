@@ -84,6 +84,7 @@ HEADLINE = [
     "leakage_safe_split_audit",
     "padding_waste_audit",
     "incremental_ingest_dedup",
+    "dim_truncation_recall",
     # round 3: SCD2 islands, rolling distinct cardinality, Gopher bigram
     "scd2_user_event_intervals",
     "rolling_distinct_users",

@@ -1177,3 +1177,93 @@ def leakage_safe_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka-style dimension-truncation audit: how much of the full
+# 64-d top-k survives when search runs on the first 16 dims only
+# (prefix-normalized, MRL semantics). The question every
+# embedding-storage budget decision asks — answered from the corpus
+# itself, per query.
+# --------------------------------------------------------------------------
+_TRUNC_DIMS = 16
+
+
+@register(
+    "dim_truncation_recall",
+    sql=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    fn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    tn AS (SELECT vec_id, v[1:{_TRUNC_DIMS}] AS v,
+                  sqrt(list_dot_product(v[1:{_TRUNC_DIMS}], v[1:{_TRUNC_DIMS}]))
+                      AS nrm
+           FROM e),
+    ftop AS (
+        SELECT query_id, neighbor FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6)
+                           DESC, c.vec_id ASC) AS rk
+            FROM fn q JOIN fn c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id % 100 = 0
+        ) WHERE rk <= 5
+    ),
+    ttop AS (
+        SELECT query_id, neighbor FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6)
+                           DESC, c.vec_id ASC) AS rk
+            FROM tn q JOIN tn c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id % 100 = 0
+        ) WHERE rk <= 5
+    )
+    SELECT f.query_id,
+           CAST(5 AS BIGINT) AS k,
+           CAST(COUNT(t.neighbor) AS BIGINT) AS n_overlap,
+           ROUND(COUNT(t.neighbor) * 1.0 / 5, 6) AS recall
+    FROM ftop f
+    LEFT JOIN ttop t ON t.query_id = f.query_id AND t.neighbor = f.neighbor
+    GROUP BY f.query_id
+    ORDER BY f.query_id
+    """,
+    tags=("similarity", "matryoshka", "truncation", "ann"),
+)
+def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query overlap between full-dimension exact top-5 and
+    first-16-dims exact top-5 (both prefix-normalized — the MRL
+    truncation rule). Reuses the broadcast-query brute-force operator
+    for both passes; the truncated pass simply slices the embedding
+    column before the same plan, so at scale the audit costs two
+    query-broadcast scans and nothing new. Registry analog of the
+    recall contract the ANN tests use, expressed as an oracle-checked
+    corpus measurement. On THIS corpus recall is near zero — i.i.d.
+    random dims carry equal information, the truncation worst case;
+    MRL-trained embeddings front-load information and keep most of it.
+    The audit is what tells you which regime your corpus is in."""
+    e = _t(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 100 == 0
+    full = cosine_topk_bruteforce(e, pred, k=5).select("query_id", "neighbor")
+    trunc_e = e.withColumn("embedding", F.slice("embedding", 1, _TRUNC_DIMS))
+    trunc = cosine_topk_bruteforce(trunc_e, pred, k=5).select(
+        "query_id", "neighbor"
+    )
+    ov = (
+        full.join(trunc, ["query_id", "neighbor"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        full.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            "k",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) * 1.0 / F.col("k"), 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("query_id")
+    )

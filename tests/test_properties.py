@@ -214,3 +214,27 @@ def test_bpe_paths_agree_random(vocab):
     fast = bpe_train(words, n_merges=3)
     slow = bpe_train(words, n_merges=3, driver_vocab_limit=0)
     assert fast == slow
+
+
+def test_truncation_recall_is_identity_at_full_width(spark):
+    """Slicing the embedding to its FULL width must reproduce the
+    full-dimension top-k exactly (recall 1.0 for every query) — the
+    degenerate case that pins the truncation plumbing; the registry
+    query's 16-dim recall is then a real measurement, not an artifact."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+    from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    pred = F.col("vec_id") % 100 == 0
+    full = {(r.query_id, r.rnk, r.neighbor)
+            for r in cosine_topk_bruteforce(e, pred, k=5).collect()}
+    sliced = e.withColumn("embedding", F.slice("embedding", 1, dim))
+    again = {(r.query_id, r.rnk, r.neighbor)
+             for r in cosine_topk_bruteforce(sliced, pred, k=5).collect()}
+    assert full == again and full
