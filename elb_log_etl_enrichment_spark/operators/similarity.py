@@ -63,6 +63,19 @@ def cosine_topk_bruteforce(
     return _ranked_topk(pairs, k)
 
 
+def _empty_topk(frame, id_col: str = "vec_id"):
+    """Typed empty (query_id, rnk, neighbor, cosine) frame — the
+    totality return for trained-index paths when the corpus (and so
+    the training sample) is empty: an index over nothing serves
+    nothing, it must not crash the job."""
+    return frame.limit(0).select(
+        F.col(id_col).alias("query_id"),
+        F.lit(1).cast("long").alias("rnk"),
+        F.col(id_col).alias("neighbor"),
+        F.lit(0.0).alias("cosine"),
+    )
+
+
 def _lloyd(X, n_centroids: int, iters: int, rng, pp_init: bool = False):
     """Vectorized Lloyd k-means over a driver-side sample: one
     argmin-assignment + np.add.at centroid update per iteration, empty
@@ -200,6 +213,8 @@ def cosine_topk_ivf(
             p.select("v").limit(sample_limit).toArrow().column("v").to_pylist(),
             dtype=np.float64,
         )
+        if len(sample) == 0:
+            return _empty_topk(p)
         cent = _lloyd(
             sample, n_cells, kmeans_iters, np.random.RandomState(42), pp_init=True
         )
@@ -450,6 +465,8 @@ def cosine_topk_pq(
             unit.select("u").limit(sample_limit).toArrow().column("u").to_pylist(),
             dtype=np.float64,
         )
+        if len(sample) == 0:
+            return _empty_topk(unit)
         codebooks = _train_pq(
             sample, m, n_centroids, kmeans_iters, np.random.RandomState(42)
         )
@@ -604,6 +621,8 @@ def cosine_topk_ivfpq(
             unit.select("u").limit(sample_limit).toArrow().column("u").to_pylist(),
             dtype=np.float64,
         )
+        if len(sample) == 0:
+            return _empty_topk(unit)
         centers = _lloyd(
             sample, n_cells, kmeans_iters, np.random.RandomState(42), pp_init=True
         )

@@ -782,4 +782,10 @@ def padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(strategy).alias("strategy"), "*")
     srt = batched(_distributed_global_rank(tok, "n", "doc_id"), "length_sorted")
     arr = batched(_distributed_global_rank(tok, "doc_id", "doc_id"), "arrival")
-    return arr.unionByName(srt).orderBy("strategy")
+    # empty corpus → zero batches → NO strategy rows (matches the
+    # oracle's GROUP BY over an empty batch set), not null-stat rows
+    return (
+        arr.unionByName(srt)
+        .filter(F.col("n_batches") > 0)
+        .orderBy("strategy")
+    )

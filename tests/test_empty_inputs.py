@@ -112,3 +112,32 @@ def test_round2_operators_on_empty_inputs(spark, tmp_path):
     e = _empty_like(spark, SF, "events").select("user_id", "value")
     c = spark.createDataFrame([(1, "A")], "user_id long, c_mktsegment string")
     assert salted_join(e, c, on=["user_id"]).count() == 0
+
+
+def test_round2b_operators_on_empty_inputs(spark, tmp_path):
+    """Span coverage, split/padding/ingest audits, BPE encode, the
+    truncation audit, and ALL trained-ANN paths must be total on an
+    empty corpus — an index over nothing serves nothing, it must not
+    crash the job."""
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    _empty_like(spark, SF, "documents").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    _empty_like(spark, SF, "embeddings").write.parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    for name in (
+        "duplicated_span_coverage",
+        "leakage_safe_split_audit",
+        "padding_waste_audit",
+        "incremental_ingest_dedup",
+        "bpe_encode_stats",
+        "dim_truncation_recall",
+        "cosine_topk_ivf",
+        "cosine_topk_pq",
+        "cosine_topk_ivfpq",
+    ):
+        out = REGISTRY[name].fn(spark, str(tmp_path))
+        assert out.count() == 0, name
