@@ -660,7 +660,12 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word"
         ),
     )
-    vocab = stream.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    # persisted: the vocabulary feeds the trainer's collect AND the
+    # encode+join plan — without it the corpus explode+aggregate runs
+    # twice
+    vocab = (
+        stream.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    )
     merges = bpe_train(vocab, n_merges=12)
     enc = bpe_encode_tokens(vocab, merges).select("word", "n_bpe_tokens")
     return (

@@ -310,3 +310,18 @@ def test_incremental_ingest_classifies_all_three_ways(spark, tmp_path):
     assert r["n_dup_of_history"] == 1
     assert r["n_dup_within_batch"] == 1   # doc 15 (doc 10 is the survivor)
     assert r["n_ingested"] == 2           # docs 10 and 20
+
+
+def test_incremental_ingest_history_probe_is_broadcast(spark):
+    """The history side (the 100 TB index at scale) must be probed by
+    a broadcast semi-join against the batch digest set — a
+    SortMergeJoin would re-shuffle the whole index per ingest tick."""
+    from elb_log_etl_enrichment_spark.plans.audit import plan_text
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    plan = plan_text(
+        REGISTRY["incremental_ingest_dedup"].fn(spark, "/root/testdata/sf0.001")
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
