@@ -85,6 +85,7 @@ HEADLINE = [
     "padding_waste_audit",
     "incremental_ingest_dedup",
     "dim_truncation_recall",
+    "streaming_ingest_dedup_stats",
     # round 3: SCD2 islands, rolling distinct cardinality, Gopher bigram
     "scd2_user_event_intervals",
     "rolling_distinct_users",

@@ -1811,3 +1811,95 @@ def mad_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming continuous-ingestion dedup, replayed as two availableNow
+# runs over one checkpoint (the cron-restart story): round 0 ingests
+# the history partition (doc_id % 5 != 0), round 1 classifies the
+# batch partition against the index round 0 persisted. Batch-local
+# dedup + the persisted-index probe are both pure functions of the
+# corpus split, so the per-round stats ARE SQL-expressible — the rare
+# streaming query with a full oracle.
+# --------------------------------------------------------------------------
+@register(
+    "streaming_ingest_dedup_stats",
+    sql="""
+    WITH t AS (
+        SELECT doc_id,
+               md5(array_to_string(regexp_extract_all(text, '\\S+')[1:8], ' '))
+                   AS digest,
+               doc_id % 5 = 0 AS is_batch
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, digest,
+               MIN(doc_id) OVER (PARTITION BY digest) AS survivor
+        FROM t WHERE NOT is_batch
+    ),
+    hd AS (SELECT DISTINCT digest FROM t WHERE NOT is_batch),
+    b AS (
+        SELECT doc_id, digest,
+               MIN(doc_id) OVER (PARTITION BY digest) AS survivor,
+               digest IN (SELECT digest FROM hd) AS in_hist
+        FROM t WHERE is_batch
+    )
+    SELECT CAST(0 AS BIGINT) AS round,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(0 AS BIGINT) AS n_dup_of_history,
+           CAST(COUNT(CASE WHEN doc_id <> survivor THEN 1 END) AS BIGINT)
+               AS n_dup_within_batch,
+           CAST(COUNT(CASE WHEN doc_id = survivor THEN 1 END) AS BIGINT)
+               AS n_ingested
+    FROM h
+    UNION ALL
+    SELECT CAST(1 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN in_hist THEN 1 END) AS BIGINT),
+           CAST(COUNT(CASE WHEN NOT in_hist AND doc_id <> survivor THEN 1 END)
+                AS BIGINT),
+           CAST(COUNT(CASE WHEN NOT in_hist AND doc_id = survivor THEN 1 END)
+                AS BIGINT)
+    FROM b
+    ORDER BY round
+    """,
+    tags=("streaming", "dedup", "incremental", "foreachBatch", "e2e"),
+)
+def streaming_ingest_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two real streaming runs (shared checkpoint, fresh per call)
+    through ``streaming.stream.ingest_dedup_stream``; the returned
+    frame is the landed per-round stats with rounds normalized by
+    rank (foreachBatch ids are checkpoint-relative)."""
+    import os
+
+    from ..session import ensure_engine_confs
+    from ..streaming.stream import ingest_dedup_stream
+
+    ensure_engine_confs(spark)
+    base = _fresh_checkpoint("ingest_dedup")
+    src = os.path.join(base, "src")
+    index = os.path.join(base, "digest_index.parquet")
+    ck = os.path.join(base, "ck")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d.filter(F.col("doc_id") % 5 != 0).coalesce(1).write.mode("append").parquet(src)
+    schema = "doc_id long, text string"
+    ingest_dedup_stream(
+        spark.readStream.schema(schema).parquet(src), spark, index, ck
+    )
+    d.filter(F.col("doc_id") % 5 == 0).coalesce(1).write.mode("append").parquet(src)
+    ingest_dedup_stream(
+        spark.readStream.schema(schema).parquet(src), spark, index, ck
+    )
+    stats = spark.read.parquet(index + "_stats")
+    w = Window.orderBy("batch_id")
+    return (
+        stats.withColumn("round", F.row_number().over(w) - 1)
+        .select(
+            F.col("round").cast("long").alias("round"),
+            "n_batch",
+            "n_dup_of_history",
+            "n_dup_within_batch",
+            "n_ingested",
+        )
+        .orderBy("round")
+    )

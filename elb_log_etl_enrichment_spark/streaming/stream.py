@@ -461,3 +461,89 @@ def tws_user_stats(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def ingest_dedup_stream(
+    docs: DataFrame,
+    spark: SparkSession,
+    index_path: str,
+    checkpoint_dir: str,
+    prefix_tokens: int = 8,
+) -> None:
+    """Streaming continuous-ingestion dedup: per micro-batch, classify
+    incoming documents against the PERSISTED digest index (the
+    streaming twin of ``plans.queries_curation.incremental_ingest_dedup``,
+    same C4-style 8-token prefix digest), append only the newly
+    ingested survivors' digests back to the index, and land per-batch
+    stats next to it.
+
+    State lives in the parquet index, not in Spark streaming state:
+    the dedup horizon is unbounded (every doc ever ingested) and must
+    survive restarts/redeploys, which watermark-evicted operator state
+    cannot — the exactly-once story is the checkpointed source offsets
+    plus the idempotent append (same pattern as the geo-cache loop,
+    ``foreach_batch_cache_upsert``). At scale the index probe is the
+    batch-side broadcast semi-join, never an index re-shuffle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.text import TOKEN_RE
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        b_spark = batch.sparkSession
+        prefix = F.concat_ws(
+            " ",
+            F.slice(
+                F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0)),
+                1,
+                prefix_tokens,
+            ),
+        )
+        digests = batch.select(
+            "doc_id", F.md5(prefix).alias("digest")
+        ).persist()
+        try:
+            hist = b_spark.read.parquet(index_path).select("digest")
+        except Exception:
+            hist = digests.select("digest").limit(0)
+        matched = (
+            hist.join(
+                F.broadcast(digests.select("digest").distinct()),
+                "digest",
+                "left_semi",
+            )
+            .distinct()
+            .withColumn("in_hist", F.lit(True))
+        )
+        w = Window.partitionBy("digest")
+        cls = (
+            digests.join(F.broadcast(matched), "digest", "left")
+            .withColumn("in_hist", F.coalesce("in_hist", F.lit(False)))
+            .withColumn("survivor", F.min("doc_id").over(w))
+        )
+        stats = cls.agg(
+            F.count(F.lit(1)).cast("long").alias("n_batch"),
+            F.count_if(F.col("in_hist")).cast("long").alias("n_dup_of_history"),
+            F.count_if(
+                ~F.col("in_hist") & (F.col("doc_id") != F.col("survivor"))
+            ).cast("long").alias("n_dup_within_batch"),
+            F.count_if(
+                ~F.col("in_hist") & (F.col("doc_id") == F.col("survivor"))
+            ).cast("long").alias("n_ingested"),
+        ).select(F.lit(batch_id).cast("long").alias("batch_id"), "*")
+        fresh = (
+            cls.filter(~F.col("in_hist") & (F.col("doc_id") == F.col("survivor")))
+            .select("digest")
+            .distinct()
+        )
+        fresh.write.mode("append").parquet(index_path)
+        stats.write.mode("append").parquet(index_path + "_stats")
+        digests.unpersist()
+
+    query = (
+        docs.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

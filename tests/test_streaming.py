@@ -264,3 +264,51 @@ def test_transform_with_state_user_stats(spark):
     out = streaming_tws_user_stats(spark, "/root/testdata/sf0.001")
     assert out.count() > 0
     assert set(out.columns) == {"user_id", "cum_events", "cum_value", "max_value"}
+
+
+def test_ingest_dedup_stream_dedups_across_runs(spark, tmp_path):
+    """The persisted digest index must survive across separate stream
+    RUNS (the cron-restart story): round 2 sees round 1's documents as
+    history dups, classifies a within-batch pair, and appends only new
+    survivor digests to the index."""
+    from elb_log_etl_enrichment_spark.streaming.stream import ingest_dedup_stream
+
+    src = f"{tmp_path}/docs_src"
+    index = f"{tmp_path}/digest_index.parquet"
+    ck = f"{tmp_path}/ck"
+    schema = "doc_id long, text string"
+
+    def write_round(rows, fname):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    pre_a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    pre_b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    write_round([(1, pre_a + " one"), (2, "c1 c2 c3 c4 c5 c6 c7 c8 x")], "r1")
+    stream = spark.readStream.schema(schema).parquet(src)
+    ingest_dedup_stream(stream, spark, index, ck)
+    assert spark.read.parquet(index).count() == 2
+
+    write_round(
+        [
+            (11, pre_a + " later repost"),   # dup of round-1 history
+            (12, pre_b + " first"),          # survivor of new prefix
+            (13, pre_b + " second"),         # within-batch dup
+            (14, "f1 f2 f3 f4 f5 f6 f7 f8"), # fresh
+        ],
+        "r2",
+    )
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    ingest_dedup_stream(stream2, spark, index, ck)
+
+    assert spark.read.parquet(index).count() == 4  # +pre_b, +fresh
+    stats = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(index + "_stats").collect()
+    }
+    last = stats[max(stats)]
+    assert last["n_batch"] == 4
+    assert last["n_dup_of_history"] == 1
+    assert last["n_dup_within_batch"] == 1
+    assert last["n_ingested"] == 2
