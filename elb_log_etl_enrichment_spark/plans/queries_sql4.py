@@ -242,3 +242,51 @@ if _tws_available():  # pragma: no cover - container lacks protobuf
         sql=None,
         tags=("sql4", "streaming", "stateful", "transformWithState"),
     )(streaming_tws_user_stats)
+
+
+# --------------------------------------------------------------------------
+# Full CUBE with GROUPING flags — the remaining grouping-sets shape
+# (ROLLUP is covered by rollup_acctbal_by_region_nation). GROUPING()
+# flags disambiguate "aggregated over this column" from a data-borne
+# placeholder, the thing COALESCE alone cannot do.
+# --------------------------------------------------------------------------
+@register(
+    "cube_status_priority",
+    sql="""
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT)   AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_priority, status, priority
+    """,
+    tags=("agg", "cube", "grouping_sets", "sql"),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four grouping sets of (status, priority) in ONE pass —
+    Spark expands CUBE into a single Expand + hash aggregate, not four
+    scans; at 100 TB that is the difference between one shuffle and
+    four. Per-column GROUPING() flags (0 = grouped by, 1 = aggregated
+    over) are the engine-portable way to tag subtotal rows."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "sum_total",
+        )
+        .orderBy("g_status", "g_priority", "status", "priority")
+    )
