@@ -87,6 +87,7 @@ HEADLINE = [
     "dim_truncation_recall",
     "streaming_ingest_dedup_stats",
     "cube_status_priority",
+    "pmi_collocations",
     # round 3: SCD2 islands, rolling distinct cardinality, Gopher bigram
     "scd2_user_event_intervals",
     "rolling_distinct_users",

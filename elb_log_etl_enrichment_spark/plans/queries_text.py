@@ -1267,3 +1267,100 @@ def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# PMI collocations: corpus-level bigram association strength —
+# pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with a min-count support cut.
+# The corpus-analysis op behind phrase mining / tokenizer-merge
+# diagnostics (which adjacent pairs cohere more than chance predicts).
+# --------------------------------------------------------------------------
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+
+@register(
+    "pmi_collocations",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+    ),
+    bg AS (
+        SELECT t[i] AS a, t[i + 1] AS b
+        FROM tok, UNNEST(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    ),
+    uni AS (
+        SELECT unnest(t) AS w FROM tok
+    ),
+    nb AS (SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY a, b),
+    nu AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM bg) AS t_bg,
+               (SELECT COUNT(*) FROM uni) AS t_un
+    )
+    SELECT a, b,
+           CAST(c_ab AS BIGINT) AS n_pair,
+           ROUND(ln((c_ab * 1.0 / t_bg)
+                 / ((ua.c * 1.0 / t_un) * (ub.c * 1.0 / t_un))), 6) AS pmi
+    FROM nb
+    JOIN nu ua ON ua.w = nb.a
+    JOIN nu ub ON ub.w = nb.b
+    CROSS JOIN tot
+    WHERE c_ab >= {_PMI_MIN_COUNT}
+    ORDER BY pmi DESC, a, b
+    LIMIT {_PMI_TOP}
+    """,
+    tags=("text", "collocation", "pmi", "ngram"),
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by PMI. ONE token-array scan feeds both the
+    bigram explode and the unigram explode; the unigram frequency
+    table is vocabulary-sized and broadcast back onto the (already
+    support-filtered) bigram aggregate, and the two scalar totals ride
+    a 1-row cross join — the corpus shuffles only exploded tokens,
+    once per granularity. Support cut BEFORE the joins: at web scale
+    the bigram tail is the cardinality bomb, and c_ab >= 5 kills it
+    ahead of any join or sort."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(tokens(F.col("text")).alias("t")).persist()
+    bg = (
+        tok.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    uni = tok.select(F.explode("t").alias("w"))
+    nb = (
+        bg.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+    )
+    nu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = bg.agg(F.count(F.lit(1)).alias("t_bg")).crossJoin(
+        uni.agg(F.count(F.lit(1)).alias("t_un"))
+    )
+    ua = nu.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    ub = nu.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") * 1.0 / F.col("t_bg"))
+            / ((F.col("c_a") * 1.0 / F.col("t_un")) * (F.col("c_b") * 1.0 / F.col("t_un")))
+        ),
+        6,
+    )
+    return (
+        nb.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("a", "b", F.col("c_ab").cast("long").alias("n_pair"), pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(_PMI_TOP)
+    )
