@@ -88,6 +88,7 @@ HEADLINE = [
     "streaming_ingest_dedup_stats",
     "cube_status_priority",
     "pmi_collocations",
+    "lateral_top2_customers",
     # round 3: SCD2 islands, rolling distinct cardinality, Gopher bigram
     "scd2_user_event_intervals",
     "rolling_distinct_users",

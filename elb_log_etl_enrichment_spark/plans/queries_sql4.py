@@ -290,3 +290,43 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_status", "g_priority", "status", "priority")
     )
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery (Spark 4 SQL) — per-outer-row "top N
+# related rows", the SQL-surface dual of the window-rank formulation
+# (top3_customers_per_nation): same result class, different API.
+# --------------------------------------------------------------------------
+@register(
+    "lateral_top2_customers",
+    sql="""
+    SELECT n.n_name AS nation, t.c_name AS customer,
+           ROUND(t.c_acctbal, 2) AS acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+    ORDER BY nation, acctbal DESC, customer
+    """,
+    tags=("sql", "lateral", "correlated", "topk"),
+)
+def lateral_top2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers by balance per nation via a LATERAL correlated
+    subquery — Catalyst decorrelates it into the same
+    partition-rank plan the window formulation produces (no per-row
+    re-execution), so the SQL shape is free at scale; pinned here so
+    a user porting LATERAL queries from the reference's SQL dialect
+    has a checked example."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, t.c_name AS customer,
+               ROUND(t.c_acctbal, 2) AS acctbal
+        FROM lat_nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM lat_customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY nation, acctbal DESC, customer
+        """
+    )
