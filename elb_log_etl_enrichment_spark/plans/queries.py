@@ -817,6 +817,14 @@ CORE_PREFIX = [
     "text_quality_scores",              # LLM tier: quality scoring
     # --- past the r01 sample size; still ordered by coverage value ---
     "duplicated_span_coverage",         # LLM tier: sliding-window exact-substring dedup
+    "leakage_safe_split_audit",         # LLM tier: cluster-granular split + tearing audit
+    "padding_waste_audit",              # LLM tier: batching padding waste, two-pass global rank
+    "incremental_ingest_dedup",         # LLM tier: batch-vs-index dedup, semi-join probe
+    "streaming_ingest_dedup_stats",     # §2.8 + LLM tier: persisted-index streaming dedup
+    "dim_truncation_recall",            # LLM tier: Matryoshka truncation audit
+    "pmi_collocations",                 # LLM tier: collocation mining
+    "cube_status_priority",             # CUBE grouping sets
+    "lateral_top2_customers",           # LATERAL correlated subquery
     "langid_confusion",                 # LLM tier: language id
     "doc_fingerprint_summary",          # LLM tier: fingerprinting
     "decontamination_overlap",          # curation tier
