@@ -89,6 +89,7 @@ HEADLINE = [
     "cube_status_priority",
     "pmi_collocations",
     "lateral_top2_customers",
+    "expectations_audit",
     # round 3: SCD2 islands, rolling distinct cardinality, Gopher bigram
     "scd2_user_event_intervals",
     "rolling_distinct_users",

@@ -900,3 +900,131 @@ def vocab_growth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quartile")
     )
+
+
+# --------------------------------------------------------------------------
+# Declarative data-contract audit: each expectation is (name, count of
+# violating rows); the whole contract evaluates as ONE pass per table
+# (conditional counts fused into a single aggregate per scan — never
+# one job per rule, the trap expectation frameworks hit at scale).
+# --------------------------------------------------------------------------
+@register(
+    "expectations_audit",
+    sql="""
+    WITH o AS (
+        SELECT COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS price_pos,
+               COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END)
+                   AS status_enum,
+               COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END) AS date_nn
+        FROM orders
+    ),
+    l AS (
+        SELECT COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END)
+                   AS qty_range,
+               COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END)
+                   AS disc_unit,
+               COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS ship_nn
+        FROM lineitem
+    ),
+    fk AS (
+        SELECT COUNT(*) AS orphan_orders
+        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    ),
+    e AS (
+        SELECT COUNT(CASE WHEN ts IS NULL THEN 1 END) AS ts_nn,
+               COUNT(CASE WHEN event_type NOT IN
+                   ('click','view','purchase','signup','error') THEN 1 END)
+                   AS type_enum
+        FROM events
+    )
+    SELECT name, n_violations,
+           CAST(n_violations = 0 AS BOOLEAN) AS pass
+    FROM (
+        SELECT 'orders.totalprice_positive' AS name,
+               CAST(price_pos AS BIGINT) AS n_violations FROM o
+        UNION ALL SELECT 'orders.status_enum', CAST(status_enum AS BIGINT) FROM o
+        UNION ALL SELECT 'orders.orderdate_not_null', CAST(date_nn AS BIGINT) FROM o
+        UNION ALL SELECT 'lineitem.quantity_1_50', CAST(qty_range AS BIGINT) FROM l
+        UNION ALL SELECT 'lineitem.discount_unit_interval', CAST(disc_unit AS BIGINT) FROM l
+        UNION ALL SELECT 'lineitem.shipdate_not_null', CAST(ship_nn AS BIGINT) FROM l
+        UNION ALL SELECT 'orders.custkey_fk_customer', CAST(orphan_orders AS BIGINT) FROM fk
+        UNION ALL SELECT 'events.ts_not_null', CAST(ts_nn AS BIGINT) FROM e
+        UNION ALL SELECT 'events.type_enum', CAST(type_enum AS BIGINT) FROM e
+    ) v
+    ORDER BY name
+    """,
+    tags=("profiling", "contract", "expectations", "quality"),
+)
+def expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract expectations over orders/lineitem/events plus one
+    referential rule. All per-table rules fuse into one conditional-
+    count aggregate per scan (3 scans + 1 anti-join total for 9
+    rules); the FK rule is a broadcast anti-join on the dim key. A
+    rule-per-job runner would cost 9 scans — the difference between an
+    audit you run per batch and one you run per week at 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+
+    def cnt(cond):
+        return F.count_if(cond).cast("long")
+
+    o_agg = o.agg(
+        cnt(F.col("o_totalprice") <= 0).alias("orders.totalprice_positive"),
+        cnt(~F.col("o_orderstatus").isin("O", "F", "P")).alias(
+            "orders.status_enum"
+        ),
+        cnt(F.col("o_orderdate").isNull()).alias("orders.orderdate_not_null"),
+    )
+    l_agg = li.agg(
+        cnt((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "lineitem.quantity_1_50"
+        ),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "lineitem.discount_unit_interval"
+        ),
+        cnt(F.col("l_shipdate").isNull()).alias("lineitem.shipdate_not_null"),
+    )
+    e_agg = e.agg(
+        cnt(F.col("ts").isNull()).alias("events.ts_not_null"),
+        cnt(
+            ~F.col("event_type").isin(
+                "click", "view", "purchase", "signup", "error"
+            )
+        ).alias("events.type_enum"),
+    )
+    fk = (
+        o.join(
+            F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("orders.custkey_fk_customer"))
+    )
+
+    def melt(agg_df):
+        cols = agg_df.columns
+        stack = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("name"), F.col(f"`{c}`").alias("n_violations")
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
+        return agg_df.select(stack).select("kv.name", "kv.n_violations")
+
+    out = (
+        melt(o_agg)
+        .unionByName(melt(l_agg))
+        .unionByName(melt(e_agg))
+        .unionByName(melt(fk))
+    )
+    return out.select(
+        "name",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("pass"),
+    ).orderBy("name")

@@ -310,3 +310,39 @@ def test_salted_join_guards_and_key_only_frames(spark):
         .count()
     )
     assert n_salts > 1
+
+
+def test_expectations_audit_catches_planted_violations(spark, tmp_path):
+    """A corpus with a negative total price, an out-of-enum status, an
+    orphan custkey, and an out-of-range quantity must fail exactly
+    those rules and pass the rest."""
+    import datetime
+
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+    from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+    all_queries()
+    sf = "/root/testdata/sf0.001"
+    d = datetime.date(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, 10, "O", -5.0, d), (2, 999999, "X", 10.0, d)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate date",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(1, 1, 1, 1, 99.0, 0.1, d)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, l_quantity double, l_discount double, l_shipdate date",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    load_table(spark, sf, "events").limit(5).write.parquet(f"{tmp_path}/events.parquet")
+    spark.createDataFrame(
+        [(10, "c", 0)], "c_custkey long, c_name string, c_nationkey long"
+    ).write.parquet(f"{tmp_path}/customer.parquet")
+    rows = {
+        r["name"]: r
+        for r in REGISTRY["expectations_audit"].fn(spark, str(tmp_path)).collect()
+    }
+    assert not rows["orders.totalprice_positive"]["pass"]
+    assert not rows["orders.status_enum"]["pass"]
+    assert rows["orders.custkey_fk_customer"]["n_violations"] == 1
+    assert not rows["lineitem.quantity_1_50"]["pass"]
+    assert rows["events.ts_not_null"]["pass"]
+    assert rows["lineitem.discount_unit_interval"]["pass"]
