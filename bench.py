@@ -90,6 +90,7 @@ HEADLINE = [
     "pmi_collocations",
     "lateral_top2_customers",
     "expectations_audit",
+    "training_export_pipeline",
     # round 3: SCD2 islands, rolling distinct cardinality, Gopher bigram
     "scd2_user_event_intervals",
     "rolling_distinct_users",

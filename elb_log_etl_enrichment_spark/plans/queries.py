@@ -823,6 +823,8 @@ CORE_PREFIX = [
     "streaming_ingest_dedup_stats",     # §2.8 + LLM tier: persisted-index streaming dedup
     "dim_truncation_recall",            # LLM tier: Matryoshka truncation audit
     "pmi_collocations",                 # LLM tier: collocation mining
+    "training_export_pipeline",         # LLM tier capstone: dedup -> filter -> pack e2e
+    "expectations_audit",               # data-contract audit
     "cube_status_priority",             # CUBE grouping sets
     "lateral_top2_customers",           # LATERAL correlated subquery
     "langid_confusion",                 # LLM tier: language id

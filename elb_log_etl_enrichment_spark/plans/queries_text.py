@@ -1364,3 +1364,140 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "a", "b")
         .limit(_PMI_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# The LLM-tier capstone, composed end-to-end (the training-data analog
+# of elb_pipeline_hourly): near-dup dedup (MinHash-LSH → connected
+# components → canonical survivor) → quality floor → concat-and-chunk
+# packing into 512-token windows → per-source export accounting.
+# Every stage reuses an already-oracle-checked operator; the
+# composition itself is what this query pins.
+# --------------------------------------------------------------------------
+_EXPORT_MIN_TOKENS = 16
+_EXPORT_WINDOW = 512
+
+
+@register(
+    "training_export_pipeline",
+    sql=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    edges AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
+    undirected AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION
+        SELECT doc_b, doc_a FROM edges
+    ),
+    reach(id, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT u.dst, r.root FROM reach r JOIN undirected u ON u.src = r.id
+    ),
+    comp AS (SELECT id, MIN(root) AS cluster_id FROM reach GROUP BY id),
+    raw AS (
+        SELECT d.source, d.doc_id,
+               len(regexp_extract_all(d.text, '\\S+')) AS n_tok,
+               c.id = c.cluster_id AS is_survivor
+        FROM documents d JOIN comp c ON c.id = d.doc_id
+    ),
+    kept AS (
+        SELECT source, doc_id, n_tok FROM raw
+        WHERE is_survivor AND n_tok >= {_EXPORT_MIN_TOKENS}
+    ),
+    packed AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS kept_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST((SUM(n_tok) - 1) // {_EXPORT_WINDOW} + 1 AS BIGINT)
+                   AS n_windows,
+               CAST(((SUM(n_tok) - 1) // {_EXPORT_WINDOW} + 1) * {_EXPORT_WINDOW}
+                    - SUM(n_tok) AS BIGINT) AS tail_waste_tokens
+        FROM kept GROUP BY source
+    ),
+    totals AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_raw,
+               CAST(COUNT(CASE WHEN NOT is_survivor THEN 1 END) AS BIGINT)
+                   AS dropped_dups,
+               CAST(COUNT(CASE WHEN is_survivor
+                                AND n_tok < {_EXPORT_MIN_TOKENS} THEN 1 END)
+                    AS BIGINT) AS dropped_short
+        FROM raw GROUP BY source
+    )
+    SELECT t.source, t.n_docs_raw, t.dropped_dups, t.dropped_short,
+           COALESCE(p.kept_docs, 0) AS kept_docs,
+           COALESCE(p.total_tokens, 0) AS total_tokens,
+           COALESCE(p.n_windows, 0) AS n_windows,
+           COALESCE(p.tail_waste_tokens, 0) AS tail_waste_tokens
+    FROM totals t LEFT JOIN packed p USING (source)
+    ORDER BY t.source
+    """,
+    tags=("training", "e2e", "dedup", "packing", "pipeline"),
+)
+def training_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed export: the memoized LSH pass feeds connected
+    components once per session; survivor pruning, the quality floor,
+    and the packing accounting all share the per-source partitioning,
+    so beyond the (amortized) dedup pass the whole export is two
+    per-source hash aggregates and a sources-sized join — concat-and-
+    chunk window counts are pure integer functions of the per-source
+    token total, no running window needed. The output is the
+    accounting a data-engineering run signs off on: what was dropped
+    (dups vs short), what ships (docs, tokens, windows, tail waste)."""
+    from ..operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = _minhash_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(
+        d.select("doc_id"), pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    raw = (
+        d.select("source", "doc_id", token_count(F.col("text")).alias("n_tok"))
+        .join(
+            labels.select(
+                F.col("id").alias("doc_id"),
+                (F.col("id") == F.col("label")).alias("is_survivor"),
+            ),
+            "doc_id",
+        )
+        .persist()  # feeds the drop accounting AND the packing chain
+    )
+    kept = raw.filter(
+        F.col("is_survivor") & (F.col("n_tok") >= _EXPORT_MIN_TOKENS)
+    )
+    total = F.sum("n_tok")
+    n_windows = ((total - 1) / _EXPORT_WINDOW).cast("long") + 1
+    packed = (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept_docs"),
+            total.cast("long").alias("total_tokens"),
+            n_windows.alias("n_windows"),
+            (n_windows * _EXPORT_WINDOW - total)
+            .cast("long")
+            .alias("tail_waste_tokens"),
+        )
+    )
+    totals = raw.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_raw"),
+        F.count_if(~F.col("is_survivor")).cast("long").alias("dropped_dups"),
+        F.count_if(
+            F.col("is_survivor") & (F.col("n_tok") < _EXPORT_MIN_TOKENS)
+        ).cast("long").alias("dropped_short"),
+    )
+    return (
+        totals.join(packed, "source", "left")
+        .select(
+            "source",
+            "n_docs_raw",
+            "dropped_dups",
+            "dropped_short",
+            F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
+            F.coalesce("total_tokens", F.lit(0)).cast("long").alias("total_tokens"),
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("tail_waste_tokens", F.lit(0))
+            .cast("long")
+            .alias("tail_waste_tokens"),
+        )
+        .orderBy("source")
+    )
