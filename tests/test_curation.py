@@ -325,3 +325,23 @@ def test_incremental_ingest_history_probe_is_broadcast(spark):
     )
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_span_coverage_plan_is_digest_shuffled(spark):
+    """duplicated_span_coverage's exchanges must carry (doc_id, start,
+    digest) — never document text; the text column may appear only in
+    the scan/project stage."""
+    from elb_log_etl_enrichment_spark.plans.audit import plan_stats, plan_text
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    df = REGISTRY["duplicated_span_coverage"].fn(spark, "/root/testdata/sf0.001")
+    stats = plan_stats(df)
+    # documents read twice (spans + per-doc join-back), nothing more
+    assert stats["scans"] <= 2, stats
+    plan = plan_text(df)
+    # every Exchange's partitioning key is digest or doc_id, never text
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([a-zA-Z_#0-9]+)", plan):
+        assert not m.group(1).startswith("text"), m.group(0)
