@@ -91,6 +91,8 @@ HEADLINE = [
     "lateral_top2_customers",
     "expectations_audit",
     "training_export_pipeline",
+    "hinted_join_strategies",
+    "schema_drift_union_stats",
     # round 3: SCD2 islands, rolling distinct cardinality, Gopher bigram
     "scd2_user_event_intervals",
     "rolling_distinct_users",

@@ -330,3 +330,113 @@ def lateral_top2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY nation, acctbal DESC, customer
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Join-strategy hint battery: the SAME logical join forced through
+# BROADCAST, SHUFFLE_HASH, and MERGE hints must produce identical
+# results (hints steer the planner, never semantics). The registry row
+# returns the 3-way-verified result; the plan divergence is pinned in
+# tests.
+# --------------------------------------------------------------------------
+@register(
+    "hinted_join_strategies",
+    sql="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+    tags=("join", "hints", "sql", "planner"),
+)
+def hinted_join_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer⨝nation aggregated under all three join-strategy hints;
+    the query returns the BROADCAST variant and asserts at plan-build
+    time that the other two strategies produce the same logical
+    schema. Hints are how a user pins a physical strategy when
+    statistics mislead the planner (the 100 TB escape hatch when AQE's
+    estimate is wrong); they must never change results — the pytest
+    contract collects all three and compares."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+
+    def agg(hinted_n):
+        return (
+            c.join(hinted_n, c.c_nationkey == hinted_n.n_nationkey)
+            .groupBy(hinted_n.n_name.alias("nation"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_customers"),
+                F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            )
+            .orderBy("nation")
+        )
+
+    broadcast_v = agg(n.hint("broadcast"))
+    assert (
+        agg(n.hint("shuffle_hash")).schema == broadcast_v.schema
+        and agg(n.hint("merge")).schema == broadcast_v.schema
+    )
+    return broadcast_v
+
+
+# --------------------------------------------------------------------------
+# Schema-drift union: v1 events (no enrichment column) unioned with v2
+# events (adds parsed_k) via unionByName(allowMissingColumns=True) —
+# the ingestion reality of evolving producers; missing columns
+# null-fill, nothing silently reorders by position.
+# --------------------------------------------------------------------------
+@register(
+    "schema_drift_union_stats",
+    sql="""
+    WITH v1 AS (
+        SELECT event_id, event_type, CAST(NULL AS BIGINT) AS parsed_k,
+               'v1' AS producer
+        FROM events WHERE event_id % 2 = 0
+    ),
+    v2 AS (
+        SELECT event_id, event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS parsed_k,
+               'v2' AS producer
+        FROM events WHERE event_id % 2 = 1
+    ),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT producer, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(parsed_k) AS BIGINT) AS n_with_parsed,
+           CAST(COALESCE(SUM(parsed_k), 0) AS BIGINT) AS sum_parsed
+    FROM u
+    GROUP BY producer, event_type
+    ORDER BY producer, event_type
+    """,
+    tags=("union", "schema_evolution", "sql"),
+)
+def schema_drift_union_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two producer generations of the events feed merged by COLUMN
+    NAME with null-fill for the v1 rows that predate the parsed_k
+    column. Positional union here would silently misalign; at 100 TB
+    schema drift is permanent, so every union in the engine is
+    unionByName and this query pins the allowMissingColumns form."""
+    e = _t(spark, sf_dir, "events")
+    v1 = e.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", F.lit("v1").alias("producer")
+    )
+    v2 = e.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("parsed_k"),
+        F.lit("v2").alias("producer"),
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        u.groupBy("producer", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("parsed_k").cast("long").alias("n_with_parsed"),
+            F.coalesce(F.sum("parsed_k"), F.lit(0))
+            .cast("long")
+            .alias("sum_parsed"),
+        )
+        .orderBy("producer", "event_type")
+    )

@@ -346,3 +346,30 @@ def test_expectations_audit_catches_planted_violations(spark, tmp_path):
     assert not rows["lineitem.quantity_1_50"]["pass"]
     assert rows["events.ts_not_null"]["pass"]
     assert rows["lineitem.discount_unit_interval"]["pass"]
+
+
+def test_join_hints_change_plan_not_results(spark):
+    """BROADCAST / SHUFFLE_HASH / MERGE hints on the same join must
+    produce different physical operators and IDENTICAL results."""
+    from elb_log_etl_enrichment_spark.plans.audit import plan_text
+    from elb_log_etl_enrichment_spark.plans.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+
+    def agg(hinted):
+        return (
+            c.join(hinted, c.c_nationkey == hinted.n_nationkey)
+            .groupBy(hinted.n_name.alias("nation"))
+            .count()
+            .orderBy("nation")
+        )
+
+    plans = {h: plan_text(agg(n.hint(h))) for h in ("broadcast", "shuffle_hash", "merge")}
+    assert "BroadcastHashJoin" in plans["broadcast"]
+    assert "ShuffledHashJoin" in plans["shuffle_hash"]
+    assert "SortMergeJoin" in plans["merge"]
+    results = {h: [tuple(r) for r in agg(n.hint(h)).collect()]
+               for h in ("broadcast", "shuffle_hash", "merge")}
+    assert results["broadcast"] == results["shuffle_hash"] == results["merge"]
