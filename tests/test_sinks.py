@@ -226,3 +226,25 @@ def test_compact_parquet_raises_on_zero_bytes(spark, tmp_path):
     os.makedirs(empty, exist_ok=True)
     with pytest.raises(Exception):
         compact_parquet(spark, empty, str(tmp_path / "dest"))
+
+
+def test_ignore_corrupt_files_skips_bad_parquet(spark, tmp_path):
+    """Operational resilience: a truncated/garbage parquet file inside
+    a table directory fails the whole 100 TB scan by default; with
+    spark.sql.files.ignoreCorruptFiles the read degrades to the
+    healthy files. Pin both behaviors so the recovery knob is known
+    to work before it is needed."""
+    import pytest
+
+    d = f"{tmp_path}/t"
+    spark.createDataFrame([(i,) for i in range(10)], "x long").coalesce(1)\
+        .write.parquet(d)
+    with open(f"{d}/part-corrupt.parquet", "wb") as fh:
+        fh.write(b"PAR1 this is not a real parquet footer")
+    with pytest.raises(Exception):
+        spark.read.parquet(d).count()
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        assert spark.read.parquet(d).count() == 10
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
