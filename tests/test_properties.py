@@ -238,3 +238,48 @@ def test_truncation_recall_is_identity_at_full_width(spark):
     again = {(r.query_id, r.rnk, r.neighbor)
              for r in cosine_topk_bruteforce(sliced, pred, k=5).collect()}
     assert full == again and full
+
+
+def test_duplicated_span_coverage_matches_reference_on_random_corpora(spark, tmp_path):
+    """Randomized differential: tiny-alphabet corpora force heavy
+    window collisions (incl. self-repeats and cross-doc overlaps);
+    per-doc (n_dup_windows, covered_tokens) must equal a brute-force
+    reference that counts duplicated 8-windows and unions intervals."""
+    import random
+
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    W = 8
+    rng = random.Random(1234)
+    for trial in range(3):
+        docs = []
+        for i in range(30):
+            n = rng.randint(0, 24)
+            docs.append((i, " ".join(rng.choice("ab") for _ in range(n))))
+        # reference
+        from collections import Counter
+
+        toks = {i: t.split() if t else [] for i, t in docs}
+        freq = Counter()
+        wins = {}
+        for i, ts in toks.items():
+            wins[i] = [tuple(ts[j : j + W]) for j in range(len(ts) - W + 1)]
+            freq.update(wins[i])
+        want = {}
+        for i, ts in toks.items():
+            dup = [j for j, w in enumerate(wins[i]) if freq[w] >= 2]
+            covered = set()
+            for j in dup:
+                covered.update(range(j, j + W))
+            want[i] = (len(dup), len(covered))
+        out_dir = f"{tmp_path}/t{trial}"
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{out_dir}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["n_dup_windows"], r["covered_tokens"])
+            for r in REGISTRY["duplicated_span_coverage"].fn(spark, out_dir).collect()
+        }
+        assert got == want, (trial, {k: (got[k], want[k]) for k in got if got[k] != want[k]})
