@@ -536,24 +536,31 @@ def naive_bayes_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_len = doc_tok.groupBy(
         "doc_id", F.col("lang").alias("actual_lang")
     ).agg(F.sum("c").alias("n_toks"))
-    # vocab from the persisted doc_tok — same distinct-token set as the
-    # raw stream, without re-exploding the corpus for a second scan
-    vocab = doc_tok.agg(F.count_distinct("tok").alias("v"))
-    lang_tot = doc_tok.groupBy("lang").agg(
-        F.sum("c").alias("tot"), F.count_distinct("doc_id").alias("n_docs")
+    # Lang-cardinality stats are collected (bounded by #langs + one
+    # vocab count — both from the persisted doc_tok, no corpus
+    # re-explode) and re-enter the plan as a LOCAL relation: embedding
+    # the ≤#langs rows replaces three nested broadcast-build jobs
+    # (vocab, n_all, langs) and two cross joins with two driver
+    # round-trips. prior/dflt stay JVM-side F.log over the same
+    # long/double operands, so values are bit-identical to the
+    # aggregate formulation.
+    lang_rows = (
+        doc_tok.groupBy("lang")
+        .agg(F.sum("c").alias("tot"), F.count_distinct("doc_id").alias("n_docs"))
+        .collect()
     )
-    n_all = lang_tot.agg(F.sum("n_docs").alias("nd"))
+    v = doc_tok.select("tok").distinct().count()
+    nd = sum(r["n_docs"] for r in lang_rows)
     model = doc_tok.groupBy("lang", "tok").agg(F.sum("c").alias("cnt"))
-    langs = (
-        lang_tot.crossJoin(F.broadcast(vocab))
-        .crossJoin(F.broadcast(n_all))
-        .select(
-            "lang",
-            F.log(F.col("n_docs") * 1.0 / F.col("nd")).alias("prior"),
-            F.log(1.0 / (F.col("tot") + F.col("v"))).alias("dflt"),
-            "tot",
-            "v",
-        )
+    langs = spark.createDataFrame(
+        [(r["lang"], int(r["tot"]), int(r["n_docs"])) for r in lang_rows],
+        "lang string, tot long, n_docs long",
+    ).select(
+        "lang",
+        F.log(F.col("n_docs") * 1.0 / F.lit(nd)).alias("prior"),
+        F.log(1.0 / (F.col("tot") + F.lit(v))).alias("dflt"),
+        "tot",
+        F.lit(v).cast("long").alias("v"),
     )
     hits = (
         doc_tok.alias("dt")
