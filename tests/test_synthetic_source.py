@@ -104,3 +104,43 @@ def test_streaming_source_is_deterministic_and_exactly_once(spark, tmp_path):
         make_line(7, b, r) for b in range(n_batches) for r in range(50)
     ]
     assert sorted(got) == sorted(expected)  # deterministic, no dup/loss
+
+
+def test_scaled_corpus_preserves_integrity(spark, tmp_path):
+    """The N× generator must scale fact volume exactly N×, keep every
+    FK resolvable (no orphans introduced), and keep per-key history
+    shape (each scaled user has exactly the original row count)."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.sources.scaled_corpus import (
+        write_scaled_corpus,
+    )
+    from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "x3")
+    write_scaled_corpus(spark, src, dst, n=3)
+    for t in ("lineitem", "orders", "customer", "events", "documents"):
+        assert (
+            load_table(spark, dst, t).count()
+            == 3 * load_table(spark, src, t).count()
+        ), t
+    o = load_table(spark, dst, "orders")
+    c = load_table(spark, dst, "customer")
+    orphans = o.join(
+        c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti"
+    ).count()
+    assert orphans == 0
+    # per-user event volume preserved under each shifted key
+    src_max = load_table(spark, src, "events").agg(F.max("user_id")).first()[0]
+    per_user_src = (
+        load_table(spark, src, "events").groupBy("user_id").count()
+    )
+    per_user_dst = (
+        load_table(spark, dst, "events")
+        .withColumn("user_id", F.col("user_id") % (src_max + 1))
+        .groupBy("user_id")
+        .count()
+        .withColumn("count", (F.col("count") / 3).cast("long"))
+    )
+    assert per_user_src.exceptAll(per_user_dst).count() == 0
