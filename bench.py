@@ -93,6 +93,8 @@ HEADLINE = [
     "training_export_pipeline",
     "hinted_join_strategies",
     "schema_drift_union_stats",
+    "geo_cell_density",
+    "nearest_dc_assignment",
     # round 3: SCD2 islands, rolling distinct cardinality, Gopher bigram
     "scd2_user_event_intervals",
     "rolling_distinct_users",

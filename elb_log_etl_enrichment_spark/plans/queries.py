@@ -875,6 +875,7 @@ def _load_extensions() -> None:
         queries_curation,
         queries_ext,
         queries_functions,
+        queries_geo,
         queries_profiling,
         queries_quality,
         queries_sql4,

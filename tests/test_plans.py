@@ -373,3 +373,21 @@ def test_join_hints_change_plan_not_results(spark):
     results = {h: [tuple(r) for r in agg(n.hint(h)).collect()]
                for h in ("broadcast", "shuffle_hash", "merge")}
     assert results["broadcast"] == results["shuffle_hash"] == results["merge"]
+
+
+def test_haversine_known_distances(spark):
+    """Pin the trig against geodesy ground truth: 1° of longitude at
+    the equator ≈ 111.19 km; antipodal points = half the
+    circumference ≈ 20015 km; zero distance for identical points."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.plans.queries_geo import haversine_km
+
+    df = spark.range(1).select(
+        haversine_km(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(1.0)).alias("one_deg"),
+        haversine_km(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(180.0)).alias("anti"),
+        haversine_km(F.lit(51.5), F.lit(-0.1), F.lit(51.5), F.lit(-0.1)).alias("zero"),
+    ).first()
+    assert abs(df["one_deg"] - 111.19) < 0.1
+    assert abs(df["anti"] - 20015.1) < 1.0
+    assert df["zero"] == 0.0
