@@ -95,6 +95,7 @@ HEADLINE = [
     "schema_drift_union_stats",
     "geo_cell_density",
     "nearest_dc_assignment",
+    "geo_hotspot_clusters",
     # round 3: SCD2 islands, rolling distinct cardinality, Gopher bigram
     "scd2_user_event_intervals",
     "rolling_distinct_users",

@@ -172,3 +172,91 @@ def nearest_dc_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dc")
     )
+
+
+_HOTSPOT_MIN_EVENTS = 70
+
+
+@register(
+    "geo_hotspot_clusters",
+    sql=f"""
+    WITH RECURSIVE pts AS (
+        SELECT {_LAT} AS lat, {_LON} AS lon FROM events
+    ),
+    cells AS (
+        SELECT CAST(floor(lat / 10) AS BIGINT) AS cl,
+               CAST(floor(lon / 10) AS BIGINT) AS cn,
+               COUNT(*) AS c
+        FROM pts GROUP BY 1, 2
+        HAVING COUNT(*) >= {_HOTSPOT_MIN_EVENTS}
+    ),
+    ids AS (
+        SELECT (cl + 90) * 1000 + (cn + 180) AS id, cl, cn, c FROM cells
+    ),
+    edges AS (
+        SELECT a.id AS src, b.id AS dst
+        FROM ids a JOIN ids b
+          ON abs(a.cl - b.cl) <= 1 AND abs(a.cn - b.cn) <= 1
+             AND a.id <> b.id
+    ),
+    reach(id, root) AS (
+        SELECT id, id FROM ids
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, MIN(root) AS hotspot FROM reach GROUP BY id)
+    SELECT c2.hotspot AS hotspot_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(i.c) AS BIGINT) AS n_events
+    FROM ids i JOIN comp c2 ON c2.id = i.id
+    GROUP BY c2.hotspot
+    ORDER BY n_events DESC, hotspot_id
+    """,
+    tags=("geo", "spatial", "dbscan", "graph", "connected_components"),
+)
+def geo_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN hotspots: dense 10° cells (≥70 events) merged with
+    their 8-neighborhood via connected components — the spatial analog
+    of the dedup-cluster pass, at CELL granularity. Scale shape: the
+    corpus collapses to the bounded cell table (≤648 cells at 10°)
+    before any graph work, so adjacency self-join, CC iterations, and
+    the final rollup all run over dimension-sized frames regardless of
+    event volume; only the one density aggregate touches the fact
+    table."""
+    from ..operators.graph import connected_components
+
+    e = _t(spark, sf_dir, "events")
+    lat = (F.col("user_id") % 17) * 10 - 80 + (F.col("user_id") % 7) * 0.5
+    lon = ((F.col("user_id") * 13) % 36) * 10 - 180 + (F.col("user_id") % 11) * 0.3
+    cells = (
+        e.select(
+            F.floor(lat / 10).cast("long").alias("cl"),
+            F.floor(lon / 10).cast("long").alias("cn"),
+        )
+        .groupBy("cl", "cn")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _HOTSPOT_MIN_EVENTS)
+        .withColumn("id", (F.col("cl") + 90) * 1000 + (F.col("cn") + 180))
+        .persist()  # bounded (≤648 rows): feeds edges, CC seed, rollup
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    edges = a.join(
+        b,
+        (F.abs(F.col("a.cl") - F.col("b.cl")) <= 1)
+        & (F.abs(F.col("a.cn") - F.col("b.cn")) <= 1)
+        & (F.col("a.id") != F.col("b.id")),
+    ).select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    labels = connected_components(
+        cells.select("id"), edges, id_col="id", src_col="src", dst_col="dst"
+    )
+    return (
+        cells.join(
+            labels.select(F.col("id"), F.col("label").alias("hotspot_id")), "id"
+        )
+        .groupBy("hotspot_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("c").cast("long").alias("n_events"),
+        )
+        .orderBy(F.col("n_events").desc(), "hotspot_id")
+    )
