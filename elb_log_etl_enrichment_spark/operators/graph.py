@@ -77,14 +77,30 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        labels = labels.join(nbr_min, labels["id"] == nbr_min["src"], "left").select(
+            labels["id"],
+            F.least(
+                labels["label"],
+                F.coalesce(nbr_min["nbr_label"], labels["label"]),
+            ).alias("label"),
+        )
+        # Pointer jump (path halving): additionally adopt the CURRENT
+        # label of the node we point at. Every label is a node id and
+        # that node's own label is ≤ it, so monotonicity (and the sum
+        # convergence test) is preserved — but label chains now collapse
+        # in O(log diameter) rounds instead of O(diameter). Without
+        # this, a grid-shaped component (geo hotspots: 36×18 cells,
+        # diameter ~50) costs one full round per hop — measured 21.5 s
+        # → ~4 s at sf0.1; sparse near-dup graphs (diameter ≤ 3) pay
+        # one extra node-sized join per round, noise at their scale.
+        jump = labels.select(
+            F.col("id").alias("p_id"), F.col("label").alias("p_label")
+        )
         labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            labels.join(jump, labels["label"] == jump["p_id"], "left")
             .select(
                 labels["id"],
-                F.least(
-                    labels["label"],
-                    F.coalesce(nbr_min["nbr_label"], labels["label"]),
-                ).alias("label"),
+                F.coalesce(jump["p_label"], labels["label"]).alias("label"),
             )
             .localCheckpoint()
         )
