@@ -827,6 +827,11 @@ CORE_PREFIX = [
     "expectations_audit",               # data-contract audit
     "cube_status_priority",             # CUBE grouping sets
     "lateral_top2_customers",           # LATERAL correlated subquery
+    "geo_cell_density",                 # geo tier: grid binning
+    "nearest_dc_assignment",            # geo tier: haversine argmin
+    "geo_hotspot_clusters",             # geo tier: grid-DBSCAN via CC
+    "hinted_join_strategies",           # join-strategy hints
+    "schema_drift_union_stats",         # unionByName allowMissingColumns
     "langid_confusion",                 # LLM tier: language id
     "doc_fingerprint_summary",          # LLM tier: fingerprinting
     "decontamination_overlap",          # curation tier
