@@ -498,7 +498,8 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(hour(ts) AS BIGINT)  AS request_hour,
            CAST(COUNT(user_id) AS BIGINT)          AS request_count,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_user_count,
-           ROUND(AVG(value), 6)    AS avg_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(value), 6)  AS avg_value,
            ROUND(MEDIAN(value), 6) AS median_value,
            ROUND(SUM(value), 2)    AS sum_value,
            CAST(count_if(event_type = 'click') AS BIGINT)    AS count_click,
@@ -521,7 +522,15 @@ def hourly_event_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("user_id").alias("request_count"),
             F.count_distinct(F.col("user_id")).alias("unique_user_count"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # decimal-sum average: double AVG accumulates in engine-
+            # specific order, and at sf0.1 the ±1-ulp drift flipped 3/720
+            # six-dp roundings vs DuckDB; an exact DECIMAL sum is order-
+            # independent in BOTH engines, so round(sum/n) is bit-stable
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("value"),
+                6,
+            ).alias("avg_value"),
             F.round(F.median("value"), 6).alias("median_value"),
             F.round(F.sum("value"), 2).alias("sum_value"),
             F.count_if(F.col("event_type") == "click").alias("count_click"),

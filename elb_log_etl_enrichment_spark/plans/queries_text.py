@@ -980,22 +980,49 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already does (sketch state: 16 longs/doc, mergeable; the exact
 # verify exists here only to ground the calibration).
 # --------------------------------------------------------------------------
+def _nano_avg_6dp(col):
+    """Tie-free 6-dp half-up average (see minhash_calibration): exact
+    nano-unit BIGINT sum, integer-floor rounding, identical IEEE ops
+    in Spark and DuckDB."""
+    nanos = F.sum((col.cast("decimal(20,9)") * 1000000000).cast("long"))
+    n = F.count(F.lit(1))
+    return F.floor((2 * nanos + 1000 * n) / (2000.0 * n)).cast("double") / 1e6
+
+
 @register(
     "minhash_calibration",
     sql=f"""
     WITH {_MINHASH_CTES},
     est AS (
-        SELECT v.doc_a, v.doc_b, v.jaccard,
+        -- RAW jaccard recomputed from the shingle sets (the shared
+        -- `verified` CTE rounds to 6 dp for the near-dup queries'
+        -- output contract; averaging rounded values diverges from
+        -- Spark's raw aggregation at scale — observed at sf0.1)
+        SELECT v.doc_a, v.doc_b,
+               len(list_intersect(sa.s, sb.s)) * 1.0
+                 / (len(sa.s) + len(sb.s)
+                    - len(list_intersect(sa.s, sb.s))) AS jaccard,
                (CASE WHEN a.g0 = b.g0 THEN 1 ELSE 0 END + CASE WHEN a.g1 = b.g1 THEN 1 ELSE 0 END + CASE WHEN a.g2 = b.g2 THEN 1 ELSE 0 END + CASE WHEN a.g3 = b.g3 THEN 1 ELSE 0 END + CASE WHEN a.g4 = b.g4 THEN 1 ELSE 0 END + CASE WHEN a.g5 = b.g5 THEN 1 ELSE 0 END + CASE WHEN a.g6 = b.g6 THEN 1 ELSE 0 END + CASE WHEN a.g7 = b.g7 THEN 1 ELSE 0 END + CASE WHEN a.g8 = b.g8 THEN 1 ELSE 0 END + CASE WHEN a.g9 = b.g9 THEN 1 ELSE 0 END + CASE WHEN a.g10 = b.g10 THEN 1 ELSE 0 END + CASE WHEN a.g11 = b.g11 THEN 1 ELSE 0 END + CASE WHEN a.g12 = b.g12 THEN 1 ELSE 0 END + CASE WHEN a.g13 = b.g13 THEN 1 ELSE 0 END + CASE WHEN a.g14 = b.g14 THEN 1 ELSE 0 END + CASE WHEN a.g15 = b.g15 THEN 1 ELSE 0 END) / 16.0 AS est
         FROM verified v
+        JOIN sh sa ON sa.doc_id = v.doc_a
+        JOIN sh sb ON sb.doc_id = v.doc_b
         JOIN sigs a ON a.doc_id = v.doc_a
         JOIN sigs b ON b.doc_id = v.doc_b
     )
     SELECT CAST(LEAST(FLOOR(jaccard * 10), 9) AS BIGINT) AS decile,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           ROUND(AVG(jaccard), 6)   AS avg_exact,
-           ROUND(AVG(est), 6)       AS avg_est,
-           ROUND(AVG(ABS(est - jaccard)), 6) AS mae
+           CAST(FLOOR((2 * SUM(CAST(CAST(jaccard AS DECIMAL(20,9))
+                                     * 1000000000 AS BIGINT))
+                        + 1000 * COUNT(*))
+                       / (2000.0 * COUNT(*))) AS DOUBLE) / 1e6 AS avg_exact,
+           CAST(FLOOR((2 * SUM(CAST(CAST(est AS DECIMAL(20,9))
+                                     * 1000000000 AS BIGINT))
+                        + 1000 * COUNT(*))
+                       / (2000.0 * COUNT(*))) AS DOUBLE) / 1e6 AS avg_est,
+           CAST(FLOOR((2 * SUM(CAST(CAST(ABS(est - jaccard) AS DECIMAL(20,9))
+                                     * 1000000000 AS BIGINT))
+                        + 1000 * COUNT(*))
+                       / (2000.0 * COUNT(*))) AS DOUBLE) / 1e6 AS mae
     FROM est
     GROUP BY 1
     ORDER BY 1
@@ -1057,9 +1084,19 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.avg("jaccard"), 6).alias("avg_exact"),
-            F.round(F.avg("est"), 6).alias("avg_est"),
-            F.round(F.avg(F.abs(F.col("est") - F.col("jaccard"))), 6).alias("mae"),
+            # Integer micro-unit averages: jaccard/est are rationals of
+            # small ints, and their 12-dp-quantized average LANDED ON AN
+            # EXACT x.xxxxxx5 tie at sf0.1 — where Spark's and DuckDB's
+            # double ROUND disagree. So: quantize each value to 9 dp as
+            # an exact BIGINT of nano-units (a double can never sit ON a
+            # non-dyadic decimal tie, so the cast itself is tie-free),
+            # sum exactly, and round half-up with INTEGER floor math —
+            # (2S + 1000n) / (2000n) in doubles ≤ 2^53, identical IEEE
+            # ops on identical operands in both engines, no rounding
+            # function involved at all.
+            _nano_avg_6dp(F.col("jaccard")).alias("avg_exact"),
+            _nano_avg_6dp(F.col("est")).alias("avg_est"),
+            _nano_avg_6dp(F.abs(F.col("est") - F.col("jaccard"))).alias("mae"),
         )
         .orderBy("decile")
     )

@@ -117,7 +117,8 @@ def time_weighted_avg_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs AS (
         SELECT event_type AS series,
                date_trunc('hour', ts) AS bucket_ts,
-               ROUND(AVG(value), 6) AS observed
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(value), 6) AS observed
         FROM events
         GROUP BY 1, 2
     ),
@@ -143,8 +144,15 @@ def gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality is series x hours — independent of event volume; the
     running fill windows over the spine, never over raw events."""
     e = _t(spark, sf_dir, "events")
+    # decimal-sum average (order-independent across engines; see
+    # hourly_event_aggregate)
+    exact_avg = F.round(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        / F.count("value"),
+        6,
+    )
     filled = gapfill_locf(
-        e, series_col="event_type", ts_col="ts", agg_expr=F.round(F.avg("value"), 6)
+        e, series_col="event_type", ts_col="ts", agg_expr=exact_avg
     )
     return filled.select(
         "series",
