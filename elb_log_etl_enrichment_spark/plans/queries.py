@@ -55,6 +55,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _dec_avg(col: str, nd: int = 6):
+    """Order-independent 6-dp average: exact DECIMAL(18,6) sum (both
+    engines sum decimals exactly, in any order) divided as identical
+    IEEE doubles — see the cross-engine hardening note in PERF.md."""
+    return F.round(
+        F.sum(F.col(col).cast("decimal(18,6)")).cast("double") / F.count(col), nd
+    )
+
+
 # --------------------------------------------------------------------------
 # Scans + multi-key hash aggregation (SURVEY §2.5 A1-A7): TPC-H Q1 shape.
 # Filter is pushed to the parquet scan; Catalyst plans partial+final
@@ -68,9 +77,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            ROUND(SUM(l_extendedprice), 2)   AS sum_base_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 6)        AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6)   AS avg_price,
-           ROUND(AVG(l_discount), 6)        AS avg_disc,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(l_quantity), 6)    AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(l_extendedprice), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(l_discount), 6)    AS avg_disc,
            CAST(COUNT(*) AS BIGINT)         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -89,9 +101,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # decimal-sum averages: order-independent across engines
+            # (see hourly_event_aggregate; inputs are exact 2-dp values)
+            _dec_avg("l_quantity").alias("avg_qty"),
+            _dec_avg("l_extendedprice").alias("avg_price"),
+            _dec_avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -698,23 +712,33 @@ def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(AVG(o_totalprice), 6) AS avg_price
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price
     FROM orders
-    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                                      AS DOUBLE) / COUNT(*) FROM orders)
     GROUP BY o_orderpriority
     """,
     tags=("subquery", "agg"),
 )
 def orders_above_avg_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    global_avg = o.agg(F.avg("o_totalprice").alias("__avg"))
+    # decimal-sum averages for BOTH the threshold and the output: the
+    # threshold average can land exactly ON a 2-dp price, where an
+    # order-drifted double sum flips row membership across engines
+    global_avg = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__avg")
+    )
     return (
         o.crossJoin(F.broadcast(global_avg))
         .filter(F.col("o_totalprice") > F.col("__avg"))
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            _dec_avg("o_totalprice").alias("avg_price"),
         )
     )
 

@@ -88,10 +88,13 @@ def cross_join_region_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(AVG(o_totalprice), 6) AS avg_price
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price
     FROM orders o
     WHERE o_totalprice > (
-        SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey
     )
     GROUP BY o_orderpriority
     """,
@@ -99,14 +102,26 @@ def cross_join_region_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
+    # decimal-sum per-customer threshold + output average (order-
+    # independent across engines; a customer's average CAN land exactly
+    # on one of their 2-dp prices, where double drift flips membership)
     w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    out_avg = F.round(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+        / F.count(F.lit(1)),
+        6,
+    )
     return (
-        o.withColumn("__cust_avg", F.avg("o_totalprice").over(w))
+        o.withColumn("__cust_avg", cust_avg)
         .filter(F.col("o_totalprice") > F.col("__cust_avg"))
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            out_avg.alias("avg_price"),
         )
     )
 
