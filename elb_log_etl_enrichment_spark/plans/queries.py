@@ -878,6 +878,10 @@ CORE_PREFIX = [
     "streaming_dedup_hourly_active_users",  # §2.8 chained stateful (dedup→agg)
     "events_within_5min_pairs",         # range join
     "hierarchical_time_rollup",
+    "deterministic_uniform_sample",     # sampling tier: portable-hash membership
+    "stratified_sample_audit",          # sampling tier: per-stratum rates, one pass
+    "leakproof_customer_split",         # sampling tier: entity-granular split + audit
+    "per_nation_deterministic_sample",  # sampling tier: per-group k-sample
 ]
 
 
@@ -916,6 +920,7 @@ def _load_extensions() -> None:
         queries_geo,
         queries_profiling,
         queries_quality,
+        queries_sampling,
         queries_sql4,
         queries_text,
         queries_timeseries,

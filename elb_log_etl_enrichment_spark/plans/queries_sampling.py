@@ -1,0 +1,310 @@
+"""Deterministic sampling & dataset-split tier.
+
+Training-data pipelines need samples and train/val/test splits that
+are (a) reproducible run-to-run, (b) independent of physical layout
+(partition count, file order, cluster size), and (c) auditable by an
+external engine. Spark's built-in ``df.sample()`` fails (b): it draws
+per-partition from a seeded RNG, so a repartition or a different file
+split silently changes WHICH rows are kept. Every operator here
+instead derives its decision from a portable 60-bit content hash —
+``conv(substring(md5(key), 1, 15), 16, 10)`` on the Spark side,
+``('0x' || substr(md5(key), 1, 15))::UBIGINT`` in DuckDB — the same
+recipe `queries_profiling.table_content_digest` uses for cross-system
+integrity. Sampling becomes a pure row-local predicate:
+
+* no shuffle and no RNG state — the filter rides the scan stage and
+  whole-stage codegen, embarrassingly parallel at any cluster size;
+* the keep/drop decision for a row is a function of its KEY alone, so
+  reruns, backfills, and incremental ingest agree forever;
+* the DuckDB oracle replays the identical decision, so the sample
+  membership itself is hash-checked, not just its size.
+
+Decisions are domain-separated by a salt prefix (``uniform|``,
+``strat|``, ``split|``…) so e.g. the 5 % uniform sample is NOT a
+subset of the 20 % stratified tier — independent decisions need
+independent hash inputs.
+
+Reference grounding: the reference has no sampling surface at all
+(elb_logs.py processes 100 % of parsed lines); this tier is part of
+the mandated LLM-pipeline generalization, same family as the
+leakage-safe split audit in plans/queries_training.py (which splits
+by near-dup CLUSTER; here the unit is the natural entity key).
+
+Scale notes (100 TB): the sample predicate evaluates one md5 per row
+inside codegen — no exchange, no state, no skew sensitivity. The
+split AUDIT aggregates carry one row per (split,) or (priority,)
+group. `per-group top-k sample` is the only window consumer and
+partitions by the group key like every other ranking query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _t, register
+
+#: Buckets for rate arithmetic: rates are integers out of 10_000
+#: (basis points), so every threshold compare is exact integer math —
+#: no double rounding anywhere in the keep/drop decision.
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, salt: str) -> Column:
+    """Portable deterministic bucket in [0, BUCKETS): 60-bit md5
+    prefix of ``salt || key`` reduced mod BUCKETS. Identical in DuckDB
+    as ``('0x' || substr(md5(salt || key), 1, 15))::UBIGINT % 10000``.
+    The 60-bit prefix keeps the value exact in both engines' integer
+    types (UBIGINT / decimal(20,0)); mod-10k bias is 2^-47, i.e. none.
+    """
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15), 16, 10)
+    return (h.cast("decimal(20,0)") % BUCKETS).cast("long")
+
+
+def _sql_bucket(key_expr: str, salt: str) -> str:
+    """DuckDB twin of :func:`hash_bucket` (key_expr must be VARCHAR)."""
+    return (
+        f"(('0x' || substr(md5('{salt}' || {key_expr}), 1, 15))::UBIGINT "
+        f"% {BUCKETS})"
+    )
+
+
+# --------------------------------------------------------------------------
+# Uniform deterministic sample: keep o_orderkey iff bucket < rate.
+# --------------------------------------------------------------------------
+UNIFORM_BP = 500  # 5.00 % in basis points
+
+_U_BUCKET = _sql_bucket("CAST(o_orderkey AS VARCHAR)", "uniform|")
+
+
+@register(
+    "deterministic_uniform_sample",
+    sql=f"""
+    SELECT o_orderkey, o_custkey, o_orderpriority,
+           CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS total_price,
+           CAST({_U_BUCKET} AS BIGINT) AS sample_bucket
+    FROM orders
+    WHERE {_U_BUCKET} < {UNIFORM_BP}
+    """,
+    tags=("sampling", "deterministic", "filter", "llm_pipeline"),
+)
+def deterministic_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 % uniform sample of ``orders``, membership decided by the
+    portable key hash — the layout-independent replacement for
+    ``df.sample(0.05)``. The predicate is row-local (scan-stage
+    codegen, zero exchanges); the oracle replays the exact same
+    membership, so this is the rare sample whose CONTENT is
+    hash-verified across engines. Returning the bucket column keeps
+    the decision auditable downstream."""
+    o = _t(spark, sf_dir, "orders")
+    b = hash_bucket(F.col("o_orderkey"), "uniform|")
+    return (
+        o.withColumn("sample_bucket", b)
+        .filter(F.col("sample_bucket") < UNIFORM_BP)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).cast("double").alias("total_price"),
+            "sample_bucket",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified sample: per-stratum basis-point rates via a CASE rate
+# table, then one audit aggregate per stratum.
+# --------------------------------------------------------------------------
+#: Per-priority sampling rates in basis points: up-sample the rare
+#: urgent tiers, down-sample the bulk — the canonical curation move
+#: (quality-tiered retention) expressed as pure integer thresholds.
+STRAT_BP = {
+    "1-URGENT": 2000,
+    "2-HIGH": 1000,
+}
+STRAT_DEFAULT_BP = 200
+
+_S_BUCKET = _sql_bucket("CAST(o_orderkey AS VARCHAR)", "strat|")
+_S_RATE_SQL = (
+    "CASE o_orderpriority "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in STRAT_BP.items())
+    + f" ELSE {STRAT_DEFAULT_BP} END"
+)
+
+
+@register(
+    "stratified_sample_audit",
+    sql=f"""
+    SELECT o_orderpriority,
+           CAST({_S_RATE_SQL} AS BIGINT)                    AS rate_bp,
+           CAST(COUNT(*) AS BIGINT)                         AS n_total,
+           CAST(COUNT(*) FILTER (WHERE {_S_BUCKET} < {_S_RATE_SQL})
+                AS BIGINT)                                  AS n_sampled,
+           CAST(ROUND(SUM(CASE WHEN {_S_BUCKET} < {_S_RATE_SQL}
+                               THEN CAST(o_totalprice AS DECIMAL(18,6))
+                               ELSE 0 END), 2) AS DOUBLE)   AS sampled_revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("sampling", "stratified", "agg", "llm_pipeline"),
+)
+def stratified_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling with per-stratum rates
+    (urgent 20 %, high 10 %, rest 2 %) and its audit in ONE pass: the
+    keep-decision is the same hash-vs-threshold compare with the
+    threshold looked up from a CASE rate table, and the per-stratum
+    totals/samples come out of a single grouped aggregate over the
+    full table (conditional aggregation — no second scan, no join
+    between sample and population). Revenue sums in DECIMAL so the
+    audit is order-independent across engines."""
+    o = _t(spark, sf_dir, "orders")
+    rate = F.lit(STRAT_DEFAULT_BP)
+    for k, v in reversed(STRAT_BP.items()):
+        rate = F.when(F.col("o_orderpriority") == k, F.lit(v)).otherwise(rate)
+    b = hash_bucket(F.col("o_orderkey"), "strat|")
+    keep = b < rate
+    return (
+        o.withColumn("rate_bp", rate.cast("long"))
+        .groupBy("o_orderpriority", "rate_bp")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(keep).alias("n_sampled"),
+            F.round(
+                F.sum(
+                    F.when(
+                        keep, F.col("o_totalprice").cast("decimal(18,6)")
+                    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sampled_revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Leakage-proof train/val/test split: hash the ENTITY key (customer),
+# not the row key, so every order of a customer lands in one split.
+# --------------------------------------------------------------------------
+TRAIN_BP, VAL_BP = 8000, 9000  # [0,8000) train, [8000,9000) val, rest test
+
+_SPLIT_BUCKET = _sql_bucket("CAST(o_custkey AS VARCHAR)", "split|")
+
+
+@register(
+    "leakproof_customer_split",
+    sql=f"""
+    WITH assigned AS (
+        SELECT o_custkey, o_totalprice,
+               CASE WHEN {_SPLIT_BUCKET} < {TRAIN_BP} THEN 'train'
+                    WHEN {_SPLIT_BUCKET} < {VAL_BP}   THEN 'val'
+                    ELSE 'test' END AS split
+        FROM orders
+    ),
+    leak AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT o_custkey FROM assigned
+              GROUP BY o_custkey HAVING COUNT(DISTINCT split) > 1)
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT)                  AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                AS DOUBLE)                           AS revenue,
+           (SELECT n FROM leak)                      AS leaked_customers
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """,
+    tags=("sampling", "split", "leakage", "agg", "llm_pipeline"),
+)
+def leakproof_customer_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment hashed on ``o_custkey`` —
+    the entity-granular split that makes cross-split leakage
+    impossible BY CONSTRUCTION (all of a customer's orders share the
+    customer's bucket), plus the audit that proves it: the
+    ``leaked_customers`` column counts customers observed in more
+    than one split and must be 0. Complements
+    `queries_training.leakage_safe_split_audit`, which splits by
+    near-dup cluster; here the unit is the natural entity key and the
+    whole assignment is one row-local CASE (no clustering
+    prerequisite, no shuffle to assign). The audit itself is one
+    grouped aggregate plus a customer-level distinct — both partition
+    on the same key."""
+    o = _t(spark, sf_dir, "orders")
+    b = hash_bucket(F.col("o_custkey"), "split|")
+    split = (
+        F.when(b < TRAIN_BP, F.lit("train"))
+        .when(b < VAL_BP, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    assigned = o.select(
+        "o_custkey", "o_totalprice", split.alias("split")
+    )
+    leak = (
+        assigned.groupBy("o_custkey")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("leaked_customers"))
+    )
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+    # leak is a 1-row frame -> broadcast cross join stamps the audit
+    # column onto each split row without an exchange.
+    return per_split.crossJoin(F.broadcast(leak)).orderBy("split")
+
+
+# --------------------------------------------------------------------------
+# Per-group deterministic top-k sample: k rows per group, chosen by
+# hash order — a reservoir-sample replacement whose picks are stable.
+# --------------------------------------------------------------------------
+GROUP_K = 3
+
+_G_BUCKET = _sql_bucket("CAST(c_custkey AS VARCHAR)", "gk|")
+
+
+@register(
+    "per_nation_deterministic_sample",
+    sql=f"""
+    SELECT n_name, c_custkey, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT n.n_name, c.c_custkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.n_name
+                   ORDER BY {_G_BUCKET}, c.c_custkey) AS rk
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    WHERE rk <= {GROUP_K}
+    ORDER BY n_name, rk
+    """,
+    tags=("sampling", "window", "join", "llm_pipeline"),
+)
+def per_nation_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly ``k`` customers per nation, selected by ranking the
+    portable hash within each group — same guarantees as a per-group
+    reservoir sample (uniform over the group) but deterministic and
+    engine-replayable. ``c_custkey`` breaks the (astronomically
+    unlikely) hash tie so row_number is total. One exchange on the
+    group key, the same shape as every ranking-window query; the
+    nation dim joins broadcast."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    b = hash_bucket(F.col("c_custkey"), "gk|")
+    w = Window.partitionBy("n_name").orderBy(b.asc(), F.col("c_custkey").asc())
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_custkey")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GROUP_K)
+        .orderBy("n_name", "rk")
+    )
