@@ -157,6 +157,14 @@ HEADLINE = [
     "elb_pipeline_hourly",
     "cosine_topk_ivf",
     "multimodal_sniff_stats",
+    # round 5: deterministic sampling, privacy tier, JSONL round-trip
+    "deterministic_uniform_sample",
+    "stratified_sample_audit",
+    "leakproof_customer_split",
+    "per_nation_deterministic_sample",
+    "pii_redaction_audit",
+    "k_anonymity_audit",
+    "jsonl_roundtrip_stats",
 ]
 
 

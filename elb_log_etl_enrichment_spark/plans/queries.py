@@ -882,6 +882,9 @@ CORE_PREFIX = [
     "stratified_sample_audit",          # sampling tier: per-stratum rates, one pass
     "leakproof_customer_split",         # sampling tier: entity-granular split + audit
     "per_nation_deterministic_sample",  # sampling tier: per-group k-sample
+    "pii_redaction_audit",              # privacy tier: detect+mask, digest-verified
+    "k_anonymity_audit",                # privacy tier: QI group-size risk
+    "jsonl_roundtrip_stats",            # §2.1 JSON sink/source lossless round-trip
 ]
 
 
@@ -918,6 +921,7 @@ def _load_extensions() -> None:
         queries_ext,
         queries_functions,
         queries_geo,
+        queries_privacy,
         queries_profiling,
         queries_quality,
         queries_sampling,

@@ -1918,3 +1918,79 @@ def streaming_ingest_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round")
     )
+
+
+# --------------------------------------------------------------------------
+# JSON-lines source/sink round-trip (SURVEY §2.1 sink family): the one
+# text-based interchange format the sink tier didn't yet exercise
+# end-to-end. Spark writes a typed frame as JSONL and reads it back
+# through spark.read.json with an EXPLICIT schema (schema inference on
+# 100 TB of JSON means a full extra pass — never rely on it), and the
+# aggregate over the round-tripped frame must equal the oracle's
+# aggregate over the original parquet — proving the sink/source pair
+# is lossless for longs, doubles, strings AND microsecond timestamps
+# (the fragile one: JSON carries them as ISO-8601 text).
+# --------------------------------------------------------------------------
+_JSONL_DIRS: dict[str, str] = {}
+
+
+@register(
+    "jsonl_roundtrip_stats",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                       AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+                                                          AS sum_value,
+           CAST(MIN(epoch_us(ts)) AS BIGINT)              AS min_ts_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT)              AS max_ts_us
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("sink", "source", "json", "roundtrip"),
+)
+def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events as JSON lines, read them back with the explicit
+    schema, aggregate the COPY — the oracle aggregates the ORIGINAL,
+    so any loss in the round trip (timestamp precision, double
+    formatting, null handling) breaks the hash. Timestamps are written
+    with an explicit micros format: Spark's default JSON writer stops
+    at milliseconds, which would silently truncate `ts` — exactly the
+    class of bug this query exists to catch."""
+    import os
+    import shutil
+
+    ev = _t(spark, sf_dir, "events")
+    old = _JSONL_DIRS.get(sf_dir)
+    if old and os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)
+    path = tempfile.mkdtemp(prefix="jsonl_rt_")
+    _JSONL_DIRS[sf_dir] = path
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    (
+        ev.select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite")
+        .option("timestampFormat", ts_fmt)
+        .json(path)
+    )
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("timestampFormat", ts_fmt)
+        .json(path)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+            F.min(F.unix_micros("ts")).alias("min_ts_us"),
+            F.max(F.unix_micros("ts")).alias("max_ts_us"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,198 @@
+"""Privacy / compliance tier: PII scrubbing and re-identification
+audits.
+
+A training-data pipeline has a scrub stage between ingest and export:
+detect personal identifiers (emails, phone numbers, IP addresses),
+mask them, and prove — auditable by an external engine — that the
+masked corpus is what ships. The reference touches this domain
+implicitly (client IPs are the enrichment key; log anonymization
+zeroes/strips them before retention), and the engine generalizes it
+the way the rest of the LLM tier does.
+
+Both queries are pure JVM expression work (regexp_* built-ins and
+hash aggregates — no UDFs, no shuffle beyond the final group-sized
+aggregate), so they ride whole-stage codegen and scale linearly with
+the corpus.
+
+Cross-engine notes: the synthetic PII fixture column is constructed
+from table keys with identical string rendering in Spark and DuckDB
+(integer → decimal digits, no locale), the regexes avoid
+backreferences in replacements (Java spells them ``$1``, RE2 ``\\1``),
+and redacted CONTENT is verified by the portable 60-bit md5 digest —
+the audit proves the bytes, not just the counts.
+
+The k-anonymity audit is the other half of compliance review: how
+many quasi-identifier groups are small enough to re-identify, before
+any release of "anonymized" aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _t, register
+
+#: Detection patterns — valid under BOTH Java regex (Spark) and RE2
+#: (DuckDB): no lookaround, no backreferences, \b supported by both.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PHONE_RE = r"\b[0-9]{7}\b"
+
+#: Deterministic synthetic contact line per customer, identical in
+#: both engines (fixture for the scrubber — the testdata itself is
+#: PII-free by design).
+_CONTACT_SQL = (
+    "('user' || c_custkey || '@example.com call ' "
+    "|| lpad(CAST(c_custkey * 7 % 10000000 AS VARCHAR), 7, '0') "
+    "|| ' from 10.' || (c_custkey % 256) || '.' || (c_nationkey % 25) || '.9')"
+)
+
+
+def _contact_col():
+    return F.concat(
+        F.lit("user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com call "),
+        F.lpad((F.col("c_custkey") * 7 % 10000000).cast("string"), 7, "0"),
+        F.lit(" from 10."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit("."),
+        (F.col("c_nationkey") % 25).cast("string"),
+        F.lit(".9"),
+    )
+
+
+@register(
+    "pii_redaction_audit",
+    sql=rf"""
+    WITH contact AS (
+        SELECT c_mktsegment, {_CONTACT_SQL} AS txt FROM customer
+    ),
+    red AS (
+        SELECT c_mktsegment, txt,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(txt, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{IPV4_RE}', '<IP>', 'g'),
+                 '{PHONE_RE}', '<PHONE>', 'g') AS clean
+        FROM contact
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(len(regexp_extract_all(txt, '{EMAIL_RE}'))) AS BIGINT)
+               AS n_emails,
+           CAST(SUM(len(regexp_extract_all(txt, '{IPV4_RE}'))) AS BIGINT)
+               AS n_ips,
+           CAST(SUM(len(regexp_extract_all(clean,
+                '{EMAIL_RE}|{IPV4_RE}|{PHONE_RE}'))) AS BIGINT)
+               AS n_residual,
+           CAST(SUM(('0x' || substr(md5(clean), 1, 15))::UBIGINT)
+                % 9223372036854775807 AS BIGINT) AS clean_digest
+    FROM red
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("privacy", "pii", "redaction", "regex", "llm_pipeline"),
+)
+def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect-and-mask over a deterministic contact-line fixture:
+    emails, IPv4 addresses, then 7-digit phone numbers are each
+    replaced with a typed placeholder, and the audit reports per
+    segment (a) how many identifiers were found, (b) that ZERO
+    survive redaction (``n_residual``), and (c) the portable digest
+    of the redacted text — so the oracle hash-verifies the masked
+    BYTES, not merely the counts. All detection/masking is
+    ``regexp_*`` built-ins chained in one codegen'd projection; the
+    only exchange is the segments-sized final aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    txt = _contact_col()
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(txt, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    rows = c.select(
+        "c_mktsegment",
+        txt.alias("txt"),
+        clean.alias("clean"),
+    )
+    digest = (
+        F.conv(F.substring(F.md5("clean"), 1, 15), 16, 10).cast("decimal(20,0)")
+    )
+    return (
+        rows.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.regexp_count("txt", F.lit(EMAIL_RE))).alias("n_emails"),
+            F.sum(F.regexp_count("txt", F.lit(IPV4_RE))).alias("n_ips"),
+            F.sum(
+                F.regexp_count(
+                    "clean", F.lit(f"{EMAIL_RE}|{IPV4_RE}|{PHONE_RE}")
+                )
+            ).alias("n_residual"),
+            (F.sum(digest) % F.lit(9223372036854775807))
+            .cast("long")
+            .alias("clean_digest"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+#: k-anonymity threshold: groups smaller than this are re-identifiable.
+K_ANON = 5
+
+
+@register(
+    "k_anonymity_audit",
+    sql=f"""
+    WITH qi AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               COUNT(*) AS sz
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment, bal_band
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                       AS n_groups,
+           CAST(COUNT(*) FILTER (WHERE sz < {K_ANON}) AS BIGINT)
+                                                          AS n_small_groups,
+           CAST(MIN(sz) AS BIGINT)                        AS min_group_size,
+           CAST(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END) AS BIGINT)
+                                                          AS rows_at_risk,
+           ROUND(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END) * 1.0
+                 / SUM(sz), 6)                            AS risk_frac
+    FROM qi
+    """,
+    tags=("privacy", "k_anonymity", "agg", "llm_pipeline"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity over the quasi-identifier triple (nation, market
+    segment, account-balance band): a released row is re-identifiable
+    when its QI group has fewer than k=5 members. Two stacked
+    aggregates — group sizes, then one summary row — both map-side
+    combinable; the QI cardinality (25x5x~12 bands) bounds state
+    regardless of row count, so the audit costs one scan at any
+    scale."""
+    c = _t(spark, sf_dir, "customer")
+    qi = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    small = F.col("sz") < K_ANON
+    return qi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count_if(small).alias("n_small_groups"),
+        F.min("sz").alias("min_group_size"),
+        F.sum(F.when(small, F.col("sz")).otherwise(F.lit(0))).alias(
+            "rows_at_risk"
+        ),
+        F.round(
+            F.sum(F.when(small, F.col("sz")).otherwise(F.lit(0)))
+            * 1.0
+            / F.sum("sz"),
+            6,
+        ).alias("risk_frac"),
+    )
