@@ -174,3 +174,28 @@ def test_round2c_operators_on_empty_inputs(spark, tmp_path):
     ex = {r["name"]: r["pass"] for r in
           REGISTRY["expectations_audit"].fn(spark, str(tmp_path)).collect()}
     assert all(ex.values())
+
+
+def test_sampling_privacy_jsonl_on_empty_inputs(spark, tmp_path):
+    """Round-5 tiers (deterministic sampling, privacy, JSONL
+    round-trip): total on empty inputs. Global-aggregate audits keep
+    their single summary row (with NULL extrema); per-group/row
+    outputs are empty."""
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    for t in ("orders", "customer", "nation", "events"):
+        _empty_like(spark, SF, t).write.parquet(f"{tmp_path}/{t}.parquet")
+    for name, expect in (
+        ("deterministic_uniform_sample", 0),
+        ("stratified_sample_audit", 0),
+        ("leakproof_customer_split", 0),
+        ("per_nation_deterministic_sample", 0),
+        ("pii_redaction_audit", 0),
+        ("k_anonymity_audit", 1),  # one summary row, n_groups=0
+        ("jsonl_roundtrip_stats", 0),
+    ):
+        out = REGISTRY[name].fn(spark, str(tmp_path)).collect()
+        assert len(out) == expect, (name, len(out))
+    k = REGISTRY["k_anonymity_audit"].fn(spark, str(tmp_path)).collect()[0]
+    assert k.n_groups == 0 and k.n_small_groups == 0
