@@ -165,6 +165,7 @@ HEADLINE = [
     "pii_redaction_audit",
     "k_anonymity_audit",
     "jsonl_roundtrip_stats",
+    "snapshot_diff_orders",
 ]
 
 

@@ -885,6 +885,7 @@ CORE_PREFIX = [
     "pii_redaction_audit",              # privacy tier: detect+mask, digest-verified
     "k_anonymity_audit",                # privacy tier: QI group-size risk
     "jsonl_roundtrip_stats",            # §2.1 JSON sink/source lossless round-trip
+    "snapshot_diff_orders",             # CDC snapshot reconciliation (full-outer + digest)
 ]
 
 

@@ -1028,3 +1028,129 @@ def expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("pass"),
     ).orderBy("name")
+
+
+# --------------------------------------------------------------------------
+# CDC-style snapshot reconciliation: classify every key across two
+# table versions as added / removed / changed / unchanged, with a
+# portable key digest per class. The two "snapshots" are derived
+# deterministically from `orders` (hash-selected deletions, cent-level
+# price changes, key-shifted insertions) so BOTH engines construct the
+# identical pair and the whole diff is hash-verified end to end. Row
+# equality compares an integer-cents rendering — doubles never meet a
+# string formatter, so the row hash is engine-stable.
+# Scale shape: ONE full-outer join on the key (co-partitioned /
+# sort-merge at scale; no broadcast of either snapshot) and a
+# 4-group aggregate. The digest lets two 100 TB snapshot diffs be
+# compared across systems by moving 4 rows.
+# --------------------------------------------------------------------------
+_SNAP_DEL_BP, _SNAP_CHG_BP, _SNAP_ADD_BP = 200, 500, 600
+_SNAP_KEY_SHIFT = 1_000_000_000
+
+_SNAP_BUCKET = (
+    "(('0x' || substr(md5('snap|' || CAST(o_orderkey AS VARCHAR)), 1, 15))"
+    "::UBIGINT % 10000)"
+)
+
+
+@register(
+    "snapshot_diff_orders",
+    sql=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderstatus AS st,
+               {_SNAP_BUCKET} AS b
+        FROM orders
+    ),
+    snap_a AS (SELECT k, cents, st FROM base),
+    snap_b AS (
+        SELECT k,
+               CASE WHEN b >= {_SNAP_DEL_BP} AND b < {_SNAP_CHG_BP}
+                    THEN cents + 150 ELSE cents END AS cents,
+               st
+        FROM base WHERE b >= {_SNAP_DEL_BP}
+        UNION ALL
+        SELECT k + {_SNAP_KEY_SHIFT}, cents, st
+        FROM base WHERE b >= {_SNAP_CHG_BP} AND b < {_SNAP_ADD_BP}
+    ),
+    diff AS (
+        SELECT COALESCE(a.k, bb.k) AS k,
+               CASE WHEN a.k IS NULL THEN 'added'
+                    WHEN bb.k IS NULL THEN 'removed'
+                    WHEN a.cents <> bb.cents OR a.st <> bb.st THEN 'changed'
+                    ELSE 'unchanged' END AS diff_class
+        FROM snap_a a FULL OUTER JOIN snap_b bb ON a.k = bb.k
+    )
+    SELECT diff_class,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::UBIGINT)
+                % 9223372036854775807 AS BIGINT) AS key_digest
+    FROM diff
+    GROUP BY diff_class
+    ORDER BY diff_class
+    """,
+    tags=("profiling", "cdc", "snapshot_diff", "full_outer_join", "integrity"),
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile two snapshot versions of ``orders``: 2 % of keys
+    deleted, 3 % price-changed (+150 cents), 1 % inserted under
+    shifted keys — all selected by the portable hash so the oracle
+    builds the identical snapshots. One full-outer join on the key
+    classifies every row; the per-class count + key digest is the
+    4-row summary two warehouses exchange to agree on a diff."""
+    o = _t(spark, sf_dir, "orders")
+    from .queries_sampling import hash_bucket
+
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+        hash_bucket(F.col("o_orderkey"), "snap|").alias("b"),
+    )
+    snap_a = base.select("k", "cents", "st")
+    kept = base.filter(F.col("b") >= _SNAP_DEL_BP)
+    snap_b = kept.select(
+        "k",
+        F.when(
+            (F.col("b") >= _SNAP_DEL_BP) & (F.col("b") < _SNAP_CHG_BP),
+            F.col("cents") + 150,
+        )
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+        "st",
+    ).unionAll(
+        base.filter(
+            (F.col("b") >= _SNAP_CHG_BP) & (F.col("b") < _SNAP_ADD_BP)
+        ).select(
+            (F.col("k") + _SNAP_KEY_SHIFT).alias("k"), "cents", "st"
+        )
+    )
+    a, bb = snap_a.alias("a"), snap_b.alias("bb")
+    diff = a.join(bb, F.col("a.k") == F.col("bb.k"), "full_outer").select(
+        F.coalesce(F.col("a.k"), F.col("bb.k")).alias("k"),
+        F.when(F.col("a.k").isNull(), F.lit("added"))
+        .when(F.col("bb.k").isNull(), F.lit("removed"))
+        .when(
+            (F.col("a.cents") != F.col("bb.cents"))
+            | (F.col("a.st") != F.col("bb.st")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("diff_class"),
+    )
+    kd = F.conv(
+        F.substring(F.md5(F.col("k").cast("string")), 1, 15), 16, 10
+    ).cast("decimal(20,0)")
+    return (
+        diff.groupBy("diff_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(kd) % F.lit(9223372036854775807))
+            .cast("long")
+            .alias("key_digest"),
+        )
+        .orderBy("diff_class")
+    )
