@@ -166,6 +166,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "jsonl_roundtrip_stats",
     "snapshot_diff_orders",
+    "format_matrix_roundtrip",
 ]
 
 

@@ -886,6 +886,7 @@ CORE_PREFIX = [
     "k_anonymity_audit",                # privacy tier: QI group-size risk
     "jsonl_roundtrip_stats",            # §2.1 JSON sink/source lossless round-trip
     "snapshot_diff_orders",             # CDC snapshot reconciliation (full-outer + digest)
+    "format_matrix_roundtrip",          # §2.1 ORC + CSV source/sink lossless round-trip
 ]
 
 

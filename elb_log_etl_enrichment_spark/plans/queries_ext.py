@@ -1994,3 +1994,86 @@ def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Format-matrix round-trip (completes the §2.1 interchange grid:
+# parquet is the native store, JSONL has its own round-trip query,
+# this one covers ORC and CSV as SOURCES, not just sinks). Each format
+# writes the same typed projection of events, reads it back with an
+# EXPLICIT schema, and aggregates the copy; the oracle aggregates the
+# original once per format label — identical rows per format prove
+# both round trips lossless, including microsecond timestamps (ORC
+# stores them natively; CSV carries them as formatted text with the
+# same micros pattern the JSONL query uses).
+# --------------------------------------------------------------------------
+_FMT_DIRS: dict[str, str] = {}
+
+
+@register(
+    "format_matrix_roundtrip",
+    sql="""
+    SELECT fmt,
+           CAST(COUNT(*) AS BIGINT)                       AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+                                                          AS sum_value,
+           CAST(MIN(epoch_us(ts)) AS BIGINT)              AS min_ts_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT)              AS max_ts_us
+    FROM events CROSS JOIN (SELECT unnest(['csv', 'orc']) AS fmt)
+    GROUP BY fmt
+    ORDER BY fmt
+    """,
+    tags=("sink", "source", "orc", "csv", "roundtrip"),
+)
+def format_matrix_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC and CSV write→read→aggregate, one result row per format,
+    hash-compared against the original events table. Explicit schema
+    on both read-backs (no inference pass); CSV gets the micros
+    timestampFormat because its default parser stops at the pattern's
+    precision. The aggregate is per-format global, so the verification
+    moves 2 rows no matter the corpus size."""
+    import os
+    import shutil
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    parts = []
+    for fmt in ("csv", "orc"):
+        key = f"{sf_dir}|{fmt}"
+        old = _FMT_DIRS.get(key)
+        if old and os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+        path = tempfile.mkdtemp(prefix=f"fmt_rt_{fmt}_")
+        _FMT_DIRS[key] = path
+        w = ev.write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", True).option("timestampFormat", ts_fmt).csv(path)
+            back = (
+                spark.read.schema(schema)
+                .option("header", True)
+                .option("timestampFormat", ts_fmt)
+                .csv(path)
+            )
+        else:
+            w.orc(path)
+            back = spark.read.schema(schema).orc(path)
+        parts.append(
+            back.groupBy(F.lit(fmt).alias("fmt")).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+                .cast("double")
+                .alias("sum_value"),
+                F.min(F.unix_micros("ts")).alias("min_ts_us"),
+                F.max(F.unix_micros("ts")).alias("max_ts_us"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fmt")

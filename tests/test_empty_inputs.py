@@ -195,6 +195,7 @@ def test_sampling_privacy_jsonl_on_empty_inputs(spark, tmp_path):
         ("k_anonymity_audit", 1),  # one summary row, n_groups=0
         ("jsonl_roundtrip_stats", 0),
         ("snapshot_diff_orders", 0),
+        ("format_matrix_roundtrip", 0),
     ):
         out = REGISTRY[name].fn(spark, str(tmp_path)).collect()
         assert len(out) == expect, (name, len(out))
