@@ -391,3 +391,50 @@ def test_haversine_known_distances(spark):
     assert abs(df["one_deg"] - 111.19) < 0.1
     assert abs(df["anti"] - 20015.1) < 1.0
     assert df["zero"] == 0.0
+
+
+def test_no_python_stages_outside_documented_extension_points(spark):
+    """Global guard (SURVEY §2.9 / "UDFs are the slow path"): no
+    oracle-facing batch query may plan a Python evaluation stage
+    unless it IS one of the documented Python surfaces — the
+    applyInPandas/cogroup extension-point demos, the Arrow/BLAS and
+    PQ ANN scorers (vectorized mapInPandas by design), the UDTF demo,
+    winnowing's stride-tricks fingerprinter, and the multimodal
+    decode plumbing. Anything new that drops into row-at-a-time or
+    pandas execution must either justify itself here or be rewritten
+    with built-ins."""
+    from elb_log_etl_enrichment_spark.plans.queries import (
+        REGISTRY,
+        _load_extensions,
+    )
+
+    _load_extensions()
+    markers = (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "FlatMapGroupsInPandas",
+        "FlatMapCoGroupsInPandas",
+        "MapInPandas",
+        "PythonMapInArrow",
+    )
+    documented = {
+        "cogroup_user_activity",        # §2.9 cogrouped-map demo
+        "cosine_topk_arrow",            # Arrow/BLAS batch scorer
+        "cosine_topk_pq",               # PQ-ADC batch scorer
+        "cosine_topk_ivfpq",            # IVF-PQ batch scorer
+        "multimodal_decode_stats",      # binary-column decode plumbing
+        "multimodal_pipeline_stats",
+        "multimodal_sniff_stats",
+        "udtf_token_spans",             # Python UDTF demo (slow path, stated)
+        "winnowing_fingerprints",       # numpy stride-tricks fingerprints
+        "zscore_outlier_events",        # §2.9 applyInPandas demo
+    }
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if "streaming" in spec.tags or name in documented:
+            continue
+        plan = plan_text(spec.fn(spark, SF))
+        found = [m for m in markers if m in plan]
+        if found:
+            offenders[name] = found
+    assert not offenders, offenders
