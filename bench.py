@@ -167,6 +167,7 @@ HEADLINE = [
     "jsonl_roundtrip_stats",
     "snapshot_diff_orders",
     "format_matrix_roundtrip",
+    "incremental_hourly_rollup",
 ]
 
 

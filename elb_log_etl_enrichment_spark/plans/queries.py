@@ -887,6 +887,7 @@ CORE_PREFIX = [
     "jsonl_roundtrip_stats",            # §2.1 JSON sink/source lossless round-trip
     "snapshot_diff_orders",             # CDC snapshot reconciliation (full-outer + digest)
     "format_matrix_roundtrip",          # §2.1 ORC + CSV source/sink lossless round-trip
+    "incremental_hourly_rollup",        # cron pattern done right: mergeable-state upserts
 ]
 
 

@@ -623,3 +623,94 @@ def batch_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental hourly-rollup maintenance: the reference's cron pattern
+# (recompute the WHOLE hourly aggregate from the full prefix every 2
+# minutes, elb_logs.py:351-368 + cron_test.txt) done the way a 100 TB
+# system must — each run aggregates ONLY its new slice into mergeable
+# partials (count + decimal sum) and merges them into a persisted
+# state table. Means are derived at read time from the merged sums:
+# the classic incremental-rollup rule that averages don't merge but
+# (sum, count) pairs do. Batches are split by event_id, NOT by time,
+# so the state merge is exercised out of time order — correctness
+# comes from commutative merge, not arrival order. State writes
+# alternate between two directories because overwriting the directory
+# a frame is being read from is undefined; the final state is
+# hash-checked against the oracle's one-shot recompute over all
+# events, proving 3 incremental runs ≡ 1 full batch.
+# --------------------------------------------------------------------------
+_ROLLUP_DIRS: dict[str, str] = {}
+
+
+@register(
+    "incremental_hourly_rollup",
+    sql="""
+    SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_value,
+           ROUND(SUM(CAST(value AS DECIMAL(18,6)))::DOUBLE / COUNT(*), 6)
+               AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("timeseries", "incremental", "rollup", "state", "agg"),
+)
+def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three incremental runs over disjoint event slices maintain one
+    persisted (hour, event_type) → (n, decimal sum) state table; the
+    query returns the final state with read-time derived averages and
+    must hash-match a single full recompute."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    base = _ROLLUP_DIRS.get(sf_dir)
+    if base and os.path.isdir(base):
+        shutil.rmtree(base, ignore_errors=True)
+    base = tempfile.mkdtemp(prefix="rollup_state_")
+    _ROLLUP_DIRS[sf_dir] = base
+
+    keys = [
+        F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("hour_start_ms"),
+        F.col("event_type"),
+    ]
+    state_path = None
+    for i in range(3):
+        batch = ev.filter(F.col("event_id") % 3 == i)
+        partial = batch.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_val"),
+        )
+        if state_path is not None:
+            state = spark.read.parquet(state_path)
+            merged = (
+                state.unionByName(partial)
+                .groupBy("hour_start_ms", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_val")
+                    .cast("decimal(18,6)")
+                    .alias("sum_val"),
+                )
+            )
+        else:
+            merged = partial
+        new_path = os.path.join(base, f"state_{i}")
+        merged.write.mode("overwrite").parquet(new_path)
+        state_path = new_path
+
+    final = spark.read.parquet(state_path)
+    return final.select(
+        "hour_start_ms",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("sum_val"), 2).cast("double").alias("sum_value"),
+        F.round(F.col("sum_val").cast("double") / F.col("n_events"), 6).alias(
+            "avg_value"
+        ),
+    ).orderBy("hour_start_ms", "event_type")

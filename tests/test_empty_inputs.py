@@ -196,6 +196,7 @@ def test_sampling_privacy_jsonl_on_empty_inputs(spark, tmp_path):
         ("jsonl_roundtrip_stats", 0),
         ("snapshot_diff_orders", 0),
         ("format_matrix_roundtrip", 0),
+        ("incremental_hourly_rollup", 0),
     ):
         out = REGISTRY[name].fn(spark, str(tmp_path)).collect()
         assert len(out) == expect, (name, len(out))
