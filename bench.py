@@ -168,6 +168,7 @@ HEADLINE = [
     "snapshot_diff_orders",
     "format_matrix_roundtrip",
     "incremental_hourly_rollup",
+    "partition_backfill_stats",
 ]
 
 

@@ -888,6 +888,7 @@ CORE_PREFIX = [
     "snapshot_diff_orders",             # CDC snapshot reconciliation (full-outer + digest)
     "format_matrix_roundtrip",          # §2.1 ORC + CSV source/sink lossless round-trip
     "incremental_hourly_rollup",        # cron pattern done right: mergeable-state upserts
+    "partition_backfill_stats",         # idempotent dynamic partition overwrite
 ]
 
 

@@ -2077,3 +2077,95 @@ def format_matrix_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("fmt")
+
+
+# --------------------------------------------------------------------------
+# Idempotent partition backfill (dynamic partition overwrite): the
+# production pattern for reprocessing ONE day of a partitioned sink
+# without touching its neighbors. Static overwrite mode would TRUNCATE
+# the whole table before writing the one corrected day — the classic
+# data-loss footgun `partitionOverwriteMode=dynamic` exists to fix;
+# the oracle aggregate over the post-backfill table (every partition
+# intact, the earliest day's values doubled) hash-proves both that the
+# backfill landed and that no other partition was dropped.
+# --------------------------------------------------------------------------
+_BACKFILL_DIRS: dict[str, str] = {}
+
+
+@register(
+    "partition_backfill_stats",
+    sql="""
+    WITH d0 AS (SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS d FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+               AS n_days,
+           -- double the DOUBLE first, THEN cast: the same operation
+           -- order as the engine (which writes value*2 into the
+           -- backfilled partition and casts on read), so the two
+           -- sides quantize identical IEEE values even on corpora
+           -- with more than 6 decimal places.
+           CAST(ROUND(SUM(CAST(value * CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                                             = (SELECT d FROM d0)
+                                            THEN 2 ELSE 1 END
+                               AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("sink", "partition", "backfill", "dynamic_overwrite"),
+)
+def partition_backfill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events hive-partitioned by day, then reprocess ONLY the
+    earliest day (values doubled — a stand-in for a corrected parse)
+    with ``partitionOverwriteMode=dynamic``, and aggregate the whole
+    table afterwards. The oracle computes the expected post-backfill
+    state from the original events; a match proves the corrected
+    partition replaced exactly itself (`n_days` pins that the other
+    partitions survived — static overwrite would have truncated
+    them)."""
+    import os
+    import shutil
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("dt"),
+    )
+    old = _BACKFILL_DIRS.get(sf_dir)
+    if old and os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)
+    path = tempfile.mkdtemp(prefix="backfill_")
+    _BACKFILL_DIRS[sf_dir] = path
+    ev.write.partitionBy("dt").mode("overwrite").parquet(path)
+
+    d0 = ev.agg(F.min("dt")).collect()[0][0]
+    if d0 is not None:
+        corrected = ev.filter(F.col("dt") == F.lit(d0)).withColumn(
+            "value", F.col("value") * 2
+        )
+        (
+            corrected.write.partitionBy("dt")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+    # Explicit schema (partition column included): schema inference
+    # over a just-written empty partitioned dir has no footers to read
+    # — and at scale an explicit schema skips footer sampling anyway.
+    back = spark.read.schema(
+        "event_id long, event_type string, value double, dt date"
+    ).parquet(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("dt").alias("n_days"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -197,6 +197,7 @@ def test_sampling_privacy_jsonl_on_empty_inputs(spark, tmp_path):
         ("snapshot_diff_orders", 0),
         ("format_matrix_roundtrip", 0),
         ("incremental_hourly_rollup", 0),
+        ("partition_backfill_stats", 0),
     ):
         out = REGISTRY[name].fn(spark, str(tmp_path)).collect()
         assert len(out) == expect, (name, len(out))
