@@ -169,6 +169,12 @@ HEADLINE = [
     "format_matrix_roundtrip",
     "incremental_hourly_rollup",
     "partition_backfill_stats",
+    "ab_welch_ttest",
+    "cuped_adjusted_lift",
+    "ewma_control_chart",
+    "cusum_changepoint",
+    "seasonal_naive_backtest",
+    "pareto_concentration",
 ]
 
 

@@ -889,6 +889,16 @@ CORE_PREFIX = [
     "format_matrix_roundtrip",          # §2.1 ORC + CSV source/sink lossless round-trip
     "incremental_hourly_rollup",        # cron pattern done right: mergeable-state upserts
     "partition_backfill_stats",         # idempotent dynamic partition overwrite
+    # statistical monitoring / experimentation tier (plans/queries_stats.py)
+    "ab_welch_ttest",                   # Welch two-sample t per event_type
+    "cuped_adjusted_lift",              # CUPED variance-reduced experiment readout
+    "ewma_control_chart",               # exact bit-shift EWMA + deviation alerts
+    "cusum_changepoint",                # closed-form CUSUM via running min
+    "seasonal_naive_backtest",          # dense-spine 24h forecast backtest
+    "benford_first_digit_audit",        # first-digit chi-square audit
+    "pareto_concentration",             # n-for-80% + top-decile share (integer bp)
+    "user_survival_curve",              # empirical survival in basis points
+    "gini_concentration",               # per-nation Gini over exact cents
 ]
 
 
@@ -930,6 +940,7 @@ def _load_extensions() -> None:
         queries_quality,
         queries_sampling,
         queries_sql4,
+        queries_stats,
         queries_text,
         queries_timeseries,
         queries_training,

@@ -1,0 +1,926 @@
+"""Statistical monitoring / experimentation tier: A/B testing
+(Welch t + CUPED), control charts (EWMA), changepoint detection
+(CUSUM), forecast backtesting (seasonal naive), distributional
+audits (Benford), concentration metrics (Pareto / Gini), and an
+empirical survival curve.
+
+Reference grounding: the reference pipeline ends at descriptive
+aggregates (hourly counts, error summaries — elb_logs.py:351-396);
+it has no inferential or monitoring layer. Production telemetry at
+100 TB needs the next step: is this hour's traffic ANOMALOUS
+(EWMA/CUSUM), did the experiment MOVE the metric (Welch/CUPED), is
+the data DISTRIBUTED as expected (Benford), how CONCENTRATED is the
+workload (Pareto/Gini)? Every query here is a pure DataFrame program
+with a DuckDB oracle mirror.
+
+Cross-engine hardening (the house rules from PERF.md, applied
+throughout):
+
+* All decision-making arithmetic is EXACT: integer counts, integer
+  cents (``CAST(ROUND(x*100) AS BIGINT)``), basis points, and
+  power-of-two EWMA weights (bit shifts, never ``POWER``).
+* Doubles appear only as (a) quantized-decimal sums — order
+  independent in both engines — or (b) derived expressions whose
+  operands are bit-identical in both engines and whose operator
+  tree is written identically on both sides, so IEEE determinism
+  guarantees bit-equal results before any final ``ROUND``.
+* Transcendental constants (Benford's log10 probabilities) are
+  embedded as shared ``repr`` literals in BOTH the Spark plan and
+  the SQL text — each engine parses the same decimal literal to the
+  same double; neither engine's ``log10`` is ever called.
+
+Scale notes (100 TB):
+
+* Every query aggregates to group-size output (per event_type, per
+  nation, per digit, per day); no all-pairs joins anywhere.
+* The time-series queries (EWMA/CUSUM/backtest) window over HOURLY
+  aggregates — the window input is |types| x |hours| rows no matter
+  how many raw events feed it, so the sort behind each window is
+  bounded by calendar size, not data size.
+* The hour spine for the backtest is |types| x |hours| rows
+  (`sequence` + `explode`); years of hourly history stay < 10^5
+  rows per type.
+* A/B and CUPED shuffle once on user_id (the per-user reduction);
+  everything after is dimension-sized. Variant assignment is the
+  same portable md5 bucket as the sampling tier — codegen'd per
+  row, no exchange, reproducible across engines and runs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import _t, register
+from .queries_sampling import hash_bucket, _sql_bucket
+
+# --------------------------------------------------------------------------
+# Shared helpers
+# --------------------------------------------------------------------------
+
+#: Spark column + DuckDB expr for the deterministic 50/50 variant
+#: assignment (portable md5 bucket mod 2 — same family as the
+#: sampling tier's hash_bucket, different salt so assignments are
+#: independent of sampling decisions).
+_AB_SALT = "ab|"
+
+
+def _variant(col) -> F.Column:
+    return (hash_bucket(col, _AB_SALT) % 2).cast("long")
+
+
+_VARIANT_SQL = f"({_sql_bucket('CAST(user_id AS VARCHAR)', _AB_SALT)} % 2)::BIGINT"
+
+#: tz-free hour index: epoch milliseconds floor-divided by 3600000.
+#: Both engines see the same parquet instants (Spark reads them as
+#: LTZ, DuckDB as naive-UTC), so the integer index is identical.
+_HOUR_IDX_SQL = "epoch_ms(ts) // 3600000"
+
+
+def _hour_idx(ts="ts") -> F.Column:
+    return F.expr(f"unix_millis({ts}) div 3600000")
+
+
+# --------------------------------------------------------------------------
+# A/B test: Welch's t statistic per event_type
+# --------------------------------------------------------------------------
+@register(
+    "ab_welch_ttest",
+    sql=f"""
+    WITH v AS (
+        SELECT event_type, value, {_VARIANT_SQL} AS variant
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+            COUNT(CASE WHEN variant = 0 THEN value END) AS n_a,
+            COUNT(CASE WHEN variant = 1 THEN value END) AS n_b,
+            CAST(SUM(CASE WHEN variant = 0
+                          THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS s1a,
+            CAST(SUM(CASE WHEN variant = 1
+                          THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS s1b,
+            CAST(SUM(CASE WHEN variant = 0
+                          THEN CAST(value * value AS DECIMAL(38,12)) END)
+                 AS DOUBLE) AS s2a,
+            CAST(SUM(CASE WHEN variant = 1
+                          THEN CAST(value * value AS DECIMAL(38,12)) END)
+                 AS DOUBLE) AS s2b
+        FROM v GROUP BY event_type
+    ),
+    m AS (
+        SELECT *,
+            s1a / n_a AS mean_a,
+            s1b / n_b AS mean_b,
+            (s2a - s1a * s1a / n_a) / (n_a - 1) AS var_a,
+            (s2b - s1b * s1b / n_b) / (n_b - 1) AS var_b
+        FROM s WHERE n_a > 1 AND n_b > 1
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           ROUND(mean_a, 6) AS mean_a,
+           ROUND(mean_b, 6) AS mean_b,
+           CASE WHEN sqrt(var_a / n_a + var_b / n_b) > 0
+                THEN ROUND((mean_a - mean_b)
+                           / sqrt(var_a / n_a + var_b / n_b), 6)
+           END AS t_stat
+    FROM m
+    ORDER BY event_type
+    """,
+    tags=("stats", "experiment", "ab_test", "agg"),
+)
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type Welch two-sample t statistic between the two
+    hash-assigned variants. Moments come from exact decimal sums
+    (order-independent); every double op after that is the same IEEE
+    expression tree as the oracle, so the final ROUND sees
+    bit-identical inputs in both engines (sqrt is correctly rounded
+    by IEEE 754, so it preserves the invariant)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    v = e.withColumn("variant", _variant(F.col("user_id")))
+
+    def arm(tag: str, variant: int):
+        cond = F.col("variant") == variant
+        val = F.when(cond, F.col("value"))
+        return [
+            F.count(val).alias(f"n_{tag}"),
+            F.sum(F.when(cond, F.col("value").cast("decimal(18,6)")))
+            .cast("double")
+            .alias(f"s1{tag}"),
+            F.sum(
+                F.when(cond, (F.col("value") * F.col("value")).cast("decimal(38,12)"))
+            )
+            .cast("double")
+            .alias(f"s2{tag}"),
+        ]
+
+    s = v.groupBy("event_type").agg(*arm("a", 0), *arm("b", 1))
+    m = (
+        s.filter((F.col("n_a") > 1) & (F.col("n_b") > 1))
+        .withColumn("mean_a", F.col("s1a") / F.col("n_a"))
+        .withColumn("mean_b", F.col("s1b") / F.col("n_b"))
+        .withColumn(
+            "var_a",
+            (F.col("s2a") - F.col("s1a") * F.col("s1a") / F.col("n_a"))
+            / (F.col("n_a") - 1),
+        )
+        .withColumn(
+            "var_b",
+            (F.col("s2b") - F.col("s1b") * F.col("s1b") / F.col("n_b"))
+            / (F.col("n_b") - 1),
+        )
+    )
+    se = F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b"))
+    return m.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.when(se > 0, F.round((F.col("mean_a") - F.col("mean_b")) / se, 6)).alias(
+            "t_stat"
+        ),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# CUPED variance reduction: adjust the experiment metric with the
+# pre-period covariate (theta = cov(x,y)/var(x) over included users)
+# --------------------------------------------------------------------------
+@register(
+    "cuped_adjusted_lift",
+    sql=f"""
+    WITH b AS (
+        SELECT (MIN(epoch_ms(ts)) + MAX(epoch_ms(ts))) // 2 AS mid
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+            COUNT(CASE WHEN epoch_ms(ts) <  (SELECT mid FROM b) THEN value END) AS np,
+            COUNT(CASE WHEN epoch_ms(ts) >= (SELECT mid FROM b) THEN value END) AS nq,
+            CAST(SUM(CASE WHEN epoch_ms(ts) < (SELECT mid FROM b)
+                          THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sp,
+            CAST(SUM(CASE WHEN epoch_ms(ts) >= (SELECT mid FROM b)
+                          THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sq
+        FROM events GROUP BY user_id
+    ),
+    xy AS (
+        SELECT user_id, sp / np AS x, sq / nq AS y,
+               {_VARIANT_SQL} AS variant
+        FROM per_user WHERE np > 0 AND nq > 0
+    ),
+    g AS (
+        SELECT COUNT(*) AS n,
+            CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+            CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        FROM xy
+    ),
+    t AS (
+        SELECT n,
+            CASE WHEN n * sxx - sx * sx > 0
+                 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 ELSE 0.0 END AS theta,
+            sx / n AS xbar
+        FROM g WHERE n > 0
+    ),
+    adj AS (
+        SELECT xy.variant, xy.y,
+               xy.y - t.theta * (xy.x - t.xbar) AS y_adj
+        FROM xy CROSS JOIN t
+    )
+    SELECT variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+               AS mean_metric,
+           ROUND(CAST(SUM(CAST(y_adj AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+               AS mean_metric_cuped
+    FROM adj
+    GROUP BY variant
+    ORDER BY variant
+    """,
+    tags=("stats", "experiment", "cuped", "agg"),
+)
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout: covariate x = user's mean
+    value in the first half of the time range, metric y = mean in the
+    second half; theta fit once globally, y_adj = y - theta*(x-xbar).
+    One shuffle on user_id; theta/xbar ride a broadcast of a 1-row
+    aggregate. Per-user doubles are derived from exact decimal sums
+    and combined with the oracle's exact expression tree, then
+    re-quantized to decimals before the final (order-independent)
+    variant averages."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    ems = F.expr("unix_millis(ts)")
+    b = e.agg(
+        F.expr("(min(unix_millis(ts)) + max(unix_millis(ts))) div 2").alias("mid")
+    )
+    ej = e.crossJoin(F.broadcast(b))
+    pre = F.when(ems < F.col("mid"), F.col("value"))
+    post = F.when(ems >= F.col("mid"), F.col("value"))
+    per_user = ej.groupBy("user_id").agg(
+        F.count(pre).alias("np"),
+        F.count(post).alias("nq"),
+        F.sum(pre.cast("decimal(18,6)")).cast("double").alias("sp"),
+        F.sum(post.cast("decimal(18,6)")).cast("double").alias("sq"),
+    )
+    xy = (
+        per_user.filter((F.col("np") > 0) & (F.col("nq") > 0))
+        .withColumn("x", F.col("sp") / F.col("np"))
+        .withColumn("y", F.col("sq") / F.col("nq"))
+        .withColumn("variant", _variant(F.col("user_id")))
+        .select("user_id", "x", "y", "variant")
+    )
+    g = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(18,9)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,9)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    t = g.filter(F.col("n") > 0).select(
+        F.when(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0,
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("theta"),
+        (F.col("sx") / F.col("n")).alias("xbar"),
+    )
+    adj = xy.crossJoin(F.broadcast(t)).select(
+        "variant",
+        "y",
+        (F.col("y") - F.col("theta") * (F.col("x") - F.col("xbar"))).alias("y_adj"),
+    )
+    return (
+        adj.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.sum(F.col("y").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_metric"),
+            F.round(
+                F.sum(F.col("y_adj").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_metric_cuped"),
+        )
+        .orderBy("variant")
+    )
+
+
+# --------------------------------------------------------------------------
+# EWMA control chart (alpha = 1/2, exact power-of-two weights)
+# --------------------------------------------------------------------------
+@register(
+    "ewma_control_chart",
+    sql=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               ({_HOUR_IDX_SQL}) // 24 AS day,
+               ({_HOUR_IDX_SQL}) % 24 AS hr,
+               COUNT(*) AS x
+        FROM events GROUP BY 1, 2, 3
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                     ORDER BY hr) AS rn
+        FROM hourly
+    ),
+    n AS (
+        SELECT *,
+            SUM(x * (CASE WHEN rn = 1 THEN 2
+                          ELSE (1::BIGINT << (rn - 1)) END))
+                OVER (PARTITION BY event_type, day ORDER BY rn
+                      ROWS UNBOUNDED PRECEDING) AS acc
+        FROM r
+    ),
+    e AS (
+        SELECT *,
+               CAST(acc AS DOUBLE) / CAST(1::BIGINT << rn AS DOUBLE) AS ewma
+        FROM n
+    ),
+    l AS (
+        SELECT *, LAG(ewma) OVER (PARTITION BY event_type, day
+                                  ORDER BY rn) AS prev
+        FROM e
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(CASE WHEN rn > 1
+                            AND 2 * abs(CAST(x AS DOUBLE) - prev)
+                                > greatest(prev, 4.0)
+                           THEN 1 END) AS BIGINT) AS n_alerts,
+           ROUND(MAX(ewma), 6) AS max_ewma,
+           ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean_hourly
+    FROM l
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("stats", "monitoring", "ewma", "window", "timeseries"),
+)
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA(alpha=1/2) over hourly event counts, restarted per (type,
+    day); alert when this hour deviates from the running EWMA by more
+    than 50% (and by more than 2 absolute events — the greatest()
+    floor keeps tiny-count hours from alerting).
+
+    The recursion s_t = x_t/2 + s_(t-1)/2 is evaluated in CLOSED FORM
+    as an exact integer prefix sum: s_t = N_t / 2^t with
+    N_t = 2*x_1 + sum_(k>=2) x_k * 2^(k-1) — pure BIGINT bit-shift
+    math (exact while hourly counts stay < 2^29, i.e. half a billion
+    events per type-hour), so the EWMA doubles are bit-identical in
+    both engines with no POWER/EXP anywhere. Day restarts bound the
+    shift exponent at 24 and make every day independently
+    parallelizable — at 100 TB the window input is |types|x|hours|
+    rows, already reduced by the hourly aggregate."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            (_hour_idx() / 24).cast("long").alias("day"),
+            (_hour_idx() % 24).alias("hr"),
+        )
+        .groupBy("event_type", "day", "hr")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("hr")
+    r = hourly.withColumn("rn", F.row_number().over(w))
+    wcum = Window.partitionBy("event_type", "day").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    term = F.col("x") * F.when(F.col("rn") == 1, F.lit(2).cast("long")).otherwise(
+        F.expr("shiftleft(1L, rn - 1)")
+    )
+    n = r.withColumn("acc", F.sum(term).over(wcum))
+    ew = n.withColumn(
+        "ewma",
+        F.col("acc").cast("double") / F.expr("shiftleft(1L, rn)").cast("double"),
+    )
+    wl = Window.partitionBy("event_type", "day").orderBy("rn")
+    led = ew.withColumn("prev", F.lag("ewma").over(wl))
+    alert = (F.col("rn") > 1) & (
+        2 * F.abs(F.col("x").cast("double") - F.col("prev"))
+        > F.greatest(F.col("prev"), F.lit(4.0))
+    )
+    return (
+        led.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.count(F.when(alert, 1)).alias("n_alerts"),
+            F.round(F.max("ewma"), 6).alias("max_ewma"),
+            F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_hourly"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint detection (one-sided, closed form via running min)
+# --------------------------------------------------------------------------
+@register(
+    "cusum_changepoint",
+    sql=f"""
+    WITH hourly AS (
+        SELECT event_type, {_HOUR_IDX_SQL} AS h, COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    scaled AS (
+        SELECT *,
+            COUNT(*) OVER (PARTITION BY event_type) AS n,
+            SUM(x)   OVER (PARTITION BY event_type) AS total
+        FROM hourly
+    ),
+    pref AS (
+        SELECT *,
+            SUM(n * x - total) OVER (PARTITION BY event_type ORDER BY h
+                                     ROWS UNBOUNDED PRECEDING) AS p
+        FROM scaled
+    ),
+    cus AS (
+        SELECT *,
+            p - least(0, MIN(p) OVER (PARTITION BY event_type ORDER BY h
+                                      ROWS UNBOUNDED PRECEDING)) AS s
+        FROM pref
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_hours,
+           ROUND(CAST(MAX(s) AS DOUBLE) / MAX(n), 6) AS max_cusum,
+           CAST(COUNT(CASE WHEN s > 3 * total THEN 1 END) AS BIGINT)
+               AS n_alert_hours,
+           MIN(CASE WHEN s > 3 * total THEN h END) AS first_alert_hour
+    FROM cus
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("stats", "monitoring", "cusum", "window", "timeseries"),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM over hourly counts per event_type: the
+    recursion S_t = max(0, S_(t-1) + (x_t - mean)) has the closed
+    form S_t = P_t - min(0, min_(j<=t) P_j) with P the prefix sum of
+    deviations — a cumulative sum plus a RUNNING MIN, both plain
+    window aggregates. Deviations are scaled by n (y = n*x - total)
+    so everything stays exact BIGINT; an hour alerts when the
+    normalized CUSUM exceeds 3x the mean hourly rate (S > 3*total).
+    first_alert_hour is an exact integer MIN — no argmax tie issues."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.select("event_type", _hour_idx().alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wp = Window.partitionBy("event_type")
+    scaled = hourly.withColumn("n", F.count(F.lit(1)).over(wp)).withColumn(
+        "total", F.sum("x").over(wp)
+    )
+    wcum = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pref = scaled.withColumn(
+        "p", F.sum(F.col("n") * F.col("x") - F.col("total")).over(wcum)
+    )
+    cus = pref.withColumn(
+        "s", F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(wcum))
+    )
+    alert = F.col("s") > 3 * F.col("total")
+    return (
+        cus.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_hours"),
+            F.round(F.max("s").cast("double") / F.max("n"), 6).alias("max_cusum"),
+            F.count(F.when(alert, 1)).alias("n_alert_hours"),
+            F.min(F.when(alert, F.col("h"))).alias("first_alert_hour"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (24-hour seasonality, dense spine)
+# --------------------------------------------------------------------------
+@register(
+    "seasonal_naive_backtest",
+    sql=f"""
+    WITH b AS (
+        SELECT MIN({_HOUR_IDX_SQL}) AS h0, MAX({_HOUR_IDX_SQL}) AS h1
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, s.h
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(range(h0, h1 + 1)) AS h
+                    FROM b WHERE h0 IS NOT NULL) s
+    ),
+    cnt AS (
+        SELECT event_type, {_HOUR_IDX_SQL} AS h, COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT spine.event_type, spine.h, COALESCE(cnt.x, 0) AS x
+        FROM spine LEFT JOIN cnt
+          ON spine.event_type = cnt.event_type AND spine.h = cnt.h
+    ),
+    fc AS (
+        SELECT *, LAG(x, 24) OVER (PARTITION BY event_type ORDER BY h) AS f
+        FROM dense
+    ),
+    ev AS (
+        SELECT event_type, x, f, x - f AS err, abs(x - f) AS ae,
+            CASE WHEN x + f = 0 THEN CAST(0.0 AS DECIMAL(18,12))
+                 ELSE CAST(2.0 * abs(x - f) / (x + f) AS DECIMAL(18,12))
+            END AS smape_term
+        FROM fc WHERE f IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           ROUND(CAST(SUM(ae) AS DOUBLE) / COUNT(*), 6) AS mae,
+           ROUND(CAST(SUM(err) AS DOUBLE) / COUNT(*), 6) AS bias,
+           ROUND(CAST(SUM(smape_term) AS DOUBLE) / COUNT(*), 6) AS smape
+    FROM ev
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("stats", "forecast", "backtest", "timeseries", "gapfill"),
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecast x_hat(t) = x(t-24h)
+    over a DENSE hour spine (missing hours count 0 — lag over sparse
+    rows would silently compare non-adjacent days). MAE/bias are
+    exact-integer sums; sMAPE terms are identical IEEE doubles
+    quantized to DECIMAL(18,12) before the order-independent sum."""
+    e = _t(spark, sf_dir, "events")
+    b = e.agg(
+        F.min(_hour_idx()).alias("h0"),
+        F.max(_hour_idx()).alias("h1"),
+    )
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(
+        F.broadcast(b.filter(F.col("h0").isNotNull()))
+    ).select(
+        "event_type", F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    cnt = (
+        e.select("event_type", _hour_idx().alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    dense = spine.join(cnt, ["event_type", "h"], "left").withColumn(
+        "x", F.coalesce(F.col("x"), F.lit(0).cast("long"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    fc = dense.withColumn("f", F.lag("x", 24).over(w)).filter(
+        F.col("f").isNotNull()
+    )
+    ae = F.abs(F.col("x") - F.col("f"))
+    smape_term = (
+        F.when((F.col("x") + F.col("f")) == 0, F.lit(0.0))
+        .otherwise(2.0 * ae / (F.col("x") + F.col("f")))
+        .cast("decimal(18,12)")
+    )
+    return (
+        fc.select(
+            "event_type",
+            (F.col("x") - F.col("f")).alias("err"),
+            ae.alias("ae"),
+            smape_term.alias("smape_term"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.round(F.sum("ae").cast("double") / F.count(F.lit(1)), 6).alias("mae"),
+            F.round(F.sum("err").cast("double") / F.count(F.lit(1)), 6).alias("bias"),
+            F.round(F.sum("smape_term").cast("double") / F.count(F.lit(1)), 6).alias(
+                "smape"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit
+# --------------------------------------------------------------------------
+
+#: log10(1 + 1/d) as shared repr literals: both engines parse the
+#: same decimal literal to the same nearest double — neither engine's
+#: log10 is invoked, so libm differences can't leak in.
+_BENFORD_P = {d: repr(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+
+#: the CAST keeps DuckDB from typing the literal as DECIMAL (whose
+#: arithmetic would overflow in the chi-square product); casting the
+#: exactly-held decimal literal to DOUBLE yields the same nearest
+#: double as parsing it directly.
+_BENFORD_VALUES_SQL = ", ".join(
+    f"({d}, CAST({p} AS DOUBLE))" for d, p in _BENFORD_P.items()
+)
+
+
+@register(
+    "benford_first_digit_audit",
+    sql=f"""
+    WITH cents AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+        WHERE o_totalprice > 0
+    ),
+    d AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               COUNT(*) AS n_obs
+        FROM cents GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_obs) AS n FROM d)
+    SELECT p.digit,
+           COALESCE(d.n_obs, 0) AS n_obs,
+           ROUND(t.n * p.p, 3) AS expected_n,
+           ROUND((COALESCE(d.n_obs, 0) - t.n * p.p)
+                 * (COALESCE(d.n_obs, 0) - t.n * p.p) / (t.n * p.p), 6)
+               AS chi2_part
+    FROM (VALUES {_BENFORD_VALUES_SQL}) p(digit, p)
+    LEFT JOIN d ON d.digit = p.digit
+    CROSS JOIN t
+    WHERE t.n > 0
+    ORDER BY p.digit
+    """,
+    tags=("stats", "quality", "benford", "audit"),
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs
+    Benford's law, with per-digit chi-square contributions. The digit
+    comes from the INTEGER-cents string (integer-to-string is exact
+    and identical in both engines; scaling by 100 preserves the first
+    significant digit), and the Benford probabilities are shared
+    literals — see _BENFORD_P."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    d = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    t = d.agg(F.sum("n_obs").alias("n")).filter(F.col("n") > 0)
+    spark_p = spark.createDataFrame(
+        [(dd, float(p)) for dd, p in _BENFORD_P.items()], "digit long, p double"
+    )
+    joined = (
+        spark_p.join(d, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0).cast("long")))
+    )
+    dev = F.col("n_obs") - F.col("n") * F.col("p")
+    return joined.select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n") * F.col("p"), 3).alias("expected_n"),
+        F.round(dev * dev / (F.col("n") * F.col("p")), 6).alias("chi2_part"),
+    ).orderBy("digit")
+
+
+# --------------------------------------------------------------------------
+# Pareto concentration (pure integer basis-point math)
+# --------------------------------------------------------------------------
+@register(
+    "pareto_concentration",
+    sql="""
+    WITH rev AS (
+        SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+        SELECT n.n_name AS nation_name, rev.o_custkey AS ck, rev.cents
+        FROM rev
+        JOIN customer c ON rev.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    ),
+    w AS (
+        SELECT *,
+            ROW_NUMBER() OVER (PARTITION BY nation_name
+                               ORDER BY cents DESC, ck) AS rn,
+            SUM(cents) OVER (PARTITION BY nation_name
+                             ORDER BY cents DESC, ck
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+            SUM(cents) OVER (PARTITION BY nation_name) AS total,
+            COUNT(*)   OVER (PARTITION BY nation_name) AS n
+        FROM j
+    )
+    SELECT nation_name,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(COUNT(CASE WHEN 5 * (cum - cents) < 4 * total THEN 1 END)
+                AS BIGINT) AS n_top80,
+           CAST(10000 * SUM(CASE WHEN rn <= (n + 9) // 10 THEN cents ELSE 0 END)
+                // MAX(total) AS BIGINT) AS top10pct_share_bp
+    FROM w
+    WHERE total > 0
+    GROUP BY nation_name
+    ORDER BY nation_name
+    """,
+    tags=("stats", "concentration", "pareto", "window"),
+)
+def pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per nation: how many customers cover 80%
+    of revenue (n_top80), and what share the top decile of customers
+    holds (integer basis points — `10000*topsum // total`, no doubles
+    anywhere). Ordering ties broken by custkey so ranks are identical
+    across engines."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation_name"),
+            F.col("o_custkey").alias("ck"),
+            "cents",
+        )
+    )
+    wo = Window.partitionBy("nation_name").orderBy(F.desc("cents"), F.asc("ck"))
+    wp = Window.partitionBy("nation_name")
+    w = (
+        j.withColumn("rn", F.row_number().over(wo))
+        .withColumn(
+            "cum",
+            F.sum("cents").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("total", F.sum("cents").over(wp))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+    )
+    top10 = F.when(
+        F.col("rn") <= F.expr("(n + 9) div 10"), F.col("cents")
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        w.filter(F.col("total") > 0)
+        .groupBy("nation_name")
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.count(
+                F.when(5 * (F.col("cum") - F.col("cents")) < 4 * F.col("total"), 1)
+            ).alias("n_top80"),
+            F.expr("CAST(10000 * sum(CASE WHEN rn <= (n + 9) div 10 THEN cents ELSE 0L END) div max(total) AS BIGINT)").alias(
+                "top10pct_share_bp"
+            ),
+        )
+        .orderBy("nation_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Empirical survival curve (user lifetime in days, integer bp)
+# --------------------------------------------------------------------------
+@register(
+    "user_survival_curve",
+    sql="""
+    WITH lt AS (
+        SELECT user_id,
+               (MAX(epoch_ms(ts)) - MIN(epoch_ms(ts))) // 86400000 AS days
+        FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM lt),
+    hist AS (
+        SELECT least(days, 14) AS db, COUNT(*) AS cnt FROM lt GROUP BY 1
+    ),
+    spine AS (
+        SELECT unnest(range(0, 15)) AS day, n
+        FROM tot WHERE n > 0
+    )
+    SELECT s.day,
+           CAST(COALESCE(SUM(h.cnt), 0) AS BIGINT) AS n_surviving,
+           CAST(10000 * COALESCE(SUM(h.cnt), 0) // MAX(s.n) AS BIGINT)
+               AS survival_bp
+    FROM spine s
+    LEFT JOIN hist h ON h.db >= s.day
+    GROUP BY s.day
+    ORDER BY s.day
+    """,
+    tags=("stats", "survival", "retention"),
+)
+def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical survival: fraction of users (basis points, exact
+    integer math) whose observed activity span reaches day d, for
+    d = 0..14 (capped histogram + 15x15 spine join — the heavy
+    per-user reduction happens once; the curve itself is
+    calendar-sized)."""
+    e = _t(spark, sf_dir, "events")
+    lt = e.groupBy("user_id").agg(
+        F.expr("(max(unix_millis(ts)) - min(unix_millis(ts))) div 86400000").alias(
+            "days"
+        )
+    )
+    tot = lt.agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 0)
+    hist = lt.groupBy(F.least(F.col("days"), F.lit(14)).alias("db")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    spine = tot.select(
+        F.explode(F.sequence(F.lit(0), F.lit(14))).alias("day"), "n"
+    )
+    return (
+        spine.join(F.broadcast(hist), hist.db >= spine.day, "left")
+        .groupBy("day")
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0).cast("long")).alias("n_surviving"),
+            F.expr(
+                "CAST(10000 * coalesce(sum(cnt), 0L) div max(n) AS BIGINT)"
+            ).alias("survival_bp"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of customer revenue per nation
+# --------------------------------------------------------------------------
+@register(
+    "gini_concentration",
+    sql="""
+    WITH rev AS (
+        SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+        SELECT n.n_name AS nation_name, rev.o_custkey AS ck, rev.cents
+        FROM rev
+        JOIN customer c ON rev.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY nation_name
+                                     ORDER BY cents, ck) AS i
+        FROM j
+    )
+    SELECT nation_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents) AS DOUBLE)
+                 / CAST(COUNT(*) * SUM(cents) AS DOUBLE), 6) AS gini
+    FROM r
+    GROUP BY nation_name
+    HAVING SUM(cents) > 0
+    ORDER BY nation_name
+    """,
+    tags=("stats", "concentration", "gini", "window"),
+)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue within each nation:
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with x sorted
+    ascending and deterministic custkey tie-break. All sums are exact
+    BIGINT (rank * cents stays far under 2^63 at any per-nation
+    cardinality the cents fit; at extreme scale the same formula runs
+    in DECIMAL(38,0)); the single double division is identical IEEE
+    in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation_name"),
+            F.col("o_custkey").alias("ck"),
+            "cents",
+        )
+    )
+    r = j.withColumn(
+        "i",
+        F.row_number().over(
+            Window.partitionBy("nation_name").orderBy("cents", "ck")
+        ),
+    )
+    g = (
+        r.groupBy("nation_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("i") * F.col("cents")).alias("sic"),
+            F.sum("cents").alias("sx"),
+        )
+        .filter(F.col("sx") > 0)
+    )
+    return g.select(
+        "nation_name",
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.round(
+            (2 * F.col("sic") - (F.col("n_customers") + 1) * F.col("sx")).cast(
+                "double"
+            )
+            / (F.col("n_customers") * F.col("sx")).cast("double"),
+            6,
+        ).alias("gini"),
+    ).orderBy("nation_name")

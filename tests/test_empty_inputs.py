@@ -198,6 +198,16 @@ def test_sampling_privacy_jsonl_on_empty_inputs(spark, tmp_path):
         ("format_matrix_roundtrip", 0),
         ("incremental_hourly_rollup", 0),
         ("partition_backfill_stats", 0),
+        # statistical monitoring / experimentation tier
+        ("ab_welch_ttest", 0),
+        ("cuped_adjusted_lift", 0),
+        ("ewma_control_chart", 0),
+        ("cusum_changepoint", 0),
+        ("seasonal_naive_backtest", 0),
+        ("benford_first_digit_audit", 0),
+        ("pareto_concentration", 0),
+        ("user_survival_curve", 0),
+        ("gini_concentration", 0),
     ):
         out = REGISTRY[name].fn(spark, str(tmp_path)).collect()
         assert len(out) == expect, (name, len(out))
