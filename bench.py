@@ -169,6 +169,7 @@ HEADLINE = [
     "format_matrix_roundtrip",
     "incremental_hourly_rollup",
     "partition_backfill_stats",
+    "bucketed_join_agg",
     "ab_welch_ttest",
     "cuped_adjusted_lift",
     "ewma_control_chart",

@@ -889,6 +889,7 @@ CORE_PREFIX = [
     "format_matrix_roundtrip",          # §2.1 ORC + CSV source/sink lossless round-trip
     "incremental_hourly_rollup",        # cron pattern done right: mergeable-state upserts
     "partition_backfill_stats",         # idempotent dynamic partition overwrite
+    "bucketed_join_agg",                # co-bucketed fact-fact join, no Exchange
     # statistical monitoring / experimentation tier (plans/queries_stats.py)
     "ab_welch_ttest",                   # Welch two-sample t per event_type
     "cuped_adjusted_lift",              # CUPED variance-reduced experiment readout

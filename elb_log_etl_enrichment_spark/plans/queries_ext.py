@@ -2169,3 +2169,106 @@ def partition_backfill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed-table co-located join: the storage-layout answer to the
+# biggest shuffle in the schema (orders JOIN lineitem on orderkey).
+# Both sides are written `bucketBy(orderkey)` with the SAME bucket
+# count, so the join reads co-bucketed files and plans a SortMergeJoin
+# with NO Exchange on either side — at 100 TB this turns the nightly
+# fact-fact join from a full-network shuffle into a local merge.
+# tests/test_sinks.py pins the no-Exchange property on the physical
+# plan; the oracle hash-checks the aggregate against the plain
+# parquet join, proving bucketing changed the LAYOUT, not the answer.
+# --------------------------------------------------------------------------
+_BUCKET_DIRS: dict[str, str] = {}
+_BUCKETED_JOIN_N_BUCKETS = 8
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders + lineitem as co-bucketed external tables (once
+    per sf_dir per session) and return their catalog names."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders, t_lineitem = f"bj_orders_{sfx}", f"bj_lineitem_{sfx}"
+    if _BUCKET_DIRS.get(sf_dir) and spark.catalog.tableExists(t_orders):
+        return t_orders, t_lineitem
+    old = _BUCKET_DIRS.pop(sf_dir, None)
+    if old and os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    _BUCKET_DIRS[sf_dir] = base
+    for name, frame, key in (
+        (t_orders, _t(spark, sf_dir, "orders"), "o_orderkey"),
+        (t_lineitem, _t(spark, sf_dir, "lineitem"), "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            frame.write.bucketBy(_BUCKETED_JOIN_N_BUCKETS, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return t_orders, t_lineitem
+
+
+def bucketed_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw co-bucketed join (pre-aggregate) — exposed so the plan
+    test can assert the absence of Exchange nodes on it."""
+    t_orders, t_lineitem = _bucketed_tables(spark, sf_dir)
+    o = spark.table(t_orders).select("o_orderkey", "o_orderstatus")
+    li = spark.table(t_lineitem).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    # MERGE hint: at production scale neither fact side is
+    # broadcastable, so SortMergeJoin over the co-bucketed layout IS
+    # the real plan; without the hint, tiny test inputs would take a
+    # broadcast join and the planner would (correctly) disable the
+    # bucketed scan, hiding the property this query demonstrates.
+    return o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+
+
+@register(
+    "bucketed_join_agg",
+    sql="""
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+    tags=("join", "bucketing", "storage", "sink"),
+)
+def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order status THROUGH the co-bucketed tables: the
+    join itself plans without any Exchange (bucketed scan on both
+    sides); only the final status aggregate shuffles (a handful of
+    groups). Revenue is an exact decimal sum so the bucketed row
+    order can't perturb the hash."""
+    j = bucketed_join_frame(spark, sf_dir)
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

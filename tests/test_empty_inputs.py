@@ -184,7 +184,7 @@ def test_sampling_privacy_jsonl_on_empty_inputs(spark, tmp_path):
     from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
 
     all_queries()
-    for t in ("orders", "customer", "nation", "events"):
+    for t in ("orders", "customer", "nation", "events", "lineitem"):
         _empty_like(spark, SF, t).write.parquet(f"{tmp_path}/{t}.parquet")
     for name, expect in (
         ("deterministic_uniform_sample", 0),
@@ -198,6 +198,7 @@ def test_sampling_privacy_jsonl_on_empty_inputs(spark, tmp_path):
         ("format_matrix_roundtrip", 0),
         ("incremental_hourly_rollup", 0),
         ("partition_backfill_stats", 0),
+        ("bucketed_join_agg", 0),
         # statistical monitoring / experimentation tier
         ("ab_welch_ttest", 0),
         ("cuped_adjusted_lift", 0),

@@ -248,3 +248,27 @@ def test_ignore_corrupt_files_skips_bad_parquet(spark, tmp_path):
         assert spark.read.parquet(d).count() == 10
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+
+
+def test_bucketed_join_plans_without_exchange(spark):
+    """The co-bucketed orders x lineitem join must read both sides as
+    bucketed scans and plan a SortMergeJoin with NO Exchange — the
+    entire point of paying the bucketed write. Also pin that the
+    result matches the plain parquet join (layout, not answer)."""
+    from elb_log_etl_enrichment_spark.plans.queries_ext import (
+        bucketed_join_frame,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    j = bucketed_join_frame(spark, sf)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+
+    from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    expect = o.join(li, o.o_orderkey == li.l_orderkey).count()
+    assert j.count() == expect
