@@ -176,6 +176,8 @@ HEADLINE = [
     "cusum_changepoint",
     "seasonal_naive_backtest",
     "pareto_concentration",
+    "embedding_dim_profile",
+    "embedding_pca_variance",
 ]
 
 

@@ -900,6 +900,7 @@ CORE_PREFIX = [
     "pareto_concentration",             # n-for-80% + top-decile share (integer bp)
     "user_survival_curve",              # empirical survival in basis points
     "gini_concentration",               # per-nation Gini over exact cents
+    "embedding_dim_profile",            # per-dim moments via decimal explode-agg
 ]
 
 

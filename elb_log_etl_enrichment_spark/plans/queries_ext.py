@@ -2272,3 +2272,81 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding linear algebra: per-dimension moments (oracle-exact) and
+# the PCA spectrum from a map-side Gram matrix (operators/linalg.py).
+# --------------------------------------------------------------------------
+@register(
+    "embedding_dim_profile",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    idx AS (
+        SELECT unnest(range(0, (SELECT COALESCE(MAX(len(embedding)), 0)
+                                FROM e))) AS dim
+    ),
+    x AS (
+        SELECT idx.dim,
+               e.embedding[idx.dim + 1]::DOUBLE AS x,
+               CASE WHEN idx.dim + 2 <= len(e.embedding)
+                    THEN e.embedding[idx.dim + 2]::DOUBLE END AS x_next
+        FROM e CROSS JOIN idx
+        WHERE idx.dim < len(e.embedding)
+    ),
+    agg AS (
+        SELECT dim,
+            COUNT(x) AS n,
+            CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+            CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+            CAST(SUM(CASE WHEN x_next IS NOT NULL
+                          THEN CAST(x * x_next AS DECIMAL(28,12)) END)
+                 AS DOUBLE) AS s12,
+            COUNT(x_next) AS n12,
+            CAST(SUM(CASE WHEN x_next IS NOT NULL
+                          THEN CAST(x AS DECIMAL(28,12)) END) AS DOUBLE) AS s1p,
+            CAST(SUM(CASE WHEN x_next IS NOT NULL
+                          THEN CAST(x_next AS DECIMAL(28,12)) END) AS DOUBLE) AS s2p
+        FROM x GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(n AS BIGINT) AS n,
+           ROUND(s1 / n, 6) AS mean,
+           ROUND((s2 - s1 * s1 / n) / n, 6) AS var,
+           CASE WHEN n12 > 0
+                THEN ROUND((s12 - s1p * s2p / n12) / n12, 6) END AS cov_next
+    FROM agg
+    ORDER BY dim
+    """,
+    tags=("linalg", "embedding", "profiling", "agg"),
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance and adjacent-dimension covariance
+    of the embedding corpus — the pre-indexing profile that informs
+    whitening and truncation choices. posexplode + 64-group decimal
+    aggregate; the exchange carries d groups regardless of corpus
+    size (see operators/linalg.py scale notes)."""
+    from ..operators.linalg import dim_moments
+
+    return dim_moments(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_pca_variance",
+    sql=None,  # eigen-decomposition: not SQL-expressible; spectrum
+    # properties pinned by tests/test_linalg.py (trace == eigensum vs
+    # the oracle-checked dim profile, shares descending, sum to 1)
+    tags=("linalg", "embedding", "pca", "mapInPandas"),
+)
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-16 PCA eigen-spectrum of the embedding covariance: Gram
+    matrix via one BLAS product per Arrow batch (32 KiB crossing the
+    wire per batch, never row x d^2), eigh on the 64 x 64 driver-side
+    result."""
+    from ..operators.linalg import pca_spectrum
+
+    rows = pca_spectrum(_t(spark, sf_dir, "embeddings"))
+    return spark.createDataFrame(
+        [(c, round(ev, 9), round(sh, 9), round(cu, 9)) for c, ev, sh, cu in rows],
+        "component long, eigenvalue double, share double, cumulative_share double",
+    )

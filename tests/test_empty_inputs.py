@@ -184,7 +184,7 @@ def test_sampling_privacy_jsonl_on_empty_inputs(spark, tmp_path):
     from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
 
     all_queries()
-    for t in ("orders", "customer", "nation", "events", "lineitem"):
+    for t in ("orders", "customer", "nation", "events", "lineitem", "embeddings"):
         _empty_like(spark, SF, t).write.parquet(f"{tmp_path}/{t}.parquet")
     for name, expect in (
         ("deterministic_uniform_sample", 0),
@@ -209,6 +209,8 @@ def test_sampling_privacy_jsonl_on_empty_inputs(spark, tmp_path):
         ("pareto_concentration", 0),
         ("user_survival_curve", 0),
         ("gini_concentration", 0),
+        ("embedding_dim_profile", 0),
+        ("embedding_pca_variance", 0),
     ):
         out = REGISTRY[name].fn(spark, str(tmp_path)).collect()
         assert len(out) == expect, (name, len(out))

@@ -1,0 +1,57 @@
+"""Embedding linear-algebra tier (operators/linalg.py): the PCA
+spectrum must be consistent with the ORACLE-CHECKED per-dimension
+profile (trace == eigenvalue sum), mathematically well-formed, and
+total on empty input."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from elb_log_etl_enrichment_spark.operators.linalg import (
+    dim_moments,
+    gram_matrix,
+    pca_spectrum,
+)
+from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pca_spectrum_matches_dim_profile_trace(spark):
+    emb = load_table(spark, SF, "embeddings")
+    # trace of covariance = sum of per-dim variances (exact decimal path)
+    prof = dim_moments(emb).collect()
+    trace = sum(r.var for r in prof)
+    n, s, G = gram_matrix(emb)
+    cov = G / n - np.outer(s / n, s / n)
+    evals = np.linalg.eigh(cov)[0]
+    # eigensum == trace (both ~ the unrounded covariance; prof.var is
+    # rounded to 6dp per dim, so allow d * 5e-7)
+    assert abs(float(evals.sum()) - trace) < len(prof) * 5e-7 + 1e-9
+    spec = pca_spectrum(emb)
+    shares = [sh for _, _, sh, _ in spec]
+    assert shares == sorted(shares, reverse=True)
+    assert all(sh >= 0 for sh in shares)
+    assert spec[-1][3] <= 1.0 + 1e-9  # cumulative share bounded
+
+
+def test_gram_matrix_agrees_with_numpy(spark):
+    emb = load_table(spark, SF, "embeddings")
+    X = np.array(
+        [r[0] for r in emb.select("embedding").orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    n, s, G = gram_matrix(emb)
+    assert n == len(X)
+    np.testing.assert_allclose(s, X.sum(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(G, X.T @ X, rtol=1e-9)
+
+
+def test_linalg_empty_input(spark):
+    emb = load_table(spark, SF, "embeddings").filter(F.lit(False))
+    assert dim_moments(emb).count() == 0
+    n, s, G = gram_matrix(emb)
+    assert n == 0
+    assert pca_spectrum(emb) == []
