@@ -178,6 +178,7 @@ HEADLINE = [
     "pareto_concentration",
     "embedding_dim_profile",
     "embedding_pca_variance",
+    "ols_order_value_regression",
 ]
 
 

@@ -47,7 +47,9 @@ def dim_moments(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     ).select(
         "dim",
         "x",
-        F.element_at(F.col("_v"), F.col("dim") + 2).alias("x_next"),
+        # F.get: 0-based, returns NULL past the end under BOTH ANSI
+        # settings (element_at would throw under ANSI for the last dim)
+        F.get(F.col("_v"), F.col("dim") + 1).alias("x_next"),
     )
     agg = e.groupBy("dim").agg(
         F.count("x").alias("n"),

@@ -901,6 +901,7 @@ CORE_PREFIX = [
     "user_survival_curve",              # empirical survival in basis points
     "gini_concentration",               # per-nation Gini over exact cents
     "embedding_dim_profile",            # per-dim moments via decimal explode-agg
+    "ols_order_value_regression",       # normal-equation OLS, shared Cramer solve
 ]
 
 

@@ -924,3 +924,125 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     ).orderBy("nation_name")
+
+
+# --------------------------------------------------------------------------
+# Multivariate OLS by normal equations — distributed moments, closed-
+# form Cramer solve. The derived arithmetic is ONE shared SQL string
+# (_OLS_SOLVE_SQL) evaluated by BOTH engines over identical
+# decimal-summed moments, so coefficient parity is by construction.
+# --------------------------------------------------------------------------
+
+#: Cramer's-rule solve of the 3x3 normal equations + moment-form R².
+#: Operates on a 1-row frame with columns
+#: n (BIGINT), nn/sx1/sx2/sy/s11/s12/s22/s1y/s2y/syy (DOUBLE).
+_OLS_SOLVE_SQL = {
+    "det": (
+        "nn*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2)"
+        " + sx2*(sx1*s12 - s11*sx2)"
+    ),
+    "det0": (
+        "sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y)"
+        " + sx2*(s1y*s12 - s11*s2y)"
+    ),
+    "det1": (
+        "nn*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2)"
+        " + sx2*(sx1*s2y - s1y*sx2)"
+    ),
+    "det2": (
+        "nn*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2)"
+        " + sy*(sx1*s12 - s11*sx2)"
+    ),
+}
+
+_OLS_FINAL_SQL = f"""
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           ROUND(det0 / det, 6) AS b_intercept,
+           ROUND(det1 / det, 6) AS b_n_items,
+           ROUND(det2 / det, 6) AS b_sum_price,
+           ROUND(1.0 - (syy - ((det0 / det) * sy + (det1 / det) * s1y
+                               + (det2 / det) * s2y))
+                       / (syy - sy * sy / nn), 6) AS r2
+    FROM (SELECT *,
+                 {_OLS_SOLVE_SQL['det']}  AS det,
+                 {_OLS_SOLVE_SQL['det0']} AS det0,
+                 {_OLS_SOLVE_SQL['det1']} AS det1,
+                 {_OLS_SOLVE_SQL['det2']} AS det2
+          FROM ols_moments_v) m
+    WHERE det <> 0 AND (syy - sy * sy / nn) > 0
+"""
+
+_OLS_MOMENTS_SQL = """
+    WITH per_order AS (
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS DOUBLE) AS x1,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS x2
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    xy AS (
+        SELECT p.x1, p.x2, o.o_totalprice AS y
+        FROM per_order p JOIN orders o ON p.l_orderkey = o.o_orderkey
+    ),
+    ols_moments_v AS (
+        SELECT COUNT(*) AS n,
+            CAST(COUNT(*) AS DOUBLE) AS nn,
+            CAST(SUM(CAST(x1 AS DECIMAL(28,12))) AS DOUBLE)      AS sx1,
+            CAST(SUM(CAST(x2 AS DECIMAL(28,12))) AS DOUBLE)      AS sx2,
+            CAST(SUM(CAST(y  AS DECIMAL(28,12))) AS DOUBLE)      AS sy,
+            CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,12))) AS DOUBLE) AS s11,
+            CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s12,
+            CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s22,
+            CAST(SUM(CAST(x1 * y  AS DECIMAL(38,12))) AS DOUBLE) AS s1y,
+            CAST(SUM(CAST(x2 * y  AS DECIMAL(38,12))) AS DOUBLE) AS s2y,
+            CAST(SUM(CAST(y  * y  AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        FROM xy
+    )
+"""
+
+
+@register(
+    "ols_order_value_regression",
+    sql=_OLS_MOMENTS_SQL + _OLS_FINAL_SQL,
+    tags=("stats", "regression", "ols", "agg"),
+)
+def ols_order_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS of o_totalprice on (n_items, sum_extendedprice) per order:
+    X'X / X'y assembled in ONE distributed aggregate of decimal-
+    quantized products (order-independent, cross-engine exact), then
+    the 3x3 normal equations solved in closed form by Cramer's rule —
+    the solve is the SAME SQL text (_OLS_SOLVE_SQL / _OLS_FINAL_SQL)
+    in both engines, evaluated over bit-identical moments, so b and
+    R² match bit-for-bit before the final ROUND. The 100 TB shape:
+    one lineitem shuffle (per-order reduce), one orders join, one
+    9-sum aggregate; the 'model fit' itself is O(1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("double").alias("x1"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("x2"),
+    )
+    xy = per_order.join(o, per_order.l_orderkey == o.o_orderkey).select(
+        "x1", "x2", F.col("o_totalprice").alias("y")
+    )
+
+    def dsum(expr, dec):
+        return F.sum(expr.cast(dec)).cast("double")
+
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    moments = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        dsum(x1, "decimal(28,12)").alias("sx1"),
+        dsum(x2, "decimal(28,12)").alias("sx2"),
+        dsum(y, "decimal(28,12)").alias("sy"),
+        dsum(x1 * x1, "decimal(38,12)").alias("s11"),
+        dsum(x1 * x2, "decimal(38,12)").alias("s12"),
+        dsum(x2 * x2, "decimal(38,12)").alias("s22"),
+        dsum(x1 * y, "decimal(38,12)").alias("s1y"),
+        dsum(x2 * y, "decimal(38,12)").alias("s2y"),
+        dsum(y * y, "decimal(38,12)").alias("syy"),
+    )
+    moments.createOrReplaceTempView("ols_moments_v")
+    return spark.sql(_OLS_FINAL_SQL)
