@@ -179,6 +179,7 @@ HEADLINE = [
     "embedding_dim_profile",
     "embedding_pca_variance",
     "ols_order_value_regression",
+    "streaming_view_purchase_outer",
 ]
 
 

@@ -640,7 +640,7 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = read_events_stream(spark, sf_dir)
-    joined = view_purchase_join_stream(events, max_gap="30 minutes")
+    joined = view_purchase_join_stream(events, max_gap="30 minutes").drop("view_ts")
     ckpt = _fresh_checkpoint("vp_join")
     return run_available_now(
         joined, spark, "mem_stream_vp_join", ckpt, output_mode="append"
@@ -2349,4 +2349,67 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(c, round(ev, 9), round(sh, 9), round(cu, 9)) for c, ev, sh, cu in rows],
         "component long, eigenvalue double, share double, cumulative_share double",
+    )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join: unmatched views surface with
+# NULL purchase columns once the purchase-side watermark passes their
+# match window (state eviction). WHEN exactly the frontier rows flush
+# is micro-batch-boundary-dependent (the symmetric join evicts against
+# a state watermark that lags the data watermark by up to the interval
+# span), so the query restricts itself to the DETERMINISTIC region —
+# views older than max event time minus a 6 h finality margin (3x the
+# worst-case 2 h watermark + 2x30 min interval lag). Inside that
+# region the emitted set is exact and the oracle replays it: inner
+# matches UNION unmatched views, all with view_ts <= m - 6 h.
+# --------------------------------------------------------------------------
+@register(
+    "streaming_view_purchase_outer",
+    sql="""
+    WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id AS pu, ts AS purchase_ts, event_id AS purchase_id
+          FROM events WHERE event_type = 'purchase'),
+    mx AS (SELECT MAX(ts) AS m FROM events),
+    vf AS (SELECT * FROM v
+           WHERE view_ts <= (SELECT m - INTERVAL 6 HOUR FROM mx)),
+    matched AS (
+        SELECT vf.user_id, vf.view_id, vf.view_ts, p.purchase_id,
+               CAST(epoch_ms(p.purchase_ts) - epoch_ms(vf.view_ts) AS BIGINT)
+                   AS gap_ms
+        FROM vf JOIN p ON vf.user_id = p.pu
+         AND p.purchase_ts >= vf.view_ts
+         AND p.purchase_ts <= vf.view_ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id, view_id, view_ts, purchase_id, gap_ms FROM matched
+    UNION ALL
+    SELECT vf.user_id, vf.view_id, vf.view_ts,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           CAST(NULL AS BIGINT) AS gap_ms
+    FROM vf
+    WHERE vf.view_id NOT IN (SELECT view_id FROM matched)
+    """,
+    tags=("streaming", "stream_stream_join", "outer_join", "watermark"),
+)
+def streaming_view_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream import (
+        read_events_stream,
+        run_available_now,
+        view_purchase_join_stream,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    joined = view_purchase_join_stream(events, max_gap="30 minutes", how="left_outer")
+    ckpt = _fresh_checkpoint("vp_outer_join")
+    out = run_available_now(
+        joined, spark, "mem_stream_vp_outer", ckpt, output_mode="append"
+    )
+    bound = _t(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr("INTERVAL 6 HOURS")).alias("final_cutoff")
+    )
+    return (
+        out.crossJoin(F.broadcast(bound))
+        .filter(F.col("view_ts") <= F.col("final_cutoff"))
+        .drop("final_cutoff")
     )

@@ -127,6 +127,7 @@ def view_purchase_join_stream(
     events: DataFrame,
     max_gap: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner interval join: each 'view' joined to the
     same user's 'purchase' events within ``max_gap`` after it —
@@ -162,9 +163,16 @@ def view_purchase_join_stream(
         & (F.col("purchase_ts") >= F.col("view_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_gap}"))
     )
-    return views.join(purchases, cond, "inner").select(
+    # how="left_outer": unmatched views are emitted with NULL purchase
+    # columns once the PURCHASE-side watermark passes view_ts+max_gap
+    # (the state-eviction point — no future purchase can match). Views
+    # younger than that at end-of-stream stay buffered, not emitted:
+    # correct streaming semantics, pinned by the registry oracle's
+    # finality cutoff.
+    return views.join(purchases, cond, how).select(
         "user_id",
         "view_id",
+        "view_ts",
         "purchase_id",
         (
             F.unix_millis(F.col("purchase_ts").cast("timestamp"))
