@@ -180,6 +180,7 @@ HEADLINE = [
     "embedding_pca_variance",
     "ols_order_value_regression",
     "streaming_view_purchase_outer",
+    "lpa_communities",
 ]
 
 

@@ -32,7 +32,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -216,4 +216,96 @@ def _pagerank_local(spark, norm: DataFrame, damping: float, iters: int) -> DataF
         rank = teleport + damping * (mat @ rank)
     return spark.createDataFrame(
         [(nm, float(rank[idx[nm]])) for nm in names], "name string, rank double"
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "u",
+    dst_col: str = "v",
+    iters: int = 5,
+    checkpoint_every: int = 1,
+    small_graph_threshold: int = 100_000,
+) -> DataFrame:
+    """Synchronous label propagation over an undirected edge list
+    (canonical ``u < v`` pairs): every node starts with its own id as
+    label and, each round, adopts the most frequent label among its
+    neighbors (ties -> smallest label; isolated nodes keep theirs).
+
+    A FIXED iteration count plus the deterministic tie-break makes
+    the whole procedure a pure function of the edge list — which is
+    why the registry twin (`lpa_communities`) can hash-check it
+    against a loop-UNROLLED DuckDB oracle, something asynchronous
+    LPA (random visit order) could never offer.
+
+    Execution paths (same gating as :func:`pagerank`, and the same
+    rationale): once the upstream aggregation has compressed the
+    graph to dimension size, iterating on the DRIVER with dict
+    counting is exact integer work on thousands of rows — paying 5
+    rounds of cluster scheduling (join + count + argmax window each)
+    to move node-sized frames is the wrong plan at any scale. Large
+    graphs run the distributed loop; each round is one
+    co-partitioned edges⨝labels join, one (node,label) count, one
+    per-node argmax window, with ``localCheckpoint`` every
+    ``checkpoint_every`` rounds to cut lineage (labels feeds the
+    next round TWICE — neighbor join and relabel join — so an
+    untruncated plan doubles per round).
+
+    Both paths are pure integer computation with identical vote /
+    tie-break semantics, so they agree exactly (pinned by
+    tests/test_graph.py).
+    """
+    und = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    )
+    und = und.unionByName(
+        und.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint(eager=True)
+    if und.count() <= small_graph_threshold:
+        return _label_propagation_local(edges.sparkSession, und, iters)
+    labels = (
+        und.select(F.col("s").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for i in range(1, iters + 1):
+        neigh = und.join(
+            labels.withColumnRenamed("node", "d2"),
+            und.d == F.col("d2"),
+        ).select(F.col("s").alias("node"), "label")
+        cnt = neigh.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+        pick = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = labels.join(pick, "node", "left").select(
+            "node",
+            F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+        )
+        if checkpoint_every and i % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def _label_propagation_local(spark, und: DataFrame, iters: int) -> DataFrame:
+    """Driver path: exact synchronous LPA by dict counting over the
+    collected (already dimension-sized, checkpointed) edge list."""
+    from collections import defaultdict
+
+    adj: dict = defaultdict(list)
+    for r in und.collect():
+        adj[r.s].append(r.d)
+    labels = {n: n for n in adj}
+    for _ in range(iters):
+        nxt = {}
+        for n, nbrs in adj.items():
+            votes: dict = defaultdict(int)
+            for m in nbrs:
+                votes[labels[m]] += 1
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        labels = nxt
+    return spark.createDataFrame(
+        sorted(labels.items()), "node long, label long"
     )

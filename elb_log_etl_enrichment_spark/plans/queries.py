@@ -903,6 +903,7 @@ CORE_PREFIX = [
     "embedding_dim_profile",            # per-dim moments via decimal explode-agg
     "ols_order_value_regression",       # normal-equation OLS, shared Cramer solve
     "streaming_view_purchase_outer",    # outer interval join, eviction nulls
+    "lpa_communities",                  # unrolled-oracle label propagation
 ]
 
 

@@ -794,3 +794,66 @@ def padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_batches") > 0)
         .orderBy("strategy")
     )
+
+
+# --------------------------------------------------------------------------
+# Label-propagation communities over the supplier kNN graph —
+# synchronous rounds with a deterministic tie-break, so the whole
+# procedure is a pure function of the edge list and the oracle can
+# replay it as a LOOP-UNROLLED SQL pipeline (one nb/count/argmax/
+# relabel CTE block per round).
+# --------------------------------------------------------------------------
+_LPA_ITERS = 5
+
+
+def _lpa_sql(iters: int = _LPA_ITERS) -> str:
+    blocks = [
+        f"WITH {_KNN_EDGE_CTE},",
+        "de AS MATERIALIZED (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),",
+        "l0 AS (SELECT node, node AS label FROM"
+        " (SELECT DISTINCT u AS node FROM de)),",
+    ]
+    for i in range(1, iters + 1):
+        blocks.append(f"""
+    nb{i} AS (SELECT de.u AS node, l{i-1}.label AS label
+              FROM de JOIN l{i-1} ON de.v = l{i-1}.node),
+    c{i} AS (SELECT node, label, COUNT(*) AS c FROM nb{i} GROUP BY 1, 2),
+    p{i} AS (SELECT node, label FROM (
+               SELECT node, label,
+                      row_number() OVER (PARTITION BY node
+                                         ORDER BY c DESC, label ASC) AS rn
+               FROM c{i}) WHERE rn = 1),
+    l{i} AS MATERIALIZED (SELECT l{i-1}.node,
+                    COALESCE(p{i}.label, l{i-1}.label) AS label
+             FROM l{i-1} LEFT JOIN p{i} ON l{i-1}.node = p{i}.node),""")
+    body = "\n".join(blocks).rstrip(",")
+    return f"""{body}
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l{iters}
+    GROUP BY label
+    ORDER BY community
+    """
+
+
+@register(
+    "lpa_communities",
+    sql=_lpa_sql(),
+    tags=("training", "graph", "community", "lpa"),
+)
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes after 5 synchronous LPA rounds over the shared
+    supplier kNN edge list (operators/graph.label_propagation). The
+    fixed round count + smallest-label tie-break make the result
+    hash-checkable against the unrolled oracle — per-round cost is
+    one co-partitioned join + one bounded count + one argmax window,
+    composed into ONE lazy 5-round plan (checkpoint_every engages
+    only for deep iteration)."""
+    from ..operators.graph import label_propagation
+
+    edges = knn_edges_cached(spark, sf_dir)
+    labels = label_propagation(edges, iters=_LPA_ITERS)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("community")
+    )

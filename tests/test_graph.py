@@ -120,3 +120,21 @@ def test_pagerank_distributed_path_matches_local(spark):
     assert set(local) == set(dist)
     for k in local:
         assert abs(local[k] - dist[k]) < 1e-12
+
+
+def test_label_propagation_paths_agree(spark):
+    """The driver dict-counting path and the distributed join/window
+    path must produce identical labelings (both are exact integer
+    procedures with the same vote + tie-break semantics)."""
+    from elb_log_etl_enrichment_spark.operators.graph import label_propagation
+    from elb_log_etl_enrichment_spark.plans.queries_training import (
+        knn_edges_cached,
+    )
+
+    e = knn_edges_cached(spark, "/root/testdata/sf0.001")
+    local = {(r.node, r.label) for r in label_propagation(e).collect()}
+    dist = {
+        (r.node, r.label)
+        for r in label_propagation(e, small_graph_threshold=0).collect()
+    }
+    assert local == dist and len(local) > 0
