@@ -181,6 +181,7 @@ HEADLINE = [
     "ols_order_value_regression",
     "streaming_view_purchase_outer",
     "lpa_communities",
+    "value_drift_audit",
 ]
 
 

@@ -904,6 +904,7 @@ CORE_PREFIX = [
     "ols_order_value_regression",       # normal-equation OLS, shared Cramer solve
     "streaming_view_purchase_outer",    # outer interval join, eviction nulls
     "lpa_communities",                  # unrolled-oracle label propagation
+    "value_drift_audit",                # exact-integer TV drift histogram
 ]
 
 

@@ -1046,3 +1046,112 @@ def ols_order_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     moments.createOrReplaceTempView("ols_moments_v")
     return spark.sql(_OLS_FINAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Distribution drift audit: equi-width histogram of `value` in the
+# first vs second half of the time range, per-bin counts + an exact
+# integer total-variation distance. Drift statistics that need no
+# transcendentals (PSI's ln would drag libm differences into the
+# hash) — TV distance is |p - q| arithmetic on integer counts and
+# chi-square is polynomial in identical doubles.
+# --------------------------------------------------------------------------
+_DRIFT_BINS = 10
+
+
+@register(
+    "value_drift_audit",
+    sql=f"""
+    WITH b AS (
+        SELECT MIN(value) AS lo, MAX(value) AS hi,
+               (MIN(epoch_ms(ts)) + MAX(epoch_ms(ts))) // 2 AS mid
+        FROM events WHERE value IS NOT NULL
+    ),
+    binned AS (
+        SELECT least(CAST(floor((value - b.lo) / (b.hi - b.lo)
+                                * {_DRIFT_BINS}) AS BIGINT),
+                     {_DRIFT_BINS - 1}) AS bin,
+               CASE WHEN epoch_ms(ts) < b.mid THEN 0 ELSE 1 END AS period
+        FROM events CROSS JOIN b
+        WHERE value IS NOT NULL AND b.hi > b.lo
+    ),
+    cnt AS (
+        SELECT bin,
+               COUNT(CASE WHEN period = 0 THEN 1 END) AS n_ref,
+               COUNT(CASE WHEN period = 1 THEN 1 END) AS n_cur
+        FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT SUM(n_ref) AS nr, SUM(n_cur) AS nc FROM cnt)
+    SELECT cnt.bin,
+           CAST(cnt.n_ref AS BIGINT) AS n_ref,
+           CAST(cnt.n_cur AS BIGINT) AS n_cur,
+           -- per-bin TV contribution in exact 0.01-bp integer units:
+           -- |n_ref*nc - n_cur*nr| scaled into 2*nr*nc
+           CAST(1000000 * abs(cnt.n_ref * tot.nc - cnt.n_cur * tot.nr)
+                // (2 * tot.nr * tot.nc) AS BIGINT) AS tv_contrib_ubp,
+           ROUND(CASE WHEN cnt.n_ref > 0
+                      THEN (CAST(cnt.n_cur AS DOUBLE) / tot.nc
+                            - CAST(cnt.n_ref AS DOUBLE) / tot.nr)
+                           * (CAST(cnt.n_cur AS DOUBLE) / tot.nc
+                              - CAST(cnt.n_ref AS DOUBLE) / tot.nr)
+                           / (CAST(cnt.n_ref AS DOUBLE) / tot.nr)
+                      END, 9) AS chi2_part
+    FROM cnt CROSS JOIN tot
+    WHERE tot.nr > 0 AND tot.nc > 0
+    ORDER BY cnt.bin
+    """,
+    tags=("stats", "monitoring", "drift", "histogram"),
+)
+def value_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram drift between the two halves of the time range:
+    per-bin counts, exact-integer total-variation contributions
+    (micro-basis-points: |n_ref*nc - n_cur*nr| // (2*nr*nc) scaled by
+    1e6 — no doubles in the decision path), and a chi-square term
+    whose doubles are the same expression tree in both engines. Bin
+    edges derive from global min/max via identical IEEE arithmetic.
+    One events scan + one bin-sized aggregate + a 1-row broadcast."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = e.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.expr("(min(unix_millis(ts)) + max(unix_millis(ts))) div 2").alias("mid"),
+    )
+    binned = (
+        e.crossJoin(F.broadcast(b))
+        .filter(F.col("hi") > F.col("lo"))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * _DRIFT_BINS
+                ).cast("long"),
+                F.lit(_DRIFT_BINS - 1).cast("long"),
+            ).alias("bin"),
+            F.when(F.expr("unix_millis(ts)") < F.col("mid"), 0)
+            .otherwise(1)
+            .alias("period"),
+        )
+    )
+    cnt = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("period") == 0, 1)).alias("n_ref"),
+        F.count(F.when(F.col("period") == 1, 1)).alias("n_cur"),
+    )
+    tot = cnt.agg(
+        F.sum("n_ref").alias("nr"), F.sum("n_cur").alias("nc")
+    ).filter((F.col("nr") > 0) & (F.col("nc") > 0))
+    j = cnt.crossJoin(F.broadcast(tot))
+    p = F.col("n_cur").cast("double") / F.col("nc")
+    q = F.col("n_ref").cast("double") / F.col("nr")
+    return j.select(
+        "bin",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.expr(
+            "CAST(1000000 * abs(n_ref * nc - n_cur * nr)"
+            " div (2 * nr * nc) AS BIGINT)"
+        ).alias("tv_contrib_ubp"),
+        F.when(F.col("n_ref") > 0, F.round((p - q) * (p - q) / q, 9)).alias(
+            "chi2_part"
+        ),
+    ).orderBy("bin")

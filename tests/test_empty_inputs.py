@@ -213,6 +213,7 @@ def test_sampling_privacy_jsonl_on_empty_inputs(spark, tmp_path):
         ("embedding_pca_variance", 0),
         ("ols_order_value_regression", 0),
         ("lpa_communities", 0),
+        ("value_drift_audit", 0),
     ):
         out = REGISTRY[name].fn(spark, str(tmp_path)).collect()
         assert len(out) == expect, (name, len(out))
