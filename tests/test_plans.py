@@ -438,3 +438,30 @@ def test_no_python_stages_outside_documented_extension_points(spark):
         if found:
             offenders[name] = found
     assert not offenders, offenders
+
+
+def test_stats_tier_plan_shapes(spark):
+    """Plan pins for the statistics tier: the A/B test is a single
+    hash-aggregate pipeline (one shuffle, no joins); the drift audit
+    joins only via broadcast (its two 1-row bound frames); EWMA/CUSUM
+    keep all window work on one event_type-rooted exchange chain with
+    no Python stages anywhere."""
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    welch = plan_text(REGISTRY["ab_welch_ttest"].fn(spark, SF))
+    assert "Join" not in welch, welch
+    assert "Python" not in welch and "Pandas" not in welch, welch
+
+    drift = plan_text(REGISTRY["value_drift_audit"].fn(spark, SF))
+    assert "SortMergeJoin" not in drift and "ShuffledHashJoin" not in drift, drift
+    assert "BroadcastNestedLoopJoin" in drift or "BroadcastHashJoin" in drift
+
+    for name in ("ewma_control_chart", "cusum_changepoint"):
+        p = plan_text(REGISTRY[name].fn(spark, SF))
+        assert "Python" not in p and "Pandas" not in p, (name, p)
+
+    ols = plan_text(REGISTRY["ols_order_value_regression"].fn(spark, SF))
+    # exactly one fact-fact join (per-order features x orders); the
+    # solve itself adds no join, no extra shuffle, no Python
+    assert "Python" not in ols and "Pandas" not in ols, ols
