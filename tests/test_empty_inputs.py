@@ -219,3 +219,21 @@ def test_sampling_privacy_jsonl_on_empty_inputs(spark, tmp_path):
         assert len(out) == expect, (name, len(out))
     k = REGISTRY["k_anonymity_audit"].fn(spark, str(tmp_path)).collect()[0]
     assert k.n_groups == 0 and k.n_small_groups == 0
+
+
+def test_streaming_queries_on_empty_events(spark, tmp_path):
+    """Streaming tier totality: a cold-start stream over an empty (but
+    schema-bearing) events table must terminate cleanly with zero
+    rows — no watermark, join-state, or session-window code path may
+    assume a non-empty first batch."""
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    _empty_like(spark, SF, "events").write.parquet(f"{tmp_path}/events.parquet")
+    for name in (
+        "streaming_hourly_counts",
+        "streaming_sessionize_events",
+        "streaming_view_purchase_outer",
+    ):
+        out = REGISTRY[name].fn(spark, str(tmp_path))
+        assert out.count() == 0, name
