@@ -182,6 +182,7 @@ HEADLINE = [
     "streaming_view_purchase_outer",
     "lpa_communities",
     "value_drift_audit",
+    "multi_horizon_backtest",
 ]
 
 

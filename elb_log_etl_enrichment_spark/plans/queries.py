@@ -905,6 +905,7 @@ CORE_PREFIX = [
     "streaming_view_purchase_outer",    # outer interval join, eviction nulls
     "lpa_communities",                  # unrolled-oracle label propagation
     "value_drift_audit",                # exact-integer TV drift histogram
+    "multi_horizon_backtest",           # 1h/24h/168h lag-baseline scoreboard
 ]
 
 

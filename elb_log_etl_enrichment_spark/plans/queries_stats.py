@@ -1155,3 +1155,114 @@ def value_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_part"
         ),
     ).orderBy("bin")
+
+
+# --------------------------------------------------------------------------
+# Multi-horizon forecast backtest: the same dense-spine evaluation as
+# seasonal_naive_backtest, swept over three baseline forecasters —
+# 1 h persistence, 24 h daily-seasonal, 168 h weekly-seasonal. One
+# spine build, three lags over ONE window partitioning, stacked into
+# a (event_type, horizon) scoreboard; at 100 TB the eval input is
+# still |types| x |hours| rows.
+# --------------------------------------------------------------------------
+_HORIZONS = (1, 24, 168)
+
+
+def _horizon_sql(h: int) -> str:
+    return f"""
+        SELECT event_type, {h} AS horizon_h, x,
+               LAG(x, {h}) OVER (PARTITION BY event_type ORDER BY hh) AS f
+        FROM dense"""
+
+
+@register(
+    "multi_horizon_backtest",
+    sql=f"""
+    WITH b AS (
+        SELECT MIN({_HOUR_IDX_SQL}) AS h0, MAX({_HOUR_IDX_SQL}) AS h1
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, s.hh
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(range(h0, h1 + 1)) AS hh
+                    FROM b WHERE h0 IS NOT NULL) s
+    ),
+    cnt AS (
+        SELECT event_type, {_HOUR_IDX_SQL} AS hh, COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT spine.event_type, spine.hh, COALESCE(cnt.x, 0) AS x
+        FROM spine LEFT JOIN cnt
+          ON spine.event_type = cnt.event_type AND spine.hh = cnt.hh
+    ),
+    stacked AS ({" UNION ALL ".join(_horizon_sql(h) for h in _HORIZONS)})
+    SELECT event_type,
+           CAST(horizon_h AS BIGINT) AS horizon_h,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           ROUND(CAST(SUM(abs(x - f)) AS DOUBLE) / COUNT(*), 6) AS mae,
+           ROUND(CAST(SUM(x - f) AS DOUBLE) / COUNT(*), 6) AS bias
+    FROM stacked
+    WHERE f IS NOT NULL
+    GROUP BY event_type, horizon_h
+    ORDER BY event_type, horizon_h
+    """,
+    tags=("stats", "forecast", "backtest", "timeseries"),
+)
+def multi_horizon_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAE/bias scoreboard of the three lag baselines per event_type.
+    All error arithmetic is exact-integer (hourly counts); the stack
+    is a 3-way unionByName over the SAME dense frame, so Spark plans
+    one spine build feeding three window lags with a shared
+    event_type partitioning."""
+    e = _t(spark, sf_dir, "events")
+    b = e.agg(
+        F.min(_hour_idx()).alias("h0"), F.max(_hour_idx()).alias("h1")
+    )
+    spine = (
+        e.select("event_type").distinct()
+        .crossJoin(F.broadcast(b.filter(F.col("h0").isNotNull())))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hh"),
+        )
+    )
+    cnt = (
+        e.select("event_type", _hour_idx().alias("hh"))
+        .groupBy("event_type", "hh")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    dense = spine.join(cnt, ["event_type", "hh"], "left").withColumn(
+        "x", F.coalesce(F.col("x"), F.lit(0).cast("long"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hh")
+    parts = [
+        dense.select(
+            "event_type",
+            F.lit(h).cast("long").alias("horizon_h"),
+            "x",
+            F.lag("x", h).over(w).alias("f"),
+        )
+        for h in _HORIZONS
+    ]
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionByName(p)
+    return (
+        stacked.filter(F.col("f").isNotNull())
+        .groupBy("event_type", "horizon_h")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.round(
+                F.sum(F.abs(F.col("x") - F.col("f"))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mae"),
+            F.round(
+                F.sum(F.col("x") - F.col("f")).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("bias"),
+        )
+        .orderBy("event_type", "horizon_h")
+    )

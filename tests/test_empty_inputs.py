@@ -214,6 +214,7 @@ def test_sampling_privacy_jsonl_on_empty_inputs(spark, tmp_path):
         ("ols_order_value_regression", 0),
         ("lpa_communities", 0),
         ("value_drift_audit", 0),
+        ("multi_horizon_backtest", 0),
     ):
         out = REGISTRY[name].fn(spark, str(tmp_path)).collect()
         assert len(out) == expect, (name, len(out))
