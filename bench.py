@@ -183,6 +183,7 @@ HEADLINE = [
     "lpa_communities",
     "value_drift_audit",
     "multi_horizon_backtest",
+    "shingle_containment_pairs",
 ]
 
 

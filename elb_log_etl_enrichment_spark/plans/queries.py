@@ -906,6 +906,7 @@ CORE_PREFIX = [
     "lpa_communities",                  # unrolled-oracle label propagation
     "value_drift_audit",                # exact-integer TV drift histogram
     "multi_horizon_backtest",           # 1h/24h/168h lag-baseline scoreboard
+    "shingle_containment_pairs",        # asymmetric-overlap subset dedup
 ]
 
 

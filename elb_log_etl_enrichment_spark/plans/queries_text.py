@@ -1538,3 +1538,85 @@ def training_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Containment near-dup: asymmetric overlap |A∩B|/min(|A|,|B|) over the
+# SAME LSH candidate set as the Jaccard miner. Catches subset
+# duplication (one document embedded inside another — quotes, reposts
+# with boilerplate) that symmetric Jaccard under-scores: a 100-shingle
+# doc fully contained in a 1000-shingle doc has J ≈ 0.1 but
+# containment 1.0. Thresholding is exact integer arithmetic
+# (5*inter >= 4*min) and the emitted containment is integer basis
+# points — no doubles anywhere.
+# --------------------------------------------------------------------------
+@register(
+    "shingle_containment_pairs",
+    sql=f"""
+    WITH {_MINHASH_CTES}
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+           CAST(len(a.s) AS BIGINT) AS n_a,
+           CAST(len(b.s) AS BIGINT) AS n_b,
+           CAST(10000 * len(list_intersect(a.s, b.s))
+                // least(len(a.s), len(b.s)) AS BIGINT) AS containment_bp
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b
+    WHERE 5 * len(list_intersect(a.s, b.s)) >= 4 * least(len(a.s), len(b.s))
+    ORDER BY c.doc_a, c.doc_b
+    """,
+    tags=("dedup", "containment", "lsh", "text"),
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs from the shared LSH band join, scored by
+    max-containment (|A∩B| / min set size) with an exact integer 0.8
+    threshold. Scale shape identical to the Jaccard miner: candidates
+    are band-key equi-joins (O(docs x bands)), verification joins only
+    candidate ids back to shingle sets."""
+    from ..operators.text_dedup import minhash_band_keys, shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = shingles(d)
+    bands = minhash_band_keys(d, sh=sh)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), on=["band", "band_key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    j = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("long")
+    na = F.size(F.col("sa")).cast("long")
+    nb = F.size(F.col("sb")).cast("long")
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_inter"),
+            na.alias("n_a"),
+            nb.alias("n_b"),
+        )
+        .filter(5 * F.col("n_inter") >= 4 * F.least(F.col("n_a"), F.col("n_b")))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(10000 * n_inter div least(n_a, n_b) AS BIGINT)"
+            ).alias("containment_bp"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
