@@ -184,6 +184,7 @@ HEADLINE = [
     "value_drift_audit",
     "multi_horizon_backtest",
     "shingle_containment_pairs",
+    "mann_whitney_u",
 ]
 
 

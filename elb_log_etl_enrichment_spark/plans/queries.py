@@ -907,6 +907,7 @@ CORE_PREFIX = [
     "value_drift_audit",                # exact-integer TV drift histogram
     "multi_horizon_backtest",           # 1h/24h/168h lag-baseline scoreboard
     "shingle_containment_pairs",        # asymmetric-overlap subset dedup
+    "mann_whitney_u",                   # nonparametric A/B, exact midranks
 ]
 
 # Driver-sampling priority rebalance (driver round 2): the driver's

@@ -1266,3 +1266,114 @@ def multi_horizon_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "horizon_h")
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U: the nonparametric complement of ab_welch_ttest.
+# Ranks are midranks over the POOLED per-type distribution; doubling
+# every midrank keeps tie handling in exact integers
+# (2*midrank = 2*cnt_less + cnt_eq + 1), so U is emitted as the exact
+# BIGINT 2U and only the normal-approximation z touches doubles —
+# built from those integers with the same expression tree both
+# engines.
+# --------------------------------------------------------------------------
+@register(
+    "mann_whitney_u",
+    sql=f"""
+    WITH v AS (
+        SELECT event_type, value, {_VARIANT_SQL} AS variant
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type, value,
+               COUNT(CASE WHEN variant = 0 THEN 1 END) AS na_v,
+               COUNT(*) AS cnt_eq
+        FROM v GROUP BY event_type, value
+    ),
+    r AS (
+        SELECT *,
+            COALESCE(SUM(cnt_eq) OVER (PARTITION BY event_type ORDER BY value
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS cnt_less
+        FROM g
+    ),
+    s AS (
+        SELECT event_type,
+            SUM(na_v) AS n_a,
+            SUM(cnt_eq) - SUM(na_v) AS n_b,
+            SUM(na_v * (2 * cnt_less + cnt_eq + 1)) AS r2_a,
+            SUM(cnt_eq * cnt_eq * cnt_eq - cnt_eq) AS tie_term
+        FROM r GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_stat,
+           CASE WHEN n_a > 0 AND n_b > 0 AND (n_a + n_b) > 1
+                 AND (CAST(n_a AS DOUBLE) * n_b * (n_a + n_b + 1) / 12.0
+                      - CAST(n_a AS DOUBLE) * n_b * tie_term
+                        / (12.0 * (n_a + n_b) * (n_a + n_b - 1))) > 0
+                THEN ROUND(
+                    (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+                     - CAST(n_a AS DOUBLE) * n_b / 2.0)
+                    / sqrt(CAST(n_a AS DOUBLE) * n_b * (n_a + n_b + 1) / 12.0
+                           - CAST(n_a AS DOUBLE) * n_b * tie_term
+                             / (12.0 * (n_a + n_b) * (n_a + n_b - 1))), 6)
+           END AS z_stat
+    FROM s
+    ORDER BY event_type
+    """,
+    tags=("stats", "experiment", "nonparametric", "window"),
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type Mann-Whitney U between the hash-assigned
+    variants, with midrank tie handling and tie-corrected normal
+    z. The rank pass aggregates per DISTINCT (type, value) first, so
+    the window input is value-cardinality-sized, and every decision
+    quantity is exact BIGINT (u2_stat = 2U)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = e.select(
+        "event_type",
+        "value",
+        _variant(F.col("user_id")).alias("variant"),
+    )
+    g = v.groupBy("event_type", "value").agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("na_v"),
+        F.count(F.lit(1)).alias("cnt_eq"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.withColumn(
+        "cnt_less", F.coalesce(F.sum("cnt_eq").over(w), F.lit(0).cast("long"))
+    )
+    s = r.groupBy("event_type").agg(
+        F.sum("na_v").alias("n_a"),
+        (F.sum("cnt_eq") - F.sum("na_v")).alias("n_b"),
+        F.sum(
+            F.col("na_v") * (2 * F.col("cnt_less") + F.col("cnt_eq") + 1)
+        ).alias("r2_a"),
+        F.sum(
+            F.col("cnt_eq") * F.col("cnt_eq") * F.col("cnt_eq") - F.col("cnt_eq")
+        ).alias("tie_term"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = F.col("n_a") + F.col("n_b")
+    var = na * nb * (n + 1) / 12.0 - na * nb * F.col("tie_term") / (
+        12.0 * n * (n - 1)
+    )
+    u2 = (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)).cast("long")
+    z = (u2.cast("double") / 2.0 - na * nb / 2.0) / F.sqrt(var)
+    return s.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        u2.alias("u2_stat"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (n > 1) & (var > 0),
+            F.round(z, 6),
+        ).alias("z_stat"),
+    ).orderBy("event_type")

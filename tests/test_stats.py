@@ -201,3 +201,31 @@ def test_drift_audit_handcrafted(spark, tmp_path):
     # total variation = (|0.1-0| * 9 bins + |0.1-1.0|) / 2 = 0.9
     tv_ubp = sum(r.tv_contrib_ubp for r in out)
     assert abs(tv_ubp - 900000) <= len(out)  # integer floor per bin
+
+
+def test_mann_whitney_handcrafted(spark, tmp_path):
+    """Hand-computed U with ties. Values arm A = [1, 2, 2], arm B =
+    [2, 3]: midranks 1->1, 2->3 (three-way tie over ranks 2,3,4),
+    3->5; R_A = 1+3+3 = 7, U_A = R_A - 3*4/2 = 1 -> u2_stat = 2."""
+    from elb_log_etl_enrichment_spark.plans.queries_sampling import hash_bucket
+    from pyspark.sql import functions as F
+
+    # find user ids hashing to variant 0 and 1
+    probe = spark.createDataFrame([(u,) for u in range(40)], "user_id long")
+    vmap = {
+        r.user_id: r.v
+        for r in probe.select(
+            "user_id", (hash_bucket(F.col("user_id"), "ab|") % 2).alias("v")
+        ).collect()
+    }
+    u0 = next(u for u, v in vmap.items() if v == 0)
+    u1 = next(u for u, v in vmap.items() if v == 1)
+    rows = []
+    for i, val in enumerate([1.0, 2.0, 2.0]):
+        rows.append((i, T0, u0, "t", val, "{}"))
+    for i, val in enumerate([2.0, 3.0]):
+        rows.append((10 + i, T0, u1, "t", val, "{}"))
+    _write_events(spark, tmp_path, rows)
+    r = REGISTRY["mann_whitney_u"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.n_a, r.n_b) == (3, 2)
+    assert r.u2_stat == 2  # 2 * U_A
