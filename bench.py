@@ -185,6 +185,7 @@ HEADLINE = [
     "multi_horizon_backtest",
     "shingle_containment_pairs",
     "mann_whitney_u",
+    "kruskal_wallis_value_by_type",
 ]
 
 

@@ -908,6 +908,7 @@ CORE_PREFIX = [
     "multi_horizon_backtest",           # 1h/24h/168h lag-baseline scoreboard
     "shingle_containment_pairs",        # asymmetric-overlap subset dedup
     "mann_whitney_u",                   # nonparametric A/B, exact midranks
+    "kruskal_wallis_value_by_type",     # k-sample rank test, bucketed ranks
 ]
 
 # Driver-sampling priority rebalance (driver round 2): the driver's

@@ -1268,6 +1268,54 @@ def multi_horizon_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --------------------------------------------------------------------------
+# Distributed exclusive running sum (two-pass bucket scheme, same
+# family as queries_training._distributed_global_rank): percentile
+# cuts split the order-column domain into ranges (ties share a value,
+# so they never straddle a cut), per-bucket exclusive prefix sums run
+# in parallel, and a broadcast of the tiny per-bucket totals
+# prefix-sum turns local sums into global ones. The only globally
+# ordered structure is the bucket-count offset frame. The rank-test
+# oracles use the plain single window — proving this scheme exact.
+# --------------------------------------------------------------------------
+def _bucketed_running_sum(
+    df, order_col: str, sum_col: str, out_col: str,
+    partition_cols: tuple[str, ...] = (), n_buckets: int = 32,
+):
+    cuts = df.agg(
+        F.percentile(
+            order_col,
+            F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)]),
+        ).alias("_cs")
+    )
+    rb = F.size(F.filter(F.col("_cs"), lambda x: x <= F.col(order_col)))
+    b = df.join(F.broadcast(cuts)).withColumn("_rb", rb).drop("_cs")
+    totals = b.groupBy(*partition_cols, "_rb").agg(F.sum(sum_col).alias("_c"))
+    off_w = (
+        Window.partitionBy(*partition_cols).orderBy("_rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *partition_cols,
+        "_rb",
+        F.coalesce(F.sum("_c").over(off_w), F.lit(0).cast("long")).alias("_off"),
+    )
+    in_w = (
+        Window.partitionBy(*partition_cols, "_rb").orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(offsets), [*partition_cols, "_rb"])
+        .withColumn(
+            out_col,
+            F.coalesce(F.sum(sum_col).over(in_w), F.lit(0).cast("long"))
+            + F.col("_off"),
+        )
+        .drop("_rb", "_off")
+    )
+
+
 # --------------------------------------------------------------------------
 # Mann-Whitney U: the nonparametric complement of ab_welch_ttest.
 # Ranks are midranks over the POOLED per-type distribution; doubling
@@ -1341,13 +1389,8 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("variant") == 0, 1)).alias("na_v"),
         F.count(F.lit(1)).alias("cnt_eq"),
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    r = g.withColumn(
-        "cnt_less", F.coalesce(F.sum("cnt_eq").over(w), F.lit(0).cast("long"))
+    r = _bucketed_running_sum(
+        g, "value", "cnt_eq", "cnt_less", partition_cols=("event_type",)
     )
     s = r.groupBy("event_type").agg(
         F.sum("na_v").alias("n_a"),
@@ -1377,3 +1420,105 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6),
         ).alias("z_stat"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis H: k-sample rank test (does `value` differ across
+# event_types?). Same exact-integer midrank machinery as
+# mann_whitney_u, pooled over ALL types; the H statistic and its tie
+# correction are built from integer sums with an identical double
+# expression tree in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "kruskal_wallis_value_by_type",
+    sql="""
+    WITH v AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT value, event_type, COUNT(*) AS n_gv
+        FROM v GROUP BY value, event_type
+    ),
+    pooled AS (
+        SELECT value, SUM(n_gv) AS cnt_eq FROM g GROUP BY value
+    ),
+    ranked AS (
+        SELECT *,
+            COALESCE(SUM(cnt_eq) OVER (ORDER BY value
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS cnt_less
+        FROM pooled
+    ),
+    per_group AS (
+        SELECT g.event_type,
+               SUM(g.n_gv) AS n_g,
+               SUM(g.n_gv * (2 * r.cnt_less + r.cnt_eq + 1)) AS r2_g
+        FROM g JOIN ranked r ON g.value = r.value
+        GROUP BY g.event_type
+    ),
+    ties AS (
+        SELECT SUM(cnt_eq * cnt_eq * cnt_eq - cnt_eq) AS tie_term FROM pooled
+    ),
+    tot AS (
+        SELECT SUM(n_g) AS n, COUNT(*) AS k,
+               SUM((CAST(r2_g AS DOUBLE) / 2.0) * (CAST(r2_g AS DOUBLE) / 2.0)
+                   / n_g) AS sum_r2_over_n
+        FROM per_group
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n,
+           CAST(tot.k AS BIGINT) AS k,
+           CASE WHEN tot.n > 1
+                 AND 1.0 - CAST(ties.tie_term AS DOUBLE)
+                           / (CAST(tot.n AS DOUBLE) * tot.n * tot.n - tot.n) > 0
+                THEN ROUND(
+                    (12.0 / (CAST(tot.n AS DOUBLE) * (tot.n + 1))
+                     * tot.sum_r2_over_n - 3.0 * (tot.n + 1))
+                    / (1.0 - CAST(ties.tie_term AS DOUBLE)
+                             / (CAST(tot.n AS DOUBLE) * tot.n * tot.n - tot.n)),
+                    6)
+           END AS h_stat
+    FROM tot CROSS JOIN ties
+    WHERE tot.n > 0
+    """,
+    tags=("stats", "nonparametric", "kruskal_wallis", "window"),
+)
+def kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kruskal-Wallis H over pooled midranks: the rank
+    pass aggregates per DISTINCT value (window input is value-
+    cardinality-sized), group rank sums stay exact BIGINT (2*midrank
+    trick), and only the final H expression touches doubles —
+    identically in both engines."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = e.groupBy("value", "event_type").agg(F.count(F.lit(1)).alias("n_gv"))
+    pooled = g.groupBy("value").agg(F.sum("n_gv").alias("cnt_eq"))
+    ranked = _bucketed_running_sum(pooled, "value", "cnt_eq", "cnt_less")
+    per_group = (
+        g.join(ranked, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_gv").alias("n_g"),
+            F.sum(
+                F.col("n_gv") * (2 * F.col("cnt_less") + F.col("cnt_eq") + 1)
+            ).alias("r2_g"),
+        )
+    )
+    ties = pooled.agg(
+        F.sum(
+            F.col("cnt_eq") * F.col("cnt_eq") * F.col("cnt_eq") - F.col("cnt_eq")
+        ).alias("tie_term")
+    )
+    half = F.col("r2_g").cast("double") / 2.0
+    tot = per_group.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(half * half / F.col("n_g")).alias("sum_r2_over_n"),
+    ).filter(F.col("n") > 0)
+    j = tot.crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    corr = 1.0 - F.col("tie_term").cast("double") / (nd * F.col("n") * F.col("n") - F.col("n"))
+    h = (12.0 / (nd * (F.col("n") + 1)) * F.col("sum_r2_over_n") - 3.0 * (F.col("n") + 1)) / corr
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.when((F.col("n") > 1) & (corr > 0), F.round(h, 6)).alias("h_stat"),
+    )
