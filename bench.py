@@ -186,6 +186,8 @@ HEADLINE = [
     "shingle_containment_pairs",
     "mann_whitney_u",
     "kruskal_wallis_value_by_type",
+    "srm_balance_audit",
+    "ab_conversion_ztest",
 ]
 
 

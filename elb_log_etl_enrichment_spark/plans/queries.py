@@ -909,6 +909,8 @@ CORE_PREFIX = [
     "shingle_containment_pairs",        # asymmetric-overlap subset dedup
     "mann_whitney_u",                   # nonparametric A/B, exact midranks
     "kruskal_wallis_value_by_type",     # k-sample rank test, bucketed ranks
+    "srm_balance_audit",                # sample-ratio-mismatch guardrail
+    "ab_conversion_ztest",              # two-proportion conversion z
 ]
 
 # Driver-sampling priority rebalance (driver round 2): the driver's

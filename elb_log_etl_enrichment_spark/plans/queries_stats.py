@@ -1522,3 +1522,144 @@ def kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("long").alias("k"),
         F.when((F.col("n") > 1) & (corr > 0), F.round(h, 6)).alias("h_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sample-ratio-mismatch audit: the first thing to check before ANY
+# experiment readout — does the realized variant split match the
+# designed 50/50? One-df chi-square against equal allocation, per
+# metric slice; (n_a - n_b)^2 / (n_a + n_b) is integer-exact until
+# one final division.
+# --------------------------------------------------------------------------
+@register(
+    "srm_balance_audit",
+    sql=f"""
+    WITH u AS (
+        SELECT DISTINCT event_type, user_id, {_VARIANT_SQL} AS variant
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               COUNT(CASE WHEN variant = 0 THEN 1 END) AS n_a,
+               COUNT(CASE WHEN variant = 1 THEN 1 END) AS n_b
+        FROM u GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
+               AS chi2,
+           CAST(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+                > 10.828 AS BOOLEAN) AS srm_flag
+    FROM s
+    WHERE n_a + n_b > 0
+    ORDER BY event_type
+    """,
+    tags=("stats", "experiment", "srm", "audit"),
+)
+def srm_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square (1 df) of the realized user split vs the designed
+    50/50, per event_type — the guardrail that invalidates a readout
+    before anyone looks at metrics. Counts DISTINCT users per slice
+    (a user's event volume must not weight the allocation check).
+    srm_flag trips at the p≈0.001 critical value 10.828."""
+    e = _t(spark, sf_dir, "events")
+    u = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .withColumn("variant", _variant(F.col("user_id")))
+    )
+    s = u.groupBy("event_type").agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n_b"),
+    )
+    diff = F.col("n_a") - F.col("n_b")
+    chi2 = (diff * diff).cast("double") / (F.col("n_a") + F.col("n_b"))
+    return (
+        s.filter(F.col("n_a") + F.col("n_b") > 0)
+        .select(
+            "event_type",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(chi2, 6).alias("chi2"),
+            (chi2 > 10.828).alias("srm_flag"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-proportion z-test on conversion (did the user purchase?): the
+# binary-outcome companion of ab_welch_ttest. Everything up to the
+# final z is exact integers (user counts, converter counts, bp rates).
+# --------------------------------------------------------------------------
+@register(
+    "ab_conversion_ztest",
+    sql=f"""
+    WITH u AS (
+        SELECT user_id,
+               {_VARIANT_SQL} AS variant,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT
+            COUNT(CASE WHEN variant = 0 THEN 1 END) AS n_a,
+            COUNT(CASE WHEN variant = 1 THEN 1 END) AS n_b,
+            SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS c_a,
+            SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS c_b
+        FROM u
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(c_a AS BIGINT) AS conv_a,
+           CAST(c_b AS BIGINT) AS conv_b,
+           CAST(10000 * c_a // n_a AS BIGINT) AS rate_a_bp,
+           CAST(10000 * c_b // n_b AS BIGINT) AS rate_b_bp,
+           CASE WHEN (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                     * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                     * (1.0 / n_a + 1.0 / n_b) > 0
+                THEN ROUND((CAST(c_a AS DOUBLE) / n_a
+                            - CAST(c_b AS DOUBLE) / n_b)
+                           / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                                  * (1.0 - CAST(c_a + c_b AS DOUBLE)
+                                           / (n_a + n_b))
+                                  * (1.0 / n_a + 1.0 / n_b)), 6)
+           END AS z_stat
+    FROM s
+    WHERE n_a > 0 AND n_b > 0
+    """,
+    tags=("stats", "experiment", "proportion", "agg"),
+)
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z on per-user purchase conversion: one
+    user_id reduce, one 4-count aggregate, exact integer counts and
+    basis-point rates, identical-tree doubles only inside the final
+    z."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    ).withColumn("variant", _variant(F.col("user_id")))
+    s = u.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).alias("c_b"),
+    ).filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    p = (F.col("c_a") + F.col("c_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    var = p * (1.0 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    z = (
+        F.col("c_a").cast("double") / F.col("n_a")
+        - F.col("c_b").cast("double") / F.col("n_b")
+    ) / F.sqrt(var)
+    return s.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("c_a").cast("long").alias("conv_a"),
+        F.col("c_b").cast("long").alias("conv_b"),
+        F.expr("CAST(10000 * c_a div n_a AS BIGINT)").alias("rate_a_bp"),
+        F.expr("CAST(10000 * c_b div n_b AS BIGINT)").alias("rate_b_bp"),
+        F.when(var > 0, F.round(z, 6)).alias("z_stat"),
+    )
