@@ -188,6 +188,7 @@ HEADLINE = [
     "kruskal_wallis_value_by_type",
     "srm_balance_audit",
     "ab_conversion_ztest",
+    "streaming_timeout_sessions",
 ]
 
 

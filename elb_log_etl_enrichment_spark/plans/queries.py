@@ -911,6 +911,7 @@ CORE_PREFIX = [
     "kruskal_wallis_value_by_type",     # k-sample rank test, bucketed ranks
     "srm_balance_audit",                # sample-ratio-mismatch guardrail
     "ab_conversion_ztest",              # two-proportion conversion z
+    "streaming_timeout_sessions",       # event-time-timer sessionization
 ]
 
 # Driver-sampling priority rebalance (driver round 2): the driver's

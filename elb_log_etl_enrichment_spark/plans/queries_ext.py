@@ -2413,3 +2413,66 @@ def streaming_view_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("view_ts") <= F.col("final_cutoff"))
         .drop("final_cutoff")
     )
+
+
+# --------------------------------------------------------------------------
+# Timer-driven stateful sessionization (applyInPandasWithState +
+# EventTimeTimeout): gap-closed sessions emit in-batch; each user's
+# final open session emits when the watermark passes last+gap. As
+# with the outer interval join, WHEN the frontier timers fire is
+# batch-boundary-dependent, so the query restricts itself to the
+# deterministic region (session_end <= max ts - 2 h) where the
+# emitted set provably equals batch sessionization — which is
+# exactly what the oracle computes.
+# --------------------------------------------------------------------------
+@register(
+    "streaming_timeout_sessions",
+    sql="""
+    WITH mx AS (SELECT MAX(epoch_ms(ts)) AS m FROM events),
+    t AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+    d AS (
+        SELECT *, CASE WHEN ms - lag(ms) OVER w > 1800000
+                       THEN 1 ELSE 0 END AS brk
+        FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ms)
+    ),
+    s AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+                                 ROWS UNBOUNDED PRECEDING) AS sn
+        FROM d
+    ),
+    g AS (
+        SELECT user_id,
+               MIN(ms) AS session_start_ms,
+               MAX(ms) AS session_end_ms,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sn
+    )
+    SELECT user_id, session_start_ms, session_end_ms, n_events
+    FROM g CROSS JOIN mx
+    WHERE session_end_ms <= m - 7200000
+    ORDER BY user_id, session_start_ms
+    """,
+    tags=("streaming", "stateful", "timeout", "sessionization"),
+)
+def streaming_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream import (
+        read_events_stream,
+        run_available_now,
+        timeout_sessionized_stream,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    s = timeout_sessionized_stream(events)
+    ckpt = _fresh_checkpoint("timeout_sessions")
+    out = run_available_now(
+        s, spark, "mem_stream_timeout_sess", ckpt, output_mode="append"
+    )
+    bound = _t(spark, sf_dir, "events").agg(
+        (F.max(F.expr("unix_millis(ts)")) - F.lit(7_200_000)).alias("m_cut")
+    )
+    return (
+        out.crossJoin(F.broadcast(bound))
+        .filter(F.col("session_end_ms") <= F.col("m_cut"))
+        .drop("m_cut")
+        .orderBy("user_id", "session_start_ms")
+    )

@@ -555,3 +555,89 @@ def ingest_dedup_stream(
         .start()
     )
     query.awaitTermination()
+
+
+SESSION_TIMEOUT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSION_TIMEOUT_STATE_SCHEMA = StructType(
+    [
+        StructField("start", LongType()),
+        StructField("last", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def timeout_sessionized_stream(events: DataFrame, gap_ms: int = 1_800_000) -> DataFrame:
+    """Arbitrary-stateful sessionization with EVENT-TIME TIMERS
+    (``applyInPandasWithState`` + ``EventTimeTimeout``): sessions that
+    close because a LATER event arrives emit immediately inside the
+    batch; the final open session per user emits when the watermark
+    passes its ``last + gap`` timeout — the state never waits for a
+    key's next event, which may never come. This is the timeout
+    surface ``session_window`` hides and ``stateful_user_totals``
+    (NoTimeout) doesn't exercise.
+
+    All state and output values are integer epoch-millis — no float
+    ever enters the session algebra, so the registry oracle replays
+    the emitted set exactly inside the finality margin (timeout FIRING
+    near the watermark frontier is batch-boundary-dependent, the same
+    measured caveat as the outer interval join; gap-closed sessions
+    are data-driven and exact everywhere).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cols = ["user_id", "session_start_ms", "session_end_ms", "n_events"]
+
+    def update(key, pdfs, state: GroupState):
+        out: list[tuple] = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            out.append((key[0], start, last, n))
+            state.remove()
+        else:
+            ms: list[int] = []
+            for pdf in pdfs:
+                if len(pdf):
+                    ms.extend(
+                        (
+                            pdf["ts"].astype("datetime64[ns]").astype("int64")
+                            // 1_000_000
+                        ).tolist()
+                    )
+            ms.sort()
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start, last, n = None, None, 0
+            for t in ms:
+                if last is not None and t - last > gap_ms:
+                    out.append((key[0], start, last, n))
+                    start, n = None, 0
+                if start is None:
+                    start = t
+                n += 1
+                last = t
+            if last is not None:
+                state.update((start, last, n))
+                state.setTimeoutTimestamp(last + gap_ms + 1)
+        yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in cols}
+        )
+
+    ev = events.withWatermark("ts", "0 seconds").select("user_id", "ts")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_TIMEOUT_OUTPUT_SCHEMA,
+        stateStructType=SESSION_TIMEOUT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -235,6 +235,7 @@ def test_streaming_queries_on_empty_events(spark, tmp_path):
         "streaming_hourly_counts",
         "streaming_sessionize_events",
         "streaming_view_purchase_outer",
+        "streaming_timeout_sessions",
     ):
         out = REGISTRY[name].fn(spark, str(tmp_path))
         assert out.count() == 0, name
