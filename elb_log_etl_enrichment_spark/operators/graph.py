@@ -261,7 +261,9 @@ def label_propagation(
     und = und.unionByName(
         und.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).localCheckpoint(eager=True)
-    if und.count() <= small_graph_threshold:
+    # `und` holds both orientations, so its count is 2x the edge count;
+    # scale the gate so `small_graph_threshold` means EDGES as named.
+    if und.count() <= 2 * small_graph_threshold:
         return _label_propagation_local(edges.sparkSession, und, iters)
     labels = (
         und.select(F.col("s").alias("node")).distinct()

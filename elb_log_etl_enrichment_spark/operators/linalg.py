@@ -93,6 +93,10 @@ def gram_matrix(emb: DataFrame, vec_col: str = "embedding") -> tuple[int, np.nda
     an elementwise d^2-group reduce — no per-element explode ever
     crosses an exchange. Returns driver-side numpy (d is small by
     contract; d^2 doubles = 32 KiB for d=64)."""
+    # Contract: vectors are non-null and uniform-length. NULL embeddings
+    # are dropped here (not an error); a ragged vector fails loudly in
+    # the batch below instead of silently mis-shaping the Gram.
+    emb = emb.filter(F.col(vec_col).isNotNull())
     first = emb.select(vec_col).first()
     if first is None:
         return 0, np.zeros(0), np.zeros((0, 0))
@@ -103,6 +107,11 @@ def gram_matrix(emb: DataFrame, vec_col: str = "embedding") -> tuple[int, np.nda
             if not len(pdf):
                 continue
             X = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            if X.ndim != 2 or X.shape[1] != d:
+                raise ValueError(
+                    f"gram_matrix: ragged/mis-sized vectors in '{vec_col}' "
+                    f"(expected uniform dim {d}, got batch shape {X.shape})"
+                )
             g = X.T @ X
             yield pd.DataFrame(
                 {

@@ -953,6 +953,44 @@ _head = [
 _rest = [n for n in CORE_PREFIX if n not in _head and n not in _R2_PROMOTED]
 CORE_PREFIX = _head + _R2_PROMOTED + _rest
 
+# Round-3 rebalance: rotate one green representative from each tier
+# that has NEVER had a driver CORRECTNESS row (privacy, sampling, geo,
+# time-series, quality/profiling, text-retrieval, curation, rank
+# statistics, timer-driven streaming, CDC) into the driver-sampled
+# prefix. Displaced entries are all banked driver-green in r01/r02 AND
+# shape-covered by a survivor; they keep their local oracle tests.
+_R3_PROMOTED = [
+    "pii_redaction_audit",             # privacy tier
+    "leakproof_customer_split",        # sampling tier (entity-granular split)
+    "geo_hotspot_clusters",            # geo tier (grid-DBSCAN via CC)
+    "scd2_user_event_intervals",       # time-series tier (SCD2 intervals)
+    "referential_integrity_audit",     # quality/profiling tier
+    "bm25_top_docs",                   # text-retrieval tier
+    "sequence_packing_stats",          # curation tier
+    "mann_whitney_u",                  # rank-statistics tier
+    "streaming_timeout_sessions",      # event-time-timer streaming
+    "snapshot_diff_orders",            # CDC tier (changed r03: negated keys)
+]
+_R3_DEMOTED = {
+    # each banked driver-green (r01 and/or r02) + shape-covered:
+    "top_orders_by_revenue",           # top-k (banked r01+r02)
+    "order_priority_semi_join",        # semi join (banked r01+r02)
+    "running_order_total",             # W4 cumsum ~ sessionize_events
+    "event_lag_diff",                  # W2 lag ~ sessionize_events
+    "rolling_1h_avg_value",            # ~ rolling_5min_event_count
+    "zscore_outlier_events_builtin",   # JVM twin of zscore_outlier_events
+    "streaming_view_purchase_join",    # inner sibling of the outer survivor
+    "extreme_events_by_type",          # IN-list (banked r01+r02)
+    "large_orders_having",             # HAVING (banked r01+r02)
+    "promo_revenue_disjunctive_filter",  # disjunctive filter (banked r02)
+}
+_head3 = [
+    n for n in CORE_PREFIX[:50]
+    if n not in _R3_DEMOTED and n not in _R3_PROMOTED
+]
+_rest3 = [n for n in CORE_PREFIX if n not in _head3 and n not in _R3_PROMOTED]
+CORE_PREFIX = _head3 + _R3_PROMOTED + _rest3
+
 
 def _ordered_specs() -> list[QuerySpec]:
     """CORE_PREFIX first, then remaining oracle-backed queries in

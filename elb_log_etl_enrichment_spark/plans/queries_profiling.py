@@ -1045,7 +1045,6 @@ def expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compared across systems by moving 4 rows.
 # --------------------------------------------------------------------------
 _SNAP_DEL_BP, _SNAP_CHG_BP, _SNAP_ADD_BP = 200, 500, 600
-_SNAP_KEY_SHIFT = 1_000_000_000
 
 _SNAP_BUCKET = (
     "(('0x' || substr(md5('snap|' || CAST(o_orderkey AS VARCHAR)), 1, 15))"
@@ -1071,7 +1070,7 @@ _SNAP_BUCKET = (
                st
         FROM base WHERE b >= {_SNAP_DEL_BP}
         UNION ALL
-        SELECT k + {_SNAP_KEY_SHIFT}, cents, st
+        SELECT -k, cents, st
         FROM base WHERE b >= {_SNAP_CHG_BP} AND b < {_SNAP_ADD_BP}
     ),
     diff AS (
@@ -1095,7 +1094,10 @@ _SNAP_BUCKET = (
 def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconcile two snapshot versions of ``orders``: 2 % of keys
     deleted, 3 % price-changed (+150 cents), 1 % inserted under
-    shifted keys — all selected by the portable hash so the oracle
+    negated keys (o_orderkey > 0 always, so -k can never collide
+    with a real key at ANY scale factor — a fixed additive shift
+    would collide past SF ~170 where o_orderkey exceeds 1e9) — all
+    selected by the portable hash so the oracle
     builds the identical snapshots. One full-outer join on the key
     classifies every row; the per-class count + key digest is the
     4-row summary two warehouses exchange to agree on a diff."""
@@ -1125,7 +1127,7 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(
             (F.col("b") >= _SNAP_CHG_BP) & (F.col("b") < _SNAP_ADD_BP)
         ).select(
-            (F.col("k") + _SNAP_KEY_SHIFT).alias("k"), "cents", "st"
+            (-F.col("k")).alias("k"), "cents", "st"
         )
     )
     a, bb = snap_a.alias("a"), snap_b.alias("bb")

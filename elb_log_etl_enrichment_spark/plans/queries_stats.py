@@ -122,7 +122,7 @@ def _hour_idx(ts="ts") -> F.Column:
            CAST(n_b AS BIGINT) AS n_b,
            ROUND(mean_a, 6) AS mean_a,
            ROUND(mean_b, 6) AS mean_b,
-           CASE WHEN sqrt(var_a / n_a + var_b / n_b) > 0
+           CASE WHEN var_a / n_a + var_b / n_b > 0
                 THEN ROUND((mean_a - mean_b)
                            / sqrt(var_a / n_a + var_b / n_b), 6)
            END AS t_stat
@@ -172,14 +172,18 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_b") - 1),
         )
     )
-    se = F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b"))
+    # Guard on the sqrt OPERAND (not the sqrt) so a marginally negative
+    # variance sum from double rounding yields NULL in both engines
+    # instead of raising in DuckDB while Spark returns NaN (ADVICE r02).
+    se_sq = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    se = F.sqrt(se_sq)
     return m.select(
         "event_type",
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
         F.round("mean_a", 6).alias("mean_a"),
         F.round("mean_b", 6).alias("mean_b"),
-        F.when(se > 0, F.round((F.col("mean_a") - F.col("mean_b")) / se, 6)).alias(
+        F.when(se_sq > 0, F.round((F.col("mean_a") - F.col("mean_b")) / se, 6)).alias(
             "t_stat"
         ),
     ).orderBy("event_type")

@@ -845,9 +845,12 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier kNN edge list (operators/graph.label_propagation). The
     fixed round count + smallest-label tie-break make the result
     hash-checkable against the unrolled oracle — per-round cost is
-    one co-partitioned join + one bounded count + one argmax window,
-    composed into ONE lazy 5-round plan (checkpoint_every engages
-    only for deep iteration)."""
+    one co-partitioned join + one bounded count + one argmax window.
+    On the distributed path the default ``checkpoint_every=1``
+    localCheckpoints each round (labels feeds the next round twice,
+    so an untruncated plan doubles per round); at this corpus size
+    the edge list is dimension-sized and the gated driver path runs
+    instead, pinned equal by tests/test_graph.py."""
     from ..operators.graph import label_propagation
 
     edges = knn_edges_cached(spark, sf_dir)

@@ -627,8 +627,22 @@ def timeout_sessionized_stream(events: DataFrame, gap_ms: int = 1_800_000) -> Da
                 n += 1
                 last = t
             if last is not None:
-                state.update((start, last, n))
-                state.setTimeoutTimestamp(last + gap_ms + 1)
+                # The natural timer is last+gap+1, but in a multi-batch
+                # run (maxFilesPerTrigger / incremental feed) the
+                # watermark may already have passed it; Spark rejects
+                # timers <= watermark ("timeout timestamp cannot be
+                # earlier than watermark"). If the session is already
+                # expired relative to the watermark, emit it now and
+                # clear state; otherwise register the (clamped) timer.
+                wm = state.getCurrentWatermarkMs()
+                due = last + gap_ms + 1
+                if due <= wm:
+                    out.append((key[0], start, last, n))
+                    if state.exists:
+                        state.remove()
+                else:
+                    state.update((start, last, n))
+                    state.setTimeoutTimestamp(max(due, wm + 1))
         yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
             {c: pd.Series(dtype="int64") for c in cols}
         )

@@ -55,3 +55,19 @@ def test_linalg_empty_input(spark):
     n, s, G = gram_matrix(emb)
     assert n == 0
     assert pca_spectrum(emb) == []
+
+
+def test_gram_matrix_drops_null_vectors(spark):
+    """NULL embeddings are dropped (not a crash — ADVICE r02): the
+    Gram over a corpus with injected NULL rows equals the Gram over
+    the non-null subset."""
+    emb = load_table(spark, SF, "embeddings")
+    nulls = emb.limit(3).select(
+        F.lit(None).cast("array<float>").alias("embedding")
+    )
+    mixed = emb.select("embedding").unionByName(nulls)
+    n0, s0, G0 = gram_matrix(emb)
+    n1, s1, G1 = gram_matrix(mixed)
+    assert n1 == n0
+    np.testing.assert_allclose(s1, s0, rtol=1e-12)
+    np.testing.assert_allclose(G1, G0, rtol=1e-12)

@@ -312,3 +312,73 @@ def test_ingest_dedup_stream_dedups_across_runs(spark, tmp_path):
     assert last["n_dup_of_history"] == 1
     assert last["n_dup_within_batch"] == 1
     assert last["n_ingested"] == 2
+
+
+def test_timeout_sessions_survive_multibatch_watermark_advance(spark, tmp_path):
+    """Regression (ADVICE r02, medium): with maxFilesPerTrigger=1 the
+    watermark advances between micro-batches; a group whose session is
+    already expired relative to the current watermark must NOT register
+    a timer at last+gap+1 <= watermark (PySpark raises 'timeout
+    timestamp cannot be earlier than watermark'). The clamp emits the
+    expired session immediately instead.
+
+    Delivery: file a (user 1 early events + user 99 far-future event
+    that drives the watermark ~10h ahead), then file b (user 2 events
+    far older than the new watermark). The run must complete, and user
+    1's gap-closed session must surface via its event-time timer.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.streaming.stream import (
+        EVENTS_RAW_SCHEMA,
+        run_available_now,
+        timeout_sessionized_stream,
+    )
+
+    base_ns = 1_700_000_000_000_000_000
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, base_ns + s * 10**9, u, "click", 1.0, "{}")
+             for i, (u, s) in enumerate(rows)],
+            EVENTS_RAW_SCHEMA,
+        )
+
+    in_dir = tmp_path / "in"
+    # batch 1: user 1 @ t0, t0+60; user 99 @ t0+10h (watermark driver)
+    mk([(1, 0), (1, 60), (99, 36_000)]).coalesce(1).write.parquet(str(in_dir / "a"))
+    # batch 2: user 2 @ t0+120, t0+180 — ~10h older than the watermark
+    mk([(2, 120), (2, 180)]).coalesce(1).write.parquet(str(in_dir / "b"))
+    # file-source ordering is by modification time: pin a before b
+    for name, mtime in (("a", 1_000_000_000), ("b", 1_000_000_100)):
+        d = str(in_dir / name)
+        for f in _os.listdir(d):
+            _os.utime(_os.path.join(d, f), (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("recursiveFileLookup", True)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = run_available_now(
+        timeout_sessionized_stream(stream),
+        spark,
+        name="timeout_multibatch_test",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    rows = {(r.user_id, r.session_start_ms, r.session_end_ms, r.n_events)
+            for r in out.collect()}
+    base_ms = base_ns // 1_000_000
+    # user 1's session closed by the watermark-driven timer in batch 2
+    assert (1, base_ms, base_ms + 60_000, 2) in rows
+    # every emitted session is well-formed
+    assert all(s <= e and n >= 1 for (_, s, e, n) in rows)
+    # user 2: either filtered as late input or emitted immediately by
+    # the clamp — never a crash; if present, bounds must be exact
+    u2 = {r for r in rows if r[0] == 2}
+    assert u2 <= {(2, base_ms + 120_000, base_ms + 180_000, 2)}
