@@ -902,6 +902,65 @@ def vocab_growth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_quartiles_approx(d: DataFrame) -> DataFrame:
+    """(doc_id, q) quartile assignment WITHOUT a global sort: three
+    `percentile_approx` doc_id cutpoints (mergeable sketch, map-side
+    combined) broadcast into a CASE over the scan — the 100 TB form of
+    `ntile(4) OVER (ORDER BY doc_id)`. Quartile *boundaries* are
+    approximate; membership is still a total partition of the corpus."""
+    cuts = d.agg(
+        F.percentile_approx(
+            "doc_id",
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            F.lit(_APPROX_PCT_ACCURACY),
+        ).alias("cs")
+    )
+    q = (
+        F.lit(1)
+        + F.size(F.filter(F.col("cs"), lambda x: x < F.col("doc_id")))
+    ).cast("int")
+    return d.join(F.broadcast(cuts)).select("doc_id", q.alias("q"))
+
+
+@register(
+    "vocab_growth_audit_approx",
+    sql=None,
+    tags=("profiling", "vocab", "heaps", "percentile", "approx", "sketch"),
+)
+def vocab_growth_audit_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB twin of `vocab_growth_audit` (VERDICT r02 item 3): the
+    quartile assignment comes from :func:`doc_quartiles_approx` —
+    sketch cutpoints + broadcast CASE, no single-partition sort of
+    doc_id anywhere in the pre-aggregate plan (plan-pinned by
+    tests/test_plans.py). The final cumulative window runs over the
+    4-row aggregate, the documented bounded-frame exception. Sketch
+    boundaries are engine-specific → rows-only for the driver; the
+    local pytest contract bounds drift against the exact form (total
+    vocabulary is boundary-invariant and must match exactly)."""
+    d = _t(spark, sf_dir, "documents")
+    dq = doc_quartiles_approx(d)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))).alias(
+            "tok"
+        ),
+    )
+    firsts = tok.join(dq, "doc_id").groupBy("tok").agg(
+        F.min("q").alias("first_q")
+    )
+    w = Window.orderBy("first_q").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        firsts.groupBy("first_q")
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+        .select(
+            F.col("first_q").cast("long").alias("quartile"),
+            F.col("new_tokens").cast("long").alias("new_tokens"),
+            F.sum("new_tokens").over(w).cast("long").alias("cum_vocab"),
+        )
+        .orderBy("quartile")
+    )
+
+
 # --------------------------------------------------------------------------
 # Declarative data-contract audit: each expectation is (name, count of
 # violating rows); the whole contract evaluates as ONE pass per table

@@ -465,3 +465,41 @@ def test_stats_tier_plan_shapes(spark):
     # exactly one fact-fact join (per-order features x orders); the
     # solve itself adds no join, no extra shuffle, no Python
     assert "Python" not in ols and "Pandas" not in ols, ols
+
+
+def test_vocab_growth_approx_no_global_sort_and_tracks_exact(spark):
+    """VERDICT r02 item 3: the vocab-growth approx twin must carry NO
+    single-partition sort in its quartile-assignment subplan (sketch
+    cutpoints + broadcast CASE replace the global ntile), and its
+    results must track the exact form: total vocabulary is
+    boundary-invariant (exact match); per-quartile new-token counts
+    may only drift by boundary documents."""
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+    from elb_log_etl_enrichment_spark.plans.queries_profiling import (
+        doc_quartiles_approx,
+    )
+    from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+    all_queries()
+    # plan pin on the quartile-assignment subframe: no SinglePartition
+    # exchange, no Window, no ntile anywhere
+    dq = doc_quartiles_approx(load_table(spark, SF, "documents"))
+    plan = dq._jdf.queryExecution().executedPlan().toString()
+    for marker in ("Sort", "Window", "ntile("):
+        assert marker not in plan, f"{marker} in approx quartile plan:\n{plan}"
+    # the one allowed SinglePartition exchange carries PARTIAL sketch
+    # buffers (one row per input partition), never data rows: it must
+    # sit directly above the map-side partial percentile aggregate
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        assert "partial_percentile_approx" in seg.split("\n")[1], plan
+
+    exact = REGISTRY["vocab_growth_audit"].fn(spark, SF).collect()
+    approx = REGISTRY["vocab_growth_audit_approx"].fn(spark, SF).collect()
+    assert [r["quartile"] for r in approx] == [r["quartile"] for r in exact]
+    # total vocabulary (final cum_vocab) is partition-boundary-invariant
+    assert approx[-1]["cum_vocab"] == exact[-1]["cum_vocab"]
+    total = exact[-1]["cum_vocab"]
+    for er, ar in zip(exact, approx):
+        assert abs(ar["new_tokens"] - er["new_tokens"]) <= max(
+            20, 0.10 * total
+        ), (er, ar)
