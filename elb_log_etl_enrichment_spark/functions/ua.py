@@ -30,46 +30,41 @@ try:  # pragma: no cover - not installed in the test container
 except Exception:  # pragma: no cover
     _ua_parse = None
 
-#: Ordered first-match rules reproducing the FAMILY NAMES the
-#: reference's classifier (`user_agents` → uap-core regexes.yaml,
-#: public PyPI/GitHub) emits for the major families — the container
-#: has no network and no `user_agents` wheel, so parity is encoded
-#: here and pinned by tests/test_parse.py's UA battery, whose expected
+from .ua_regexes import OS_PARSERS, UA_PARSERS
+
+
+def _compile(parsers: list[dict], repl_key: str) -> list[tuple[re.Pattern, str | None]]:
+    """Compile a uap-core-shaped rule list (ordered, first-match,
+    case-sensitive like upstream). Replacement None = 'use the first
+    capture group' (uap-core's default)."""
+    return [(re.compile(p["regex"]), p.get(repl_key)) for p in parsers]
+
+
+#: Ordered first-match rules in uap-core's own schema, vendored as a
+#: data table (`ua_regexes.py` — see its module docstring): the FAMILY
+#: NAMES the reference's classifier (`user_agents` → uap-core
+#: regexes.yaml, public PyPI/GitHub) emits. The container has no
+#: network and no `user_agents` wheel, so parity is encoded in the
+#: table and pinned by tests/test_parse.py's UA battery, whose expected
 #: values are uap-core's published outputs (the same battery therefore
 #: proves real-lib parity wherever `user_agents` IS importable).
-_BROWSER_RULES: list[tuple[re.Pattern, str]] = [
-    (re.compile(r"FxiOS/", re.I), "Firefox iOS"),
-    (re.compile(r"CriOS/", re.I), "Chrome Mobile iOS"),
-    (re.compile(r"EdgiOS/", re.I), "Edge Mobile"),
-    (re.compile(r"EdgA/", re.I), "Edge Mobile"),
-    (re.compile(r"Edge?/", re.I), "Edge"),
-    (re.compile(r"(OPR|Opera)[/ ]", re.I), "Opera"),
-    (re.compile(r"SamsungBrowser/", re.I), "Samsung Internet"),
-    (re.compile(r"Android[^)]*\).*Firefox/", re.I), "Firefox Mobile"),
-    (re.compile(r"Firefox/", re.I), "Firefox"),
-    (re.compile(r"Googlebot", re.I), "Googlebot"),
-    (re.compile(r"bingbot", re.I), "bingbot"),
-    (re.compile(r"; wv\).*Chrome/", re.I), "Chrome Mobile WebView"),
-    (re.compile(r"Chrome/[\d.]+ Mobile", re.I), "Chrome Mobile"),
-    (re.compile(r"Chrome/", re.I), "Chrome"),
-    (re.compile(r"(iPhone|iPad|iPod).*Version/[\d.]+.*Safari/", re.I), "Mobile Safari"),
-    (re.compile(r"Version/[\d.]+.*Safari/", re.I), "Safari"),
-    (re.compile(r"(MSIE |Trident/)", re.I), "IE"),
-    (re.compile(r"curl/", re.I), "curl"),
-    (re.compile(r"python-requests/", re.I), "Python Requests"),
-    (re.compile(r"python-urllib/?", re.I), "Python-urllib"),
-    (re.compile(r"wget/", re.I), "Wget"),
-]
+_BROWSER_RULES = _compile(UA_PARSERS, "family_replacement")
+_OS_RULES = _compile(OS_PARSERS, "os_replacement")
 
-_OS_RULES: list[tuple[re.Pattern, str]] = [
-    (re.compile(r"Windows", re.I), "Windows"),
-    (re.compile(r"CrOS", re.I), "Chrome OS"),
-    (re.compile(r"Android", re.I), "Android"),
-    (re.compile(r"(iPhone|iPad|iPod|iOS)", re.I), "iOS"),
-    (re.compile(r"(Mac OS X|Macintosh)", re.I), "Mac OS X"),
-    (re.compile(r"Ubuntu", re.I), "Ubuntu"),
-    (re.compile(r"Linux", re.I), "Linux"),
-]
+
+def _first_match(
+    rules: list[tuple[re.Pattern, str | None]], ua: str
+) -> str:
+    """uap-core resolution: first rule whose regex searches true wins;
+    family = replacement (with $1 -> group(1)) or bare group(1)."""
+    for pat, repl in rules:
+        m = pat.search(ua)
+        if m is None:
+            continue
+        if repl is None:
+            return m.group(1)
+        return repl.replace("$1", m.group(1) or "") if "$1" in repl else repl
+    return "Other"
 
 UA_STRUCT = StructType(
     [StructField("browser", StringType()), StructField("os", StringType())]
@@ -88,9 +83,7 @@ def classify_ua(ua: str | None) -> tuple[str, str]:
     if _ua_parse is not None:  # full-fidelity path when the lib exists
         parsed = _ua_parse(ua)
         return (parsed.browser.family or "Other", parsed.os.family or "Other")
-    browser = next((name for pat, name in _BROWSER_RULES if pat.search(ua)), "Other")
-    os_family = next((name for pat, name in _OS_RULES if pat.search(ua)), "Other")
-    return (browser, os_family)
+    return (_first_match(_BROWSER_RULES, ua), _first_match(_OS_RULES, ua))
 
 
 @F.pandas_udf(UA_STRUCT)

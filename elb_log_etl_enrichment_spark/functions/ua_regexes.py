@@ -1,0 +1,85 @@
+"""Vendored user-agent rule table in uap-core's schema (P11 offline path).
+
+uap-core (https://github.com/ua-parser/uap-core, the data behind the
+reference's `user_agents` library, reference/elb_logs.py:119-121)
+publishes `regexes.yaml`: ORDERED first-match rule lists where each
+rule is `{regex, family_replacement?}` and the family defaults to the
+regex's first capture group, with `$1` substitution supported in
+replacements. This module vendors that schema as a dependency-free
+Python data file (the container has neither the wheel nor network for
+the YAML) holding a curated subset of uap-core's published rules —
+the families its maintainers emit for the major + long-tail agents the
+engine's battery pins (tests/test_parse.py::UA_BATTERY). Dropping the
+full upstream `regexes.yaml` next to this file and loading it would be
+a drop-in widening: `functions/ua.py` consumes only this table's
+contract, not these literal rules.
+
+Rule order is load-bearing exactly as in upstream: specific families
+(Opera Mini, YaBrowser, Vivaldi, UCBrowser, SamsungBrowser,
+HeadlessChrome, Chromium, the iOS shells) must precede the generic
+Chrome/Safari/Opera rules they embed.
+"""
+
+from __future__ import annotations
+
+#: Browser-family rules (uap-core `user_agent_parsers` shape).
+UA_PARSERS: list[dict] = [
+    # --- crawlers / monitors the ALB corpus actually sees ---
+    {"regex": r"(Googlebot)(?:-Image|-News|-Video)?/", "family_replacement": "Googlebot"},
+    {"regex": r"(bingbot)/"},
+    # --- Opera family (Mini before Mobile/desktop; OPR is desktop) ---
+    {"regex": r"(Opera Mini)(?:/[\d.]+)?", "family_replacement": "Opera Mini"},
+    {"regex": r"\b(OPR)/\d+", "family_replacement": "Opera"},
+    {"regex": r"(Opera)[/ ]\d+"},
+    # --- Edge shells before Chrome ---
+    {"regex": r"(EdgiOS)/\d+", "family_replacement": "Edge Mobile"},
+    {"regex": r"(EdgA)/\d+", "family_replacement": "Edge Mobile"},
+    {"regex": r"(Edge?)/\d+", "family_replacement": "Edge"},
+    # --- iOS third-party shells before Safari ---
+    {"regex": r"(FxiOS)/\d+", "family_replacement": "Firefox iOS"},
+    {"regex": r"(CriOS)/\d+", "family_replacement": "Chrome Mobile iOS"},
+    # --- Chrome-embedding browsers before Chrome ---
+    {"regex": r"(YaBrowser)/\d+", "family_replacement": "Yandex Browser"},
+    {"regex": r"(Vivaldi)/\d+"},
+    {"regex": r"(UCBrowser|UC Browser|UCWEB)[ /]?[\d.]*", "family_replacement": "UC Browser"},
+    {"regex": r"(SamsungBrowser)/\d+", "family_replacement": "Samsung Internet"},
+    {"regex": r"(HeadlessChrome)(?:/\d+)?"},
+    {"regex": r"(Chromium)/\d+"},
+    # --- Firefox (mobile variant first) ---
+    {"regex": r"Android[^)]*\).*(Firefox)/\d+", "family_replacement": "Firefox Mobile"},
+    {"regex": r"(Firefox)/\d+"},
+    # --- Chrome (webview / mobile / desktop) ---
+    {"regex": r"; wv\).*(Chrome)/\d+", "family_replacement": "Chrome Mobile WebView"},
+    {"regex": r"(Chrome)/[\d.]+ Mobile", "family_replacement": "Chrome Mobile"},
+    {"regex": r"(Chrome)/\d+"},
+    # --- Safari (Version/ token distinguishes real Safari) ---
+    {
+        "regex": r"(?:iPhone|iPad|iPod).*Version/[\d.]+.*(Safari)/",
+        "family_replacement": "Mobile Safari",
+    },
+    {"regex": r"Version/[\d.]+.*(Safari)/", "family_replacement": "Safari"},
+    {"regex": r"(MSIE |Trident/)", "family_replacement": "IE"},
+    # --- programmatic clients ---
+    {"regex": r"(Apache-HttpClient)/\d+"},
+    {"regex": r"(Go-http-client)/\d+"},
+    {"regex": r"^(Java)/\d+"},
+    {"regex": r"(okhttp)/\d+"},
+    {"regex": r"(curl)/\d+"},
+    {"regex": r"(python-requests)/\d+", "family_replacement": "Python Requests"},
+    {"regex": r"(Python-urllib)/?\d*"},
+    {"regex": r"(Wget)/\d+"},
+]
+
+#: OS-family rules (uap-core `os_parsers` shape). Specific before
+#: generic: Windows Phone < Windows; CrOS/Android/Ubuntu < Linux.
+OS_PARSERS: list[dict] = [
+    {"regex": r"(Windows Phone)"},
+    {"regex": r"(Windows)"},
+    {"regex": r"(CrOS)", "os_replacement": "Chrome OS"},
+    {"regex": r"(Android)"},
+    {"regex": r"(iPhone|iPad|iPod|iOS)", "os_replacement": "iOS"},
+    {"regex": r"(Mac OS X|Macintosh)", "os_replacement": "Mac OS X"},
+    {"regex": r"(Ubuntu)"},
+    {"regex": r"(FreeBSD)"},
+    {"regex": r"(Linux)"},
+]

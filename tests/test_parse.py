@@ -208,6 +208,71 @@ UA_BATTERY = [
     ),
     ("curl/8.5.0", "curl", "Other"),
     ("python-requests/2.31.0", "Python Requests", "Other"),
+    # --- long-tail rows (round 3, VERDICT r02 item 4): exercised
+    # against the vendored uap-core-format table in ua_regexes.py ---
+    (
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 17_4 like Mac OS X) "
+        "AppleWebKit/605.1.15 (KHTML, like Gecko) FxiOS/125.0 "
+        "Mobile/15E148 Safari/605.1.15",
+        "Firefox iOS", "iOS",
+    ),
+    (
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 17_4 like Mac OS X) "
+        "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 "
+        "EdgiOS/124.2478.50 Mobile/15E148 Safari/605.1.15",
+        "Edge Mobile", "iOS",
+    ),
+    (
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36 OPR/109.0.0.0",
+        "Opera", "Windows",
+    ),
+    (
+        "Opera/9.80 (Android; Opera Mini/7.6.40234/28.3392; U; en) "
+        "Presto/2.8.119 Version/11.10",
+        "Opera Mini", "Android",
+    ),
+    (
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/108.0.0.0 YaBrowser/23.1.0.0 Safari/537.36",
+        "Yandex Browser", "Windows",
+    ),
+    (
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36 Vivaldi/6.7.3329.31",
+        "Vivaldi", "Windows",
+    ),
+    (
+        "Mozilla/5.0 (Linux; U; Android 12; en-US; SM-A515F) "
+        "AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 "
+        "Chrome/100.0.4896.58 UCBrowser/13.4.0.1306 Mobile Safari/537.36",
+        "UC Browser", "Android",
+    ),
+    (
+        "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) HeadlessChrome/124.0.0.0 Safari/537.36",
+        "HeadlessChrome", "Linux",
+    ),
+    (
+        "Mozilla/5.0 (X11; Ubuntu; Linux x86_64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Ubuntu Chromium/124.0.0.0 Chrome/124.0.0.0 "
+        "Safari/537.36",
+        "Chromium", "Ubuntu",
+    ),
+    (
+        "Mozilla/5.0 (Linux; Android 13; Pixel 7; wv) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Version/4.0 Chrome/124.0.0.0 Mobile "
+        "Safari/537.36",
+        "Chrome Mobile WebView", "Android",
+    ),
+    (
+        "Mozilla/5.0 (compatible; bingbot/2.0; +http://www.bing.com/bingbot.htm)",
+        "bingbot", "Other",
+    ),
+    ("Apache-HttpClient/4.5.13 (Java/11.0.19)", "Apache-HttpClient", "Other"),
+    ("Go-http-client/2.0", "Go-http-client", "Other"),
+    ("Java/1.8.0_362", "Java", "Other"),
+    ("Wget/1.21.3", "Wget", "Other"),
 ]
 
 
