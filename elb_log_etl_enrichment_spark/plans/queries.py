@@ -970,6 +970,7 @@ _R3_PROMOTED = [
     "mann_whitney_u",                  # rank-statistics tier
     "streaming_timeout_sessions",      # event-time-timer streaming
     "snapshot_diff_orders",            # CDC tier (changed r03: negated keys)
+    "elb_error_report",                # reference error report (new r03)
 ]
 _R3_DEMOTED = {
     # each banked driver-green (r01 and/or r02) + shape-covered:
@@ -983,6 +984,8 @@ _R3_DEMOTED = {
     "extreme_events_by_type",          # IN-list (banked r01+r02)
     "large_orders_having",             # HAVING (banked r01+r02)
     "promo_revenue_disjunctive_filter",  # disjunctive filter (banked r02)
+    "full_outer_nation_presence",      # full outer (banked r02; shape also
+                                       # in the promoted snapshot_diff_orders)
 }
 _head3 = [
     n for n in CORE_PREFIX[:50]

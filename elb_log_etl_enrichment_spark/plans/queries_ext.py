@@ -1040,7 +1040,10 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
 # quoted-field split, try_strptime the strict ts parse, a digit guard
 # the int casts, and the fake_fetch octet formula the geo columns.
 # --------------------------------------------------------------------------
-from ..sources.alb_fixtures import FIXTURE_PARQUET as _ELB_FIXTURE_PARQUET
+# round 3: the composed pipeline + error report read the EXTENDED
+# 3-day corpus (225 lines, 60 IPs, all 5 fake-geo countries) so the
+# oracles exercise A1-A7 across 60+ hourly groups, not 3
+from ..sources.alb_fixtures import FIXTURE_PARQUET_EXT as _ELB_FIXTURE_PARQUET
 
 _ELB_PIPELINE_HOURLY_SQL = f"""
     WITH raw AS (
@@ -1120,7 +1123,7 @@ def elb_pipeline_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver's vanilla session (no driver table → no load_table call)
     ensure_engine_confs(spark)
     if not os.path.exists(_ELB_FIXTURE_PARQUET):
-        write_fixture_parquet()
+        write_fixture_parquet(_ELB_FIXTURE_PARQUET, extended=True)
     lines = spark.read.parquet(_ELB_FIXTURE_PARQUET)
     parsed = parse_elb_lines(lines)
     cache_dir = _fresh_checkpoint("elb_geo_cache") + "/cache.parquet"
@@ -1146,6 +1149,115 @@ def elb_pipeline_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("count_2xx").cast("long").alias("count_2xx"),
         F.col("count_4xx").cast("long").alias("count_4xx"),
         F.col("count_5xx").cast("long").alias("count_5xx"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Error-summary report (reference export_error_summary,
+# elb_logs.py:370-377): 4xx/5xx IN-list filter + the exact 13-column
+# projection, over the SAME extended fixture corpus as the composed
+# pipeline — time emitted as epoch millis so the cross-engine hash
+# never meets a timestamp formatter. UA families replay as a CASE over
+# the corpus's closed agent set (the vendored-table families); geo
+# columns replay the fake_fetch octet formula.
+# --------------------------------------------------------------------------
+_ELB_ERROR_REPORT_SQL = f"""
+    WITH raw AS (
+        SELECT regexp_extract_all(value, '"[^"]*"|\\S+') AS t
+        FROM read_parquet('{_ELB_FIXTURE_PARQUET}')
+    ),
+    parsed AS (
+        SELECT
+            try_strptime(t[2], '%Y-%m-%dT%H:%M:%S.%fZ') AS time_utc,
+            split_part(t[4], ':', 1) AS client_ip,
+            CASE WHEN regexp_matches(t[9], '^[0-9]+$') THEN CAST(t[9] AS BIGINT) END
+                AS elb_status_code,
+            trim(t[13], '"') AS request,
+            trim(t[14], '"') AS user_agent,
+            trim(t[25], '"') AS error_reason,
+            trim(t[27], '"') AS target_status_code_list
+        FROM raw WHERE len(t) >= 29
+    ),
+    f AS (
+        SELECT *,
+            list_aggregate(
+                list_transform(string_split(client_ip, '.'),
+                               x -> try_cast(x AS BIGINT)), 'sum') % 5 AS octet,
+            CASE WHEN elb_status_code IS NULL THEN 'Unknown'
+                 WHEN elb_status_code >= 200 AND elb_status_code < 300 THEN '2xx_Success'
+                 WHEN elb_status_code >= 400 AND elb_status_code < 500 THEN '4xx_ClientError'
+                 WHEN elb_status_code >= 500 AND elb_status_code < 600 THEN '5xx_ServerError'
+                 ELSE 'Other' END AS status_code_type
+        FROM parsed
+        WHERE time_utc IS NOT NULL
+          AND client_ip IS NOT NULL AND request IS NOT NULL
+          AND NOT COALESCE(
+              regexp_matches(lower(user_agent),
+                             'datadog|healthchecker|kube-probe|aws-elb'), FALSE)
+    )
+    SELECT
+        epoch_ms(time_utc) AS time_utc_ms,
+        client_ip,
+        'City' || octet    AS city,
+        'Country' || octet AS "countryName",
+        'ISP' || octet     AS isp,
+        split_part(request, ' ', 1) AS http_method,
+        split_part(request, ' ', 2) AS full_url,
+        elb_status_code,
+        target_status_code_list,
+        user_agent,
+        CASE WHEN user_agent LIKE 'Googlebot%' THEN 'Googlebot'
+             WHEN user_agent LIKE 'curl/%' THEN 'curl'
+             WHEN user_agent LIKE 'Mozilla/5.0 (Windows NT%' THEN 'Chrome'
+             ELSE 'Other' END AS ua_browser_family,
+        CASE WHEN user_agent LIKE 'Mozilla/5.0 (Windows NT%' THEN 'Windows'
+             ELSE 'Other' END AS ua_os_family,
+        error_reason
+    FROM f
+    WHERE status_code_type IN ('4xx_ClientError', '5xx_ServerError')
+"""
+
+
+@register(
+    "elb_error_report",
+    sql=_ELB_ERROR_REPORT_SQL,
+    tags=("pipeline", "elb", "report", "filter", "projection"),
+)
+def elb_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference error_summary_geo.csv (elb_logs.py:371-377) as an
+    oracle-backed query: full parse→filter→geo-enrich path, IN-list
+    4xx/5xx filter (F3), 13-column projection (F5). `time` goes out as
+    epoch millis for engine-stable hashing."""
+    import os
+
+    from ..operators.aggregate import error_summary
+    from ..plans.pipeline import enrich_and_featurize
+    from ..session import ensure_engine_confs
+    from ..sources.alb_fixtures import write_fixture_parquet
+    from ..sources.elb_logs import parse_elb_lines
+
+    ensure_engine_confs(spark)
+    if not os.path.exists(_ELB_FIXTURE_PARQUET):
+        write_fixture_parquet(_ELB_FIXTURE_PARQUET, extended=True)
+    lines = spark.read.parquet(_ELB_FIXTURE_PARQUET)
+    parsed = parse_elb_lines(lines)
+    cache_dir = _fresh_checkpoint("elb_geo_cache_err") + "/cache.parquet"
+    enriched = enrich_and_featurize(spark, parsed, cache_dir)
+    err = error_summary(enriched)
+    return err.select(
+        F.unix_millis("time").alias("time_utc_ms"),
+        "client_ip",
+        "city",
+        "countryName",
+        "isp",
+        "http_method",
+        "full_url",
+        F.col("elb_status_code").cast("long").alias("elb_status_code"),
+        "target_status_code_list",
+        "user_agent",
+        "ua_browser_family",
+        "ua_os_family",
+        "error_reason",
     )
 
 

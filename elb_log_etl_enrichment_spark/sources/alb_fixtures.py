@@ -83,6 +83,55 @@ def fixture_lines() -> list[str]:
     return lines
 
 
+def fixture_lines_extended() -> list[str]:
+    """`fixture_lines()` plus a deterministic 3-day corpus: 3 days ×
+    7 UTC hours × 3 client IPs whose octet sums spread across all 5
+    fake-geo countries, with mixed statuses (2xx/3xx/4xx/5xx), browser/
+    bot/curl agents, '-' timing sentinels, WAF blocks, per-day health
+    checks (filtered) and garbage lines (dropped). Grows the composed
+    `elb_pipeline_hourly` oracle from 3 hourly groups to 60+ and gives
+    `elb_error_report` dozens of 4xx/5xx rows across agents/countries
+    (VERDICT r02 item 6)."""
+    lines = fixture_lines()
+    statuses = [200, 200, 301, 404, 500, 200, 503, 200, 404, 200]
+    ua_cycle = ["browser", "browser", "bot", "curl", "browser", "bot"]
+    paths = ["/api/v1/items", "/api/v2/users", "/static/app.js",
+             "/checkout", "/search", "/admin/login"]
+    for day in (26, 27, 28):
+        base = datetime(2025, 5, day)
+        for hour in (0, 6, 9, 12, 15, 18, 21):
+            for u in range(3):
+                # octet sum = 20 + (day-26) + hour + (7u+day) → country
+                # residue varies with all three loop indices
+                ip = f"20.{day - 26}.{hour}.{u * 7 + day}"
+                n_req = 2 + (day + hour + u) % 3
+                for r in range(n_req):
+                    k = day + hour + u + r
+                    status = statuses[k % len(statuses)]
+                    ua = UAS[ua_cycle[(u + r) % len(ua_cycle)]]
+                    lines.append(
+                        make_line(
+                            base + timedelta(hours=hour, minutes=3 * r, seconds=u),
+                            ip,
+                            status=status,
+                            ua=ua,
+                            path=paths[k % len(paths)],
+                            rpt="-" if k % 7 == 0 else "0.002",
+                            classification_reason=(
+                                "WAF,Blocked" if status == 503 and r == 0 else "-"
+                            ),
+                        )
+                    )
+        # per-day noise: health checks (filtered) + a garbage line
+        lines.append(
+            make_line(base + timedelta(hours=12), "10.0.9.9", ua=UAS["healthcheck"])
+        )
+        lines.append(f"garbage line day {day}")
+    return lines
+
+
+
+
 #: Committed parquet of the raw fixture lines — shared input for the
 #: `elb_pipeline_hourly` registry query AND its DuckDB oracle (which
 #: reads it by absolute path, since the driver registers only the
@@ -93,9 +142,15 @@ FIXTURE_PARQUET = _os.path.join(
     _os.path.dirname(_os.path.abspath(__file__)), "data", "elb_fixture_lines.parquet"
 )
 
+#: Extended 3-day corpus — shared input of `elb_pipeline_hourly` and
+#: `elb_error_report` and their DuckDB oracles (round 3).
+FIXTURE_PARQUET_EXT = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "data", "elb_fixture_lines_ext.parquet"
+)
 
-def write_fixture_parquet(path: str = FIXTURE_PARQUET) -> str:
-    """Write `fixture_lines()` to a single-column (`value`) parquet file.
+
+def write_fixture_parquet(path: str = FIXTURE_PARQUET, extended: bool = False) -> str:
+    """Write fixture lines to a single-column (`value`) parquet file.
 
     Deterministic (fixed lines, fixed encoding) so the committed file
     never churns; pyarrow directly — no SparkSession needed."""
@@ -103,6 +158,7 @@ def write_fixture_parquet(path: str = FIXTURE_PARQUET) -> str:
     import pyarrow.parquet as pq
 
     _os.makedirs(_os.path.dirname(path), exist_ok=True)
-    table = pa.table({"value": pa.array(fixture_lines(), pa.string())})
+    lines = fixture_lines_extended() if extended else fixture_lines()
+    table = pa.table({"value": pa.array(lines, pa.string())})
     pq.write_table(table, path, compression="snappy")
     return path

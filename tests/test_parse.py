@@ -150,6 +150,25 @@ def test_committed_fixture_parquet_matches_fixture_lines():
     assert pq.read_table(FIXTURE_PARQUET)["value"].to_pylist() == fixture_lines()
 
 
+def test_committed_extended_fixture_parquet_matches_generator():
+    """Same pin for the extended 3-day corpus (shared input of
+    elb_pipeline_hourly + elb_error_report and their oracles)."""
+    import pyarrow.parquet as pq
+
+    from elb_log_etl_enrichment_spark.sources.alb_fixtures import (
+        FIXTURE_PARQUET_EXT,
+        fixture_lines_extended,
+    )
+
+    lines = fixture_lines_extended()
+    assert pq.read_table(FIXTURE_PARQUET_EXT)["value"].to_pylist() == lines
+    # corpus shape contract (VERDICT r02 item 6): 3 days, all 5
+    # fake-geo countries, plus the original 43-line corpus prefix
+    assert len(lines) == 225
+    assert sum("2025-05-27" in l for l in lines) > 20
+    assert sum("2025-05-28" in l for l in lines) > 20
+
+
 UA_BATTERY = [
     # (ua_string, expected_browser_family, expected_os_family) —
     # expected values are uap-core's published family names (what the
