@@ -503,3 +503,57 @@ def test_vocab_growth_approx_no_global_sort_and_tracks_exact(spark):
         assert abs(ar["new_tokens"] - er["new_tokens"]) <= max(
             20, 0.10 * total
         ), (er, ar)
+
+
+def test_sketch_queries_track_exact_counts(spark):
+    """Tolerance oracles for the sketch-backed rows-only queries
+    (VERDICT r02 item 7): HLL union estimate within its published
+    relative-error envelope of the exact distinct count; approx
+    count-distinct/median per event_type within rsd / rank bounds of
+    the exact values."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+    from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+    all_queries()
+    e = load_table(spark, SF, "events")
+    c = load_table(spark, SF, "customer").select("c_custkey")
+
+    # hll_sketch_distinct_users: merged estimate vs exact
+    hll = REGISTRY["hll_sketch_distinct_users"].fn(spark, SF).collect()[0]
+    exact_users = (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .select("user_id").distinct().count()
+    )
+    # lgConfigK=12 HLL++ -> ~1.6 % std err; 5 % is a >3-sigma envelope
+    assert abs(hll["merged_distinct_users"] - exact_users) <= max(
+        5, 0.05 * exact_users
+    ), (hll["merged_distinct_users"], exact_users)
+
+    # approx_aggregates_events vs exact per event_type
+    approx = {
+        r["event_type"]: r
+        for r in REGISTRY["approx_aggregates_events"].fn(spark, SF).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.expr("percentile(value, array(0.40, 0.50, 0.60))").alias("p"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for et, er in exact.items():
+        ar = approx[et]
+        assert ar["n"] == er["n"]  # plain count is exact
+        # approx_count_distinct default rsd = 5 %; allow 3 sigma
+        assert abs(ar["approx_users"] - er["users"]) <= max(
+            5, 0.15 * er["users"]
+        ), (et, ar["approx_users"], er["users"])
+        # approx median lands within the exact p40..p60 rank window
+        p40, _, p60 = er["p"]
+        assert p40 <= ar["approx_median_value"] <= p60, (et, ar, er)
