@@ -741,3 +741,163 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Data-mixing weights: temperature-scaled source sampling (the
+# UnifiedQA / multilingual-LM recipe — weight_i ∝ tokens_i^alpha with
+# alpha < 1 upweighting small sources). Per-source token counts are
+# one partial-aggregated pass over the corpus; the normalization is a
+# 20-row broadcast. `epochs_at_budget` says how many passes over each
+# source a fixed token budget implies — the number data-mixing
+# decisions are actually made with (epochs >> 1 on a small source
+# signals memorization risk).
+# --------------------------------------------------------------------------
+_MIX_ALPHA = 0.7
+_MIX_BUDGET = 1_000_000
+
+
+@register(
+    "source_mixing_weights",
+    sql=f"""
+    WITH s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT *, POW(n_tokens, {_MIX_ALPHA}) AS raw_w,
+               SUM(POW(n_tokens, {_MIX_ALPHA})) OVER () AS z
+        FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(raw_w / z, 6) AS mix_weight,
+           ROUND({_MIX_BUDGET} * (raw_w / z) / n_tokens, 4) AS epochs_at_budget
+    FROM w ORDER BY source
+    """,
+    tags=("curation", "mixing", "sampling", "agg"),
+)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature-sampled mixing weights (alpha=0.7) and
+    implied epochs at a 1M-token budget. The only corpus-wide work is
+    the token-count aggregate (map-side combined); the pow/normalize
+    runs on the source-count-sized result. The OVER () normalizer is a
+    source-count-row frame (documented bounded-frame exception)."""
+    d = _t(spark, sf_dir, "documents")
+    from ..functions.text import TOKEN_RE
+
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    raw_w = F.pow(F.col("n_tokens"), F.lit(_MIX_ALPHA))
+    w = s.withColumn("raw_w", raw_w).withColumn(
+        "z", F.sum("raw_w").over(Window.partitionBy())
+    )
+    return w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("raw_w") / F.col("z"), 6).alias("mix_weight"),
+        F.round(
+            F.lit(_MIX_BUDGET) * (F.col("raw_w") / F.col("z")) / F.col("n_tokens"),
+            4,
+        ).alias("epochs_at_budget"),
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Curation funnel: the per-source survivor ledger of a 3-stage
+# pipeline — exact dedup → quality rules → language gate. The corpus
+# has no natural exact duplicates at test SF, so (snapshot_diff
+# pattern) a hash-selected 12 % of documents is re-inserted under
+# negated doc_ids: both engines construct the identical duplicated
+# corpus, dedup provably removes exactly the synthetic copies, and the
+# survivor rule (min |doc_id| per content digest) keeps the original.
+# Scale shape: dedup is one digest-keyed aggregate; quality flags are
+# per-row HOFs; the funnel is ONE grouped aggregate with conditional
+# counts — no per-stage recomputation of upstream stages.
+# --------------------------------------------------------------------------
+_FUNNEL_DUP_BP = 1200
+
+
+@register(
+    "curation_funnel_by_source",
+    sql=f"""
+    WITH corpus AS (
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL
+        SELECT -doc_id, text, lang, source FROM documents
+        WHERE (('0x' || substr(md5('funnel|' || CAST(doc_id AS VARCHAR)), 1, 15))
+               ::UBIGINT % 10000) < {_FUNNEL_DUP_BP}
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY md5(text) ORDER BY ABS(doc_id), doc_id DESC
+               ) AS rn
+        FROM corpus
+    ),
+    flags AS (
+        SELECT source, lang,
+               (rn = 1) AS survives_dedup,
+               len(regexp_extract_all(text, '\\S+')) AS n_words,
+               len(list_distinct(regexp_extract_all(text, '\\S+'))) * 1.0
+                   / len(regexp_extract_all(text, '\\S+')) AS ttr
+        FROM ranked
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(COUNT(*) FILTER (survives_dedup) AS BIGINT) AS n_after_dedup,
+           CAST(COUNT(*) FILTER (survives_dedup AND n_words >= 20 AND ttr >= 0.2)
+                AS BIGINT) AS n_after_quality,
+           CAST(COUNT(*) FILTER (survives_dedup AND n_words >= 20 AND ttr >= 0.2
+                AND lang = 'en') AS BIGINT) AS n_after_lang,
+           CAST(SUM(CASE WHEN survives_dedup AND n_words >= 20 AND ttr >= 0.2
+                AND lang = 'en' THEN n_words ELSE 0 END) AS BIGINT)
+               AS surviving_tokens
+    FROM flags GROUP BY source ORDER BY source
+    """,
+    tags=("curation", "funnel", "dedup", "quality", "agg"),
+)
+def curation_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage survivor counts per source for dedup → quality →
+    language gating, over a deterministically duplicated corpus."""
+    from ..functions.text import TOKEN_RE
+    from .queries_sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    dups = d.filter(hash_bucket(F.col("doc_id"), "funnel|") < _FUNNEL_DUP_BP).select(
+        (-F.col("doc_id")).alias("doc_id"), "text", "lang", "source"
+    )
+    corpus = d.unionByName(dups)
+    w = Window.partitionBy(F.md5("text")).orderBy(
+        F.abs(F.col("doc_id")), F.col("doc_id").desc()
+    )
+    t = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
+    flags = corpus.withColumn("rn", F.row_number().over(w)).select(
+        "source",
+        "lang",
+        (F.col("rn") == 1).alias("sd"),
+        F.size(t).alias("n_words"),
+        (F.size(F.array_distinct(t)) * F.lit(1.0) / F.size(t)).alias("ttr"),
+    )
+    q = F.col("sd") & (F.col("n_words") >= 20) & (F.col("ttr") >= 0.2)
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count_if("sd").alias("n_after_dedup"),
+            F.count_if(q).alias("n_after_quality"),
+            F.count_if(q & (F.col("lang") == "en")).alias("n_after_lang"),
+            F.sum(
+                F.when(q & (F.col("lang") == "en"), F.col("n_words")).otherwise(0)
+            )
+            .cast("long")
+            .alias("surviving_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -613,3 +613,141 @@ def naive_bayes_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("actual_lang", "pred_lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality-rule battery (Rae et al. 2021 §A1.1 heuristics
+# adapted to the corpus): word-count bounds, mean-word-length bounds,
+# minimum stopword evidence, maximum token length, and a type-token
+# floor — evaluated per document in ONE pass (every statistic is an
+# array HOF over the token list; no explode, no per-rule job), then
+# melted to a per-rule violation ledger. This is the text analog of
+# `expectations_audit`: the artifact a curation run publishes so
+# downstream consumers know exactly what each rule removed.
+# --------------------------------------------------------------------------
+_GOPHER_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "that"]
+
+
+@register(
+    "gopher_quality_battery",
+    sql=f"""
+    WITH tk AS (
+        SELECT regexp_extract_all(text, '\\S+') AS t FROM documents
+    ),
+    stats AS (
+        SELECT len(t) AS n_words,
+               list_aggregate(list_transform(t, x -> len(x)), 'sum')
+                   * 1.0 / len(t) AS mean_wl,
+               list_aggregate(list_transform(t, x -> len(x)), 'max')
+                   AS max_wl,
+               len(list_filter(t, x -> list_contains(
+                   {_GOPHER_STOPWORDS!r}, x))) AS n_stop,
+               len(list_distinct(t)) * 1.0 / len(t) AS ttr
+        FROM tk WHERE len(t) > 0
+    ),
+    flags AS (
+        SELECT (n_words < 50 OR n_words > 20000)       AS v_word_count,
+               (mean_wl < 3 OR mean_wl > 10)           AS v_mean_word_len,
+               (n_stop < 2)                            AS v_stopwords,
+               (max_wl > 30)                           AS v_max_token_len,
+               (ttr < 0.2)                             AS v_ttr
+        FROM stats
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) FILTER (v_word_count)    AS BIGINT) AS word_count_bounds,
+               CAST(COUNT(*) FILTER (v_mean_word_len) AS BIGINT) AS mean_word_len_bounds,
+               CAST(COUNT(*) FILTER (v_stopwords)     AS BIGINT) AS stopword_min2,
+               CAST(COUNT(*) FILTER (v_max_token_len) AS BIGINT) AS max_token_len,
+               CAST(COUNT(*) FILTER (v_ttr)           AS BIGINT) AS ttr_floor,
+               CAST(COUNT(*) FILTER (v_word_count OR v_mean_word_len
+                    OR v_stopwords OR v_max_token_len OR v_ttr) AS BIGINT)
+                   AS any_rule
+        FROM flags
+    )
+    SELECT u.rule, u.n_violations,
+           CAST(u.n_violations * 10000 // a.n_docs AS BIGINT) AS violation_bp
+    FROM agg a, (
+        SELECT 'word_count_bounds' AS rule, word_count_bounds AS n_violations FROM agg
+        UNION ALL SELECT 'mean_word_len_bounds', mean_word_len_bounds FROM agg
+        UNION ALL SELECT 'stopword_min2', stopword_min2 FROM agg
+        UNION ALL SELECT 'max_token_len', max_token_len FROM agg
+        UNION ALL SELECT 'ttr_floor', ttr_floor FROM agg
+        UNION ALL SELECT 'any_rule', any_rule FROM agg
+    ) u
+    ORDER BY u.rule
+    """,
+    tags=("text", "quality", "gopher", "battery", "agg"),
+)
+def gopher_quality_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule violation counts + basis-point rates for five Gopher
+    heuristics. One whole-stage-codegen pass computes all five flags
+    per document (token-array HOFs), one aggregate fuses the six
+    conditional counts, and the 1-row result melts via stack — never
+    one job per rule (the trap rule-engine frameworks hit at scale)."""
+    from ..functions.text import TOKEN_RE
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
+    lens = F.transform(F.col("t"), lambda x: F.length(x))
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    stats = (
+        d.select(t.alias("t"))
+        .filter(F.size("t") > 0)
+        .select(
+            F.size("t").alias("n_words"),
+            (
+                F.aggregate(lens, F.lit(0), lambda a, x: a + x)
+                * F.lit(1.0)
+                / F.size("t")
+            ).alias("mean_wl"),
+            F.array_max(lens).alias("max_wl"),
+            F.size(
+                F.filter(F.col("t"), lambda x: F.array_contains(stop_arr, x))
+            ).alias("n_stop"),
+            (F.size(F.array_distinct("t")) * F.lit(1.0) / F.size("t")).alias(
+                "ttr"
+            ),
+        )
+    )
+    v = stats.select(
+        ((F.col("n_words") < 50) | (F.col("n_words") > 20000)).alias("v_wc"),
+        ((F.col("mean_wl") < 3) | (F.col("mean_wl") > 10)).alias("v_mwl"),
+        (F.col("n_stop") < 2).alias("v_stop"),
+        (F.col("max_wl") > 30).alias("v_mtl"),
+        (F.col("ttr") < 0.2).alias("v_ttr"),
+    )
+    agg = v.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if("v_wc").alias("word_count_bounds"),
+        F.count_if("v_mwl").alias("mean_word_len_bounds"),
+        F.count_if("v_stop").alias("stopword_min2"),
+        F.count_if("v_mtl").alias("max_token_len"),
+        F.count_if("v_ttr").alias("ttr_floor"),
+        F.count_if(
+            F.col("v_wc")
+            | F.col("v_mwl")
+            | F.col("v_stop")
+            | F.col("v_mtl")
+            | F.col("v_ttr")
+        ).alias("any_rule"),
+    )
+    stack = F.expr(
+        "stack(6, 'word_count_bounds', word_count_bounds,"
+        " 'mean_word_len_bounds', mean_word_len_bounds,"
+        " 'stopword_min2', stopword_min2,"
+        " 'max_token_len', max_token_len,"
+        " 'ttr_floor', ttr_floor,"
+        " 'any_rule', any_rule) AS (rule, n_violations)"
+    )
+    return (
+        agg.select("n_docs", stack)
+        .select(
+            "rule",
+            F.col("n_violations").cast("long").alias("n_violations"),
+            F.floor(F.col("n_violations") * 10000 / F.col("n_docs"))
+            .cast("long")
+            .alias("violation_bp"),
+        )
+        .orderBy("rule")
+    )

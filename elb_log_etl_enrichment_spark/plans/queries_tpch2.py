@@ -609,3 +609,119 @@ def null_safe_join_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "join_key")
     )
+
+
+# --------------------------------------------------------------------------
+# Q18 shape (large-volume customers): IN over a grouped-HAVING subquery
+# on the FACT table, then join-back + top-k. The big-order detection
+# and the join-back reuse the SAME l_orderkey hash partitioning — one
+# fact shuffle total; customer/orders broadcast at test SF. Top-100 via
+# TakeOrderedAndProject (k-row heap per partition, no global sort),
+# with o_orderkey as the unique tiebreaker so LIMIT is deterministic.
+# --------------------------------------------------------------------------
+@register(
+    "large_volume_customers",
+    sql="""
+    WITH big AS (
+        SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_name,
+           o.o_custkey AS c_custkey,
+           o.o_orderkey,
+           CAST(epoch_ms(o.o_orderdate) AS BIGINT) AS orderdate_ms,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           ROUND(b.total_qty, 2) AS total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, orderdate_ms, o.o_orderkey
+    LIMIT 100
+    """,
+    tags=("tpch", "q18", "having", "semi_join", "topk"),
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape over the driver tables (threshold 250 ≈ the
+    top ~1 % of orders by summed quantity at test SF)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_ms"
+            ),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "orderdate_ms", "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 shape (disjunctive bracket revenue): lineitem ⋈ part where the
+# join carries an OR of three conjunctive brackets (brand × size range
+# × quantity range). Catalyst extracts the common equi-key
+# (l_partkey = p_partkey) into a hash join and evaluates the
+# disjunction as a residual — never a nested-loop; the bracket
+# predicates stay with their tables where pushable (p_size bounds to
+# the part scan).
+# --------------------------------------------------------------------------
+@register(
+    "disjunctive_bracket_revenue",
+    sql="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("tpch", "q19", "disjunctive", "join", "agg"),
+)
+def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape adapted to the driver's part columns (no
+    p_container/l_shipmode — brand/size/quantity brackets carry the
+    OR-of-ANDs join residual)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+
+    def bracket(brand: str, size_hi: int, q_lo: int, q_hi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    cond = (
+        bracket("Brand#12", 5, 1, 11)
+        | bracket("Brand#23", 10, 10, 20)
+        | bracket("Brand#34", 15, 20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

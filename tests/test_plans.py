@@ -419,6 +419,9 @@ def test_no_python_stages_outside_documented_extension_points(spark):
     )
     documented = {
         "cogroup_user_activity",        # §2.9 cogrouped-map demo
+        "elb_error_report",             # P11 UA pandas_udf survives here:
+                                        # the report PROJECTS ua families
+                                        # (hourly agg prunes the UDF away)
         "cosine_topk_arrow",            # Arrow/BLAS batch scorer
         "cosine_topk_pq",               # PQ-ADC batch scorer
         "cosine_topk_ivfpq",            # IVF-PQ batch scorer
