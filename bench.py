@@ -189,6 +189,14 @@ HEADLINE = [
     "srm_balance_audit",
     "ab_conversion_ztest",
     "streaming_timeout_sessions",
+    # --- round 3 ---
+    "elb_error_report",
+    "large_volume_customers",
+    "disjunctive_bracket_revenue",
+    "gopher_quality_battery",
+    "source_mixing_weights",
+    "curation_funnel_by_source",
+    "vocab_growth_audit_approx",
 ]
 
 

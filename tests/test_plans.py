@@ -605,3 +605,29 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q18_single_fact_exchange_and_topk(spark):
+    """Q18 shape: the grouped-HAVING detection is the ONLY exchange
+    (orders/customer broadcast at test SF), and the top-100 compiles
+    to TakeOrderedAndProject, never a global sort."""
+    df = _q(spark, "large_volume_customers")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject(limit=100" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_sum" in plan  # map-side combine below the exchange
+
+
+def test_q19_disjunction_stays_residual_and_pushes_per_side(spark):
+    """Q19 shape: the OR-of-ANDs must ride the extracted equi hash join
+    as a residual (no nested loop / cartesian), and Catalyst must push
+    the per-side weakened disjunctions into BOTH scans (quantity
+    brackets to lineitem, brand+size brackets to part)."""
+    df = _q(spark, "disjunctive_bracket_revenue")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [l_partkey" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    stats = plan_stats(df)
+    pushed = " ".join(" ".join(f) for f in [stats["pushed_filters"]])
+    assert "l_quantity,1.0" in pushed or "GreaterThanOrEqual(l_quantity,1.0)" in pushed, pushed
+    assert "EqualTo(p_brand" in pushed, pushed

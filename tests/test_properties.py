@@ -283,3 +283,61 @@ def test_duplicated_span_coverage_matches_reference_on_random_corpora(spark, tmp
             for r in REGISTRY["duplicated_span_coverage"].fn(spark, out_dir).collect()
         }
         assert got == want, (trial, {k: (got[k], want[k]) for k in got if got[k] != want[k]})
+
+
+def test_gopher_battery_matches_reference_on_random_corpora(spark, tmp_path):
+    """Randomized differential for the Gopher rule battery: per-rule
+    violation counts over random corpora (token lengths spanning every
+    rule boundary) must equal a brute-force Python reference — the
+    guard against a shared bug in both the Spark and oracle
+    formulations."""
+    import random
+
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+    from elb_log_etl_enrichment_spark.plans.queries_quality import (
+        _GOPHER_STOPWORDS,
+    )
+
+    all_queries()
+    rng = random.Random(99)
+    words = ["the", "a", "of", "xx", "zzz", "longword", "q" * 31, "medium"]
+    for trial in range(3):
+        docs = []
+        for i in range(40):
+            n = rng.choice([0, 5, 30, 49, 50, 51, 120])
+            docs.append((i, " ".join(rng.choice(words) for _ in range(n))))
+        # brute-force reference
+        counts = dict.fromkeys(
+            ["word_count_bounds", "mean_word_len_bounds", "stopword_min2",
+             "max_token_len", "ttr_floor", "any_rule"], 0)
+        n_docs = 0
+        for _, text in docs:
+            t = text.split()
+            if not t:
+                continue
+            n_docs += 1
+            v = {
+                "word_count_bounds": not (50 <= len(t) <= 20000),
+                "mean_word_len_bounds": not (
+                    3 <= sum(map(len, t)) / len(t) <= 10
+                ),
+                "stopword_min2": sum(x in _GOPHER_STOPWORDS for x in t) < 2,
+                "max_token_len": max(map(len, t)) > 30,
+                "ttr_floor": len(set(t)) / len(t) < 0.2,
+            }
+            v["any_rule"] = any(v.values())
+            for k, b in v.items():
+                counts[k] += b
+        out_dir = f"{tmp_path}/g{trial}"
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{out_dir}/documents.parquet")
+        got = {
+            r["rule"]: (r["n_violations"], r["violation_bp"])
+            for r in REGISTRY["gopher_quality_battery"].fn(spark, out_dir).collect()
+        }
+        want = {
+            k: (v, v * 10000 // n_docs) for k, v in counts.items()
+        }
+        assert got == want, (trial, got, want)
