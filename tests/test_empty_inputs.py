@@ -239,3 +239,27 @@ def test_streaming_queries_on_empty_events(spark, tmp_path):
     ):
         out = REGISTRY[name].fn(spark, str(tmp_path))
         assert out.count() == 0, name
+
+
+def test_round3_queries_on_empty_inputs(spark, tmp_path):
+    """Round-3 additions: total on empty inputs. The battery and
+    funnel keep zero rows (no docs → no rules evaluated, no sources);
+    the revenue aggregate keeps its single summary row with NULL sum."""
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    for t in ("orders", "customer", "lineitem", "part", "documents"):
+        _empty_like(spark, SF, t).write.parquet(f"{tmp_path}/{t}.parquet")
+    for name, expect in (
+        ("large_volume_customers", 0),
+        ("disjunctive_bracket_revenue", 1),  # global agg summary row
+        ("gopher_quality_battery", 6),       # 6 rules, all zero counts
+        ("source_mixing_weights", 0),
+        ("curation_funnel_by_source", 0),
+        ("vocab_growth_audit_approx", 0),
+    ):
+        out = REGISTRY[name].fn(spark, str(tmp_path)).collect()
+        assert len(out) == expect, (name, len(out))
+    g = {r.rule: r.n_violations for r in
+         REGISTRY["gopher_quality_battery"].fn(spark, str(tmp_path)).collect()}
+    assert set(g.values()) == {0}
