@@ -197,6 +197,13 @@ HEADLINE = [
     "source_mixing_weights",
     "curation_funnel_by_source",
     "vocab_growth_audit_approx",
+    # --- round 3: physical-layout / cost-estimation tier ---
+    "zorder_layout_audit",
+    "compaction_binpack_plan",
+    "mergeable_histogram_quantiles",
+    "join_cardinality_estimate",
+    "chi_square_independence",
+    "temporal_embargo_split_audit",
 ]
 
 

@@ -994,6 +994,32 @@ _head3 = [
 _rest3 = [n for n in CORE_PREFIX if n not in _head3 and n not in _R3_PROMOTED]
 CORE_PREFIX = _head3 + _R3_PROMOTED + _rest3
 
+# Round-3b: the physical-layout / cost-estimation tier
+# (plans/queries_layout.py) plus the chi-square and temporal-split
+# additions are NEW this round, so no driver row exists for any of
+# them; promote four representatives so CORRECTNESS_r03 exercises the
+# tier, displacing banked driver-green shapes (each keeps its local
+# oracle test and stays later in the list).
+_R3B_PROMOTED = [
+    "zorder_layout_audit",              # multi-dim clustering audit
+    "join_cardinality_estimate",        # sampled pre-join CBO check
+    "mergeable_histogram_quantiles",    # algebraic sketch-state rollup
+    "chi_square_independence",          # contingency independence test
+]
+_R3B_DEMOTED = {
+    # each banked driver-green in r01 and/or r02 + shape-covered:
+    "customers_without_orders_anti_join",  # J2 anti join (banked r01+r02)
+    "customer_order_distribution",      # A2/A8 counts (banked r01+r02)
+    "pivot_event_type_counts",          # pivot (banked r01+r02)
+    "rollup_acctbal_by_region_nation",  # ROLLUP (banked r01+r02)
+}
+_head3b = [
+    n for n in CORE_PREFIX[:50]
+    if n not in _R3B_DEMOTED and n not in _R3B_PROMOTED
+]
+_rest3b = [n for n in CORE_PREFIX if n not in _head3b and n not in _R3B_PROMOTED]
+CORE_PREFIX = _head3b + _R3B_PROMOTED + _rest3b
+
 
 def _ordered_specs() -> list[QuerySpec]:
     """CORE_PREFIX first, then remaining oracle-backed queries in
@@ -1028,6 +1054,7 @@ def _load_extensions() -> None:
         queries_ext,
         queries_functions,
         queries_geo,
+        queries_layout,
         queries_privacy,
         queries_profiling,
         queries_quality,

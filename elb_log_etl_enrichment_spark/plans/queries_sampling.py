@@ -308,3 +308,122 @@ def per_nation_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("rk") <= GROUP_K)
         .orderBy("n_name", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Temporal train/test split with an embargo gap (backtest hygiene)
+# --------------------------------------------------------------------------
+
+#: train/test cut at 80% of the observed time span; 1-day embargo.
+_EMBARGO_MS = 86_400_000
+
+
+@register(
+    "temporal_embargo_split_audit",
+    sql=f"""
+    WITH b AS (
+        SELECT MIN(epoch_ms(ts)) AS mn,
+               MIN(epoch_ms(ts))
+               + (MAX(epoch_ms(ts)) - MIN(epoch_ms(ts))) * 8 // 10 AS cut
+        FROM events
+    ),
+    tagged AS (
+        SELECT user_id,
+               CASE WHEN epoch_ms(ts) <= b.cut THEN 'train'
+                    WHEN epoch_ms(ts) <= b.cut + {_EMBARGO_MS}
+                        THEN 'embargo'
+                    ELSE 'test' END AS part,
+               epoch_ms(ts) AS ms
+        FROM events CROSS JOIN b
+    ),
+    agg AS (
+        SELECT COUNT(CASE WHEN part = 'train' THEN 1 END) AS n_train,
+               COUNT(CASE WHEN part = 'embargo' THEN 1 END)
+                   AS n_embargo_dropped,
+               COUNT(CASE WHEN part = 'test' THEN 1 END) AS n_test,
+               MAX(CASE WHEN part = 'train' THEN ms END) AS mx_train,
+               MIN(CASE WHEN part = 'test' THEN ms END) AS mn_test
+        FROM tagged
+    ),
+    overlap AS (
+        SELECT COUNT(*) AS users_in_both FROM (
+            SELECT DISTINCT user_id FROM tagged WHERE part = 'train'
+        ) tr JOIN (
+            SELECT DISTINCT user_id FROM tagged WHERE part = 'test'
+        ) te USING (user_id)
+    )
+    SELECT CAST(agg.n_train AS BIGINT) AS n_train,
+           CAST(agg.n_embargo_dropped AS BIGINT) AS n_embargo_dropped,
+           CAST(agg.n_test AS BIGINT) AS n_test,
+           CAST(CASE WHEN agg.n_train > 0 AND agg.n_test > 0
+                     AND agg.mn_test - agg.mx_train > {_EMBARGO_MS}
+                THEN 1 ELSE 0 END AS BIGINT) AS gap_ok,
+           CAST(overlap.users_in_both AS BIGINT) AS users_in_both
+    FROM agg CROSS JOIN overlap
+    """,
+    tags=("sampling", "split", "temporal", "llm_pipeline"),
+)
+def temporal_embargo_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/test split with an embargo gap — the split
+    hygiene for forecasting / sequence models, where hash splits
+    (``leakproof_customer_split``) leak future context into training.
+    Cut at 80 % of the observed span (pure epoch-ms integer math),
+    drop a 1-day embargo band after the cut (so lag/rolling features
+    computed on train rows can't peek across the boundary), and audit
+    the result: partition row counts, a proof the realized gap
+    exceeds the embargo, and how many users appear on both sides
+    (expected for panel data — reported, not forbidden; the
+    entity-granular alternative is the hash split).
+
+    Scale shape: one events scan + a 5-slot aggregate for the counts;
+    the user-overlap arm is two DISTINCT reduces joined on user_id —
+    all map-side combinable, no windows, no global sort.
+    """
+    e = _t(spark, sf_dir, "events")
+    ms = F.expr("unix_millis(ts)")
+    b = e.agg(
+        F.min(ms).alias("mn"),
+        (
+            F.min(ms)
+            + F.expr(
+                "(max(unix_millis(ts)) - min(unix_millis(ts))) * 8 div 10"
+            )
+        ).alias("cut"),
+    )
+    tagged = e.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        F.when(ms <= F.col("cut"), "train")
+        .when(ms <= F.col("cut") + _EMBARGO_MS, "embargo")
+        .otherwise("test")
+        .alias("part"),
+        ms.alias("ms"),
+    )
+    agg = tagged.agg(
+        F.count(F.when(F.col("part") == "train", 1)).alias("n_train"),
+        F.count(F.when(F.col("part") == "embargo", 1)).alias(
+            "n_embargo_dropped"
+        ),
+        F.count(F.when(F.col("part") == "test", 1)).alias("n_test"),
+        F.max(F.when(F.col("part") == "train", F.col("ms"))).alias("mx_train"),
+        F.min(F.when(F.col("part") == "test", F.col("ms"))).alias("mn_test"),
+    )
+    tr = tagged.filter(F.col("part") == "train").select("user_id").distinct()
+    te = tagged.filter(F.col("part") == "test").select("user_id").distinct()
+    overlap = tr.join(te, "user_id").agg(
+        F.count(F.lit(1)).alias("users_in_both")
+    )
+    return agg.crossJoin(overlap).select(
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("n_embargo_dropped").cast("long").alias("n_embargo_dropped"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.when(
+            (F.col("n_train") > 0)
+            & (F.col("n_test") > 0)
+            & (F.col("mn_test") - F.col("mx_train") > _EMBARGO_MS),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("gap_ok"),
+        F.col("users_in_both").cast("long").alias("users_in_both"),
+    )

@@ -1667,3 +1667,83 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(10000 * c_b div n_b AS BIGINT)").alias("rate_b_bp"),
         F.when(var > 0, F.round(z, 6)).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square test of independence: event_type x day-of-week contingency
+# --------------------------------------------------------------------------
+
+
+@register(
+    "chi_square_independence",
+    sql="""
+    WITH cells AS (
+        SELECT event_type,
+               (epoch_ms(ts) // 86400000 + 3) % 7 AS dow,
+               COUNT(*) AS observed
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, dow, observed,
+               SUM(observed) OVER (PARTITION BY event_type) AS rt,
+               SUM(observed) OVER (PARTITION BY dow) AS ct,
+               SUM(observed) OVER () AS n
+        FROM cells
+    )
+    SELECT event_type, CAST(dow AS BIGINT) AS dow,
+           CAST(observed AS BIGINT) AS observed,
+           CAST(rt * ct * 1000 // n AS BIGINT) AS expected_milli,
+           ROUND((observed - CAST(rt * ct AS DOUBLE) / n)
+                 * (observed - CAST(rt * ct AS DOUBLE) / n)
+                 / (CAST(rt * ct AS DOUBLE) / n), 6) AS chi2_part
+    FROM m
+    ORDER BY event_type, dow
+    """,
+    tags=("stats", "chi_square", "independence"),
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence cells for event_type x
+    day-of-week: per-cell observed counts (exact integers), expected
+    counts in exact milli-units (``rt*ct*1000 // n``), and the chi2
+    contribution through an identical IEEE tree in both engines
+    (sum the `chi2_part` column against the (r-1)(c-1) quantile to
+    complete the test downstream).
+
+    Day-of-week is computed as ``(epoch_day + 3) % 7`` (0 = Monday)
+    in pure integer arithmetic — calendar functions disagree across
+    engines on week start, integer math does not.  The marginals
+    come from windows over the AGGREGATED cell table (#event_types
+    x 7 rows), so the only data-scale operation is the first
+    map-side-combined count; everything after runs on a few dozen
+    rows regardless of input size.
+    """
+    e = _t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        ((F.expr("unix_millis(ts) div 86400000") + 3) % 7).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    m = cells.select(
+        "event_type",
+        "dow",
+        "observed",
+        F.sum("observed").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("observed").over(Window.partitionBy("dow")).alias("ct"),
+        F.sum("observed").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    expected = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    return m.select(
+        "event_type",
+        F.col("dow").cast("long").alias("dow"),
+        F.col("observed").cast("long").alias("observed"),
+        (F.col("rt") * F.col("ct") * 1000 / F.col("n"))
+        .cast("long")
+        .alias("expected_milli"),
+        F.round(
+            (F.col("observed") - expected)
+            * (F.col("observed") - expected)
+            / expected,
+            6,
+        ).alias("chi2_part"),
+    ).orderBy("event_type", "dow")
