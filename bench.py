@@ -204,6 +204,8 @@ HEADLINE = [
     "join_cardinality_estimate",
     "chi_square_independence",
     "temporal_embargo_split_audit",
+    "incremental_join_rollup",
+    "write_audit_publish_stats",
 ]
 
 

@@ -499,3 +499,86 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("abs_err_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Write-audit-publish: transactional batch publish, digest-proven
+# --------------------------------------------------------------------------
+_WAP_DIRS: dict[str, str] = {}
+
+
+@register(
+    "write_audit_publish_stats",
+    sql="""
+    WITH h AS (
+        SELECT ('0x' || substr(md5(concat_ws('|',
+                   o_orderkey, o_custkey, o_orderpriority,
+                   strftime(o_orderdate, '%Y-%m-%d'))), 1, 15))::UBIGINT
+               AS rh
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(rh) % 9223372036854775807 AS BIGINT) AS digest_sum,
+           CAST(bit_xor(rh) AS BIGINT) AS digest_xor,
+           CAST(1 AS BIGINT) AS retry_noop,
+           CAST(0 AS BIGINT) AS failed_audit_published
+    FROM h
+    """,
+    tags=("layout", "sink", "wap", "transactional"),
+)
+def write_audit_publish_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end write-audit-publish exercise whose RESULT is the
+    digest of the PUBLISHED files (not the in-memory frame): stage →
+    audit-from-staged-bytes → atomic-rename publish, then (a) retry
+    the identical publish and require the idempotent no-op, and (b)
+    attempt a publish whose audit must fail (min_rows impossible)
+    into a separate target and require nothing appeared there.  The
+    oracle computes the same digest straight from the source table —
+    a hash match proves the staged/published round trip preserved
+    every row.  See ``sinks/writers.write_audit_publish`` for the
+    commit-protocol notes (local rename == the honest single-node
+    stand-in for an Iceberg/Delta pointer swap).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks.writers import AuditFailure, write_audit_publish
+    from ..sinks.writers import _stable_row_digest
+
+    base = _WAP_DIRS.get(sf_dir)
+    if base and os.path.isdir(base):
+        shutil.rmtree(base, ignore_errors=True)
+    base = tempfile.mkdtemp(prefix="wap_")
+    _WAP_DIRS[sf_dir] = base
+    final = os.path.join(base, "published")
+    rejected = os.path.join(base, "rejected")
+
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        )
+    )
+    first = write_audit_publish(src, final)
+    retry = write_audit_publish(src, final)
+    retry_noop = 1 if (retry["noop"] and not retry["published"]) else 0
+
+    failed_published = 1
+    try:
+        write_audit_publish(src, rejected, min_rows=2**62)
+    except AuditFailure:
+        failed_published = 1 if os.path.isdir(rejected) else 0
+
+    published = spark.read.parquet(final)
+    return _stable_row_digest(published).select(
+        "n_rows",
+        "digest_sum",
+        "digest_xor",
+        F.lit(retry_noop).cast("long").alias("retry_noop"),
+        F.lit(failed_published).cast("long").alias("failed_audit_published"),
+    )

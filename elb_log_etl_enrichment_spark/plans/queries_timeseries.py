@@ -714,3 +714,101 @@ def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value"
         ),
     ).orderBy("hour_start_ms", "event_type")
+
+
+# --------------------------------------------------------------------------
+# Incremental JOIN+AGG view maintenance: delta propagation through a
+# join. incremental_hourly_rollup proves (sum,count) states merge for
+# a plain aggregate; real rollups sit on top of a JOIN, and the delta
+# rule there is Δ(R ⋈ S) = R ⋈ ΔS when only the fact side S changes
+# (a static R is exactly the orders-dim-vs-arriving-lineitem shape;
+# if R also changed you'd add ΔR ⋈ S and ΔR ⋈ ΔS terms). Each run
+# joins ONLY its new fact slice — never the accumulated history —
+# so per-run cost is O(|ΔS|), not O(|S|): the difference between a
+# 2-minute cron that rereads everything (reference elb_logs.py:351)
+# and one that stays 2 minutes at 100 TB.
+# --------------------------------------------------------------------------
+_JOIN_ROLLUP_DIRS: dict[str, str] = {}
+
+
+@register(
+    "incremental_join_rollup",
+    sql="""
+    SELECT epoch_ms(date_trunc('day', o_orderdate)) AS day_ms,
+           o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2)
+               AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("timeseries", "incremental", "rollup", "join", "ivm"),
+)
+def incremental_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain daily revenue per order priority (orders ⋈ lineitem)
+    incrementally: lineitem arrives in three disjoint slices (split
+    by l_orderkey % 3, deliberately OUT of time order), each run
+    joins orders against ITS SLICE ONLY and merges the mergeable
+    (count, decimal-sum) partials into a persisted state table.
+    The returned final state must hash-match the oracle's one-shot
+    full join-aggregate — proving the delta rule, not just the
+    merge. State writes alternate directories for the same
+    read-before-overwrite reason as ``incremental_hourly_rollup``.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    base = _JOIN_ROLLUP_DIRS.get(sf_dir)
+    if base and os.path.isdir(base):
+        shutil.rmtree(base, ignore_errors=True)
+    base = tempfile.mkdtemp(prefix="join_rollup_state_")
+    _JOIN_ROLLUP_DIRS[sf_dir] = base
+
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    keys = [
+        F.unix_millis(F.date_trunc("day", F.col("o_orderdate"))).alias(
+            "day_ms"
+        ),
+        F.col("o_orderpriority"),
+    ]
+    state_path = None
+    for i in range(3):
+        delta = li.filter(F.col("l_orderkey") % 3 == i)
+        partial = (
+            o.join(delta, o.o_orderkey == delta.l_orderkey)
+            .groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(rev).cast("decimal(28,12)").alias("rev_sum"),
+            )
+        )
+        if state_path is not None:
+            state = spark.read.parquet(state_path)
+            merged = (
+                state.unionByName(partial)
+                .groupBy("day_ms", "o_orderpriority")
+                .agg(
+                    F.sum("n_items").alias("n_items"),
+                    F.sum("rev_sum").cast("decimal(28,12)").alias("rev_sum"),
+                )
+            )
+        else:
+            merged = partial
+        new_path = os.path.join(base, f"state_{i}")
+        merged.write.mode("overwrite").parquet(new_path)
+        state_path = new_path
+
+    final = spark.read.parquet(state_path)
+    return final.select(
+        "day_ms",
+        "o_orderpriority",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.round(F.col("rev_sum"), 2).cast("double").alias("revenue"),
+    ).orderBy("day_ms", "o_orderpriority")

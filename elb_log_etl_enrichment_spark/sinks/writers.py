@@ -231,3 +231,101 @@ def read_with_schema_evolution(spark, *paths: str):
     data bugs). One scan, normal pushdown/pruning on the union
     schema."""
     return spark.read.option("mergeSchema", True).parquet(*paths)
+
+
+# --------------------------------------------------------------------------
+# Write-audit-publish (WAP): transactional publish for batch sinks
+# --------------------------------------------------------------------------
+
+
+class AuditFailure(RuntimeError):
+    """Raised when a staged write fails its audit; nothing publishes."""
+
+
+def _stable_row_digest(df: DataFrame):
+    """(n_rows, digest_sum, digest_xor) over ALL columns rendered as
+    strings — same 60-bit md5-prefix SUM/XOR fold as
+    ``plans/queries_profiling.table_content_digest`` (associative +
+    commutative → order- and partitioning-independent). Callers must
+    project STABLE columns first (no raw doubles: their text
+    rendering is engine-specific)."""
+    row_str = F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns])
+    rh = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("decimal(20,0)")
+    return df.select(rh.alias("rh")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum("rh") % F.lit(9223372036854775807)).cast("long").alias("digest_sum"),
+        F.bit_xor(F.col("rh").cast("long")).alias("digest_xor"),
+    )
+
+
+def write_audit_publish(
+    df: DataFrame,
+    final_dir: str,
+    min_rows: int = 1,
+) -> dict:
+    """Write-audit-publish: stage → audit the RE-READ bytes → publish
+    atomically. The pattern every 100 TB batch pipeline needs and the
+    reference's direct ``to_parquet`` lacks (elb_logs.py:343 — a
+    half-written crash leaves a partial table readers can see):
+
+    1. WRITE the frame to a staging directory next to the target.
+    2. AUDIT by re-reading the staged files (catches truncated/corrupt
+       writes, not just logical errors): row count >= ``min_rows``,
+       and a content digest computed FROM THE STAGED BYTES.
+    3. PUBLISH with one atomic directory rename. Readers see the old
+       table or the new one, never a mix. (On object stores the
+       rename becomes a metastore/table-format pointer swap — Iceberg
+       and Delta commit protocols are this same pattern; a local
+       filesystem rename is the honest single-node equivalent.)
+
+    Idempotent retry: if ``final_dir`` already holds data whose digest
+    equals the staged digest, the publish is a no-op (``published:
+    False, noop: True``) — re-running a crashed-after-publish job
+    cannot double-write.
+
+    Returns ``{"n_rows", "digest_sum", "digest_xor", "published",
+    "noop"}``. Raises :class:`AuditFailure` (staging removed, target
+    untouched) when the audit fails.
+    """
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    staging = final_dir.rstrip("/") + "._staging"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)  # abandoned staging from a crashed run
+    df.write.mode("overwrite").parquet(staging)
+
+    staged = spark.read.parquet(staging)
+    audit = _stable_row_digest(staged).collect()[0]
+    if audit.n_rows < min_rows:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise AuditFailure(
+            f"staged write has {audit.n_rows} rows < min_rows={min_rows}; "
+            "nothing published"
+        )
+
+    if os.path.isdir(final_dir):
+        existing = _stable_row_digest(spark.read.parquet(final_dir)).collect()[0]
+        if (existing.n_rows, existing.digest_sum, existing.digest_xor) == (
+            audit.n_rows,
+            audit.digest_sum,
+            audit.digest_xor,
+        ):
+            shutil.rmtree(staging, ignore_errors=True)
+            return {
+                "n_rows": audit.n_rows,
+                "digest_sum": audit.digest_sum,
+                "digest_xor": audit.digest_xor,
+                "published": False,
+                "noop": True,
+            }
+        shutil.rmtree(final_dir)
+    os.rename(staging, final_dir)
+    return {
+        "n_rows": audit.n_rows,
+        "digest_sum": audit.digest_sum,
+        "digest_xor": audit.digest_xor,
+        "published": True,
+        "noop": False,
+    }

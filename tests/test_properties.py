@@ -341,3 +341,67 @@ def test_gopher_battery_matches_reference_on_random_corpora(spark, tmp_path):
             k: (v, v * 10000 // n_docs) for k, v in counts.items()
         }
         assert got == want, (trial, got, want)
+
+
+# --------------------------------------------------------------------------
+# Morton spread: the SQL twin (evaluated by DuckDB) and the Spark
+# expression must both equal a bit-by-bit Python reference
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=0, max_value=0xFFFF),
+       st.integers(min_value=0, max_value=0xFFFF))
+def test_sql_spread16_matches_python_reference(a, b):
+    import duckdb
+
+    from elb_log_etl_enrichment_spark.plans.queries_layout import _sql_spread16
+
+    def py_spread(x):
+        return sum(((x >> i) & 1) << (2 * i) for i in range(16))
+
+    # BIGINT casts mirror the real query, whose operands are BIGINT
+    # columns — bare INT32 literals overflow on the final << 1
+    expr_a = _sql_spread16(f"CAST({a} AS BIGINT)")
+    expr_b = _sql_spread16(f"CAST({b} AS BIGINT)")
+    got = duckdb.sql(
+        f"SELECT {expr_a} AS sa, ({expr_a} | ({expr_b} << 1)) AS z"
+    ).fetchone()
+    assert got[0] == py_spread(a)
+    assert got[1] == (py_spread(a) | (py_spread(b) << 1))
+    # interleave is a bijection: decode back
+    z = got[1]
+    da = sum((((z >> (2 * i)) & 1) << i) for i in range(16))
+    db = sum((((z >> (2 * i + 1)) & 1) << i) for i in range(16))
+    assert (da, db) == (a, b)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=1500),
+                min_size=1, max_size=30))
+def test_binpack_rule_invariants(sizes):
+    """The greedy cum_before // target rule, checked in pure Python
+    against its defining invariants (the Spark/SQL twins both
+    implement this exact rule; test_layout.py pins them to it)."""
+    target = 512
+    bins: dict[int, list[int]] = {}
+    cum = 0
+    for sz in sizes:
+        bins.setdefault(cum // target, []).append(sz)
+        cum += sz
+    labels = sorted(bins)
+    # every non-final bin is "full": its last file STARTED before the
+    # boundary, so total-so-far through that bin reaches the boundary
+    run = 0
+    for lb in labels[:-1]:
+        run += sum(bins[lb])
+        assert run >= (lb + 1) * target
+    # no bin except possibly its last file could move one bin earlier:
+    # each bin's first file starts inside [lb*target, (lb+1)*target)
+    start = 0
+    for lb in labels:
+        assert lb == start // target
+        start += sum(bins[lb])
+    # totality: nothing lost
+    assert sum(len(v) for v in bins.values()) == len(sizes)
+    assert sum(sum(v) for v in bins.values()) == sum(sizes)

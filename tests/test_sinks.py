@@ -272,3 +272,48 @@ def test_bucketed_join_plans_without_exchange(spark):
     li = load_table(spark, sf, "lineitem")
     expect = o.join(li, o.o_orderkey == li.l_orderkey).count()
     assert j.count() == expect
+
+
+def test_write_audit_publish_lifecycle(spark, tmp_path):
+    """WAP: publish, idempotent retry, real-change replace, and a
+    failed audit that must leave the target untouched."""
+    import os
+
+    import pytest as _pytest
+
+    from elb_log_etl_enrichment_spark.sinks.writers import (
+        AuditFailure,
+        write_audit_publish,
+    )
+
+    final = str(tmp_path / "t")
+    df1 = spark.range(10).withColumnRenamed("id", "k")
+
+    r1 = write_audit_publish(df1, final)
+    assert r1["published"] and not r1["noop"] and r1["n_rows"] == 10
+
+    # retry with identical data → no-op, same digest
+    r2 = write_audit_publish(df1, final)
+    assert r2["noop"] and not r2["published"]
+    assert (r2["digest_sum"], r2["digest_xor"]) == (
+        r1["digest_sum"],
+        r1["digest_xor"],
+    )
+
+    # changed data → replaces atomically
+    df2 = spark.range(20).withColumnRenamed("id", "k")
+    r3 = write_audit_publish(df2, final)
+    assert r3["published"] and r3["n_rows"] == 20
+    assert spark.read.parquet(final).count() == 20
+
+    # failing audit → raises, target still holds the old publish,
+    # staging cleaned up
+    with _pytest.raises(AuditFailure):
+        write_audit_publish(df1, final, min_rows=100)
+    assert spark.read.parquet(final).count() == 20
+    assert not os.path.isdir(final + "._staging")
+
+    # failing audit against a fresh target → nothing appears at all
+    with _pytest.raises(AuditFailure):
+        write_audit_publish(df1, str(tmp_path / "never"), min_rows=100)
+    assert not os.path.isdir(str(tmp_path / "never"))

@@ -196,3 +196,71 @@ def test_session_window_exact_gap_boundary(spark, tmp_path):
         .collect()
     }
     assert n_sessions == {1: 1, 2: 2}
+
+
+def test_incremental_join_rollup_hand_case(spark, tmp_path):
+    """Hand-computed IVM: 2 orders x 3 lineitems split across the
+    three l_orderkey%3 delta slices; final state must equal the
+    full join-aggregate computed by hand."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    orders = [
+        Row(o_orderkey=3, o_custkey=1, o_orderstatus="O",
+            o_totalprice=10.0, o_orderdate=dt.datetime(2024, 1, 1),
+            o_orderpriority="1-URGENT"),
+        Row(o_orderkey=4, o_custkey=2, o_orderstatus="O",
+            o_totalprice=20.0, o_orderdate=dt.datetime(2024, 1, 2),
+            o_orderpriority="2-HIGH"),
+    ]
+    li = [
+        # slice %3==0: key 3
+        Row(l_orderkey=3, l_partkey=1, l_suppkey=1, l_linenumber=1,
+            l_quantity=1.0, l_extendedprice=100.0, l_discount=0.1,
+            l_tax=0.0, l_returnflag="N", l_linestatus="O",
+            l_shipdate=dt.datetime(2024, 1, 3)),
+        # slice %3==1: key 4, two rows
+        Row(l_orderkey=4, l_partkey=2, l_suppkey=2, l_linenumber=1,
+            l_quantity=1.0, l_extendedprice=50.0, l_discount=0.0,
+            l_tax=0.0, l_returnflag="N", l_linestatus="O",
+            l_shipdate=dt.datetime(2024, 1, 3)),
+        Row(l_orderkey=4, l_partkey=3, l_suppkey=3, l_linenumber=2,
+            l_quantity=1.0, l_extendedprice=30.0, l_discount=0.5,
+            l_tax=0.0, l_returnflag="N", l_linestatus="O",
+            l_shipdate=dt.datetime(2024, 1, 4)),
+    ]
+    spark.createDataFrame(orders).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(li).write.parquet(f"{tmp_path}/lineitem.parquet")
+    out = {
+        (r.day_ms, r.o_orderpriority): (r.n_items, r.revenue)
+        for r in REGISTRY["incremental_join_rollup"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    day1 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    day2 = int(dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert out == {
+        (day1, "1-URGENT"): (1, 90.0),          # 100 * 0.9
+        (day2, "2-HIGH"): (2, 50.0 + 15.0),     # 50*1.0 + 30*0.5
+    }
+
+
+def test_incremental_join_rollup_empty_inputs(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+    from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+    all_queries()
+    for t in ("orders", "lineitem"):
+        load_table(spark, "/root/testdata/sf0.001", t).filter(
+            F.lit(False)
+        ).write.parquet(f"{tmp_path}/{t}.parquet")
+    assert (
+        REGISTRY["incremental_join_rollup"].fn(spark, str(tmp_path)).count()
+        == 0
+    )
