@@ -67,3 +67,93 @@ def plan_stats(df_or_plan: DataFrame | str) -> dict:
             if "PushedFilters:" in line
         ],
     }
+
+
+#: Python-stage node markers (Arrow-batched or row-at-a-time).
+_PYTHON_MARKERS = (
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "MapInPandas",
+    "PythonMapInArrow",
+)
+
+
+def scale_readiness_report(df: DataFrame) -> dict:
+    """One-call scale audit for a user-composed DataFrame: the
+    red flags that are invisible to correctness tests but dominate
+    cost at 100 TB. Returns ``{"flags": [...], "stats": plan_stats,
+    "ok": bool}`` where each flag is a (severity, message) tuple::
+
+        from elb_log_etl_enrichment_spark.plans.audit import (
+            scale_readiness_report,
+        )
+        report = scale_readiness_report(my_df)
+        assert report["ok"], report["flags"]
+
+    Checks (each maps to a VERDICT/PERF discipline this engine holds
+    its own queries to):
+
+    * ``cartesian``  — CartesianProduct (error) or a
+      BroadcastNestedLoopJoin (warn — O(n*m) compare even when one
+      side broadcasts; a warn is informational and does NOT fail
+      ``ok``: broadcasting a 1-row bounds/summary frame plans as BNLJ
+      and is the legitimate pattern this engine itself uses).
+    * ``single_partition_exchange`` — ``Exchange SinglePartition``
+      feeding a non-aggregate: a global sort/window funneling every
+      row through one reducer. (1-row summary aggregates are the
+      legitimate use and are not flagged: partial aggregation has
+      already collapsed the data before the exchange.)
+    * ``python_stage`` — Arrow/Pandas/Python eval nodes: the slow
+      path; fine at documented extension points, a smell in a plan
+      that could be pure JVM.
+    * ``full_width_scan`` — a parquet scan whose ReadSchema carries
+      more than 16 top-level fields: column pruning likely failed
+      (SELECT * flowed through to the scan).
+    """
+    plan = plan_text(df)
+    nodes = _detail_nodes(plan)
+    stats = plan_stats(plan)
+    flags: list[tuple[str, str]] = []
+
+    for n in nodes:
+        if "CartesianProduct" in n:
+            flags.append(("error", f"cartesian: {n.strip()}"))
+        elif "BroadcastNestedLoopJoin" in n and "LeftSingle" not in n:
+            flags.append(("warn", f"nested_loop_join: {n.strip()}"))
+
+    # SinglePartition exchange is fine when it feeds the FINAL step of
+    # a partial+final aggregate (1-row global agg) — flag it when the
+    # plan also contains Sort/Window nodes, the global-funnel shape.
+    has_single = "Exchange SinglePartition" in plan
+    has_sort_or_window = any(
+        n.strip("( )").split()[1].startswith(("Sort", "Window"))
+        for n in nodes
+        if len(n.strip("( )").split()) > 1
+    )
+    if has_single and has_sort_or_window:
+        flags.append(
+            (
+                "warn",
+                "single_partition_exchange with Sort/Window in plan: "
+                "check for a global sort or unpartitioned window",
+            )
+        )
+
+    for n in nodes:
+        if any(m in n for m in _PYTHON_MARKERS):
+            flags.append(("warn", f"python_stage: {n.strip()}"))
+
+    for schema in stats["read_schemas"]:
+        n_cols = schema.count(":")
+        if n_cols > 16:
+            flags.append(
+                ("warn", f"full_width_scan: {n_cols} columns read: {schema[:80]}")
+            )
+
+    return {
+        "ok": not any(sev == "error" for sev, _ in flags),
+        "flags": flags,
+        "stats": stats,
+    }

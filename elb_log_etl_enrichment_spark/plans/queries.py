@@ -1005,6 +1005,8 @@ _R3B_PROMOTED = [
     "join_cardinality_estimate",        # sampled pre-join CBO check
     "mergeable_histogram_quantiles",    # algebraic sketch-state rollup
     "chi_square_independence",          # contingency independence test
+    "incremental_join_rollup",          # delta-propagation IVM
+    "write_audit_publish_stats",        # transactional WAP publish
 ]
 _R3B_DEMOTED = {
     # each banked driver-green in r01 and/or r02 + shape-covered:
@@ -1012,6 +1014,8 @@ _R3B_DEMOTED = {
     "customer_order_distribution",      # A2/A8 counts (banked r01+r02)
     "pivot_event_type_counts",          # pivot (banked r01+r02)
     "rollup_acctbal_by_region_nation",  # ROLLUP (banked r01+r02)
+    "cogroup_user_activity",            # §2.9 cogroup (banked r02)
+    "salted_user_event_totals",         # skew salting (banked r01)
 }
 _head3b = [
     n for n in CORE_PREFIX[:50]

@@ -631,3 +631,37 @@ def test_q19_disjunction_stays_residual_and_pushes_per_side(spark):
     pushed = " ".join(" ".join(f) for f in [stats["pushed_filters"]])
     assert "l_quantity,1.0" in pushed or "GreaterThanOrEqual(l_quantity,1.0)" in pushed, pushed
     assert "EqualTo(p_brand" in pushed, pushed
+
+
+def test_scale_readiness_report_flags_and_passes(spark):
+    """The user-facing scale audit: clean plans pass, Python stages
+    and nested-loop joins warn, a true cartesian errors."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.plans.audit import (
+        scale_readiness_report,
+    )
+
+    clean = scale_readiness_report(_q(spark, "pricing_summary"))
+    assert clean["ok"] and clean["flags"] == []
+
+    py = scale_readiness_report(_q(spark, "zscore_outlier_events"))
+    assert py["ok"]  # warns don't fail ok
+    assert any("python_stage" in msg for _, msg in py["flags"])
+
+    jvm_twin = scale_readiness_report(
+        _q(spark, "zscore_outlier_events_builtin")
+    )
+    assert not any("python_stage" in m for _, m in jvm_twin["flags"])
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.range(1000)
+        b = spark.range(1000).withColumnRenamed("id", "j")
+        cart = scale_readiness_report(a.crossJoin(b))
+        assert not cart["ok"]
+        assert any(sev == "error" and "cartesian" in msg
+                   for sev, msg in cart["flags"])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
