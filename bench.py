@@ -206,6 +206,7 @@ HEADLINE = [
     "temporal_embargo_split_audit",
     "incremental_join_rollup",
     "write_audit_publish_stats",
+    "parquet_footer_stats",
 ]
 
 

@@ -582,3 +582,105 @@ def write_audit_publish_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(retry_noop).cast("long").alias("retry_noop"),
         F.lit(failed_published).cast("long").alias("failed_audit_published"),
     )
+
+
+# --------------------------------------------------------------------------
+# Parquet footer introspection: the metadata the layout tier acts on
+# --------------------------------------------------------------------------
+
+
+@register(
+    "parquet_footer_stats",
+    sql=None,  # footer metadata is path-addressed — outside the
+    # driver's view-only oracle surface; the local differential
+    # (tests/test_layout.py) checks every cell against DuckDB's
+    # parquet_metadata() on the same files instead.
+    tags=("layout", "metadata", "parquet", "rows_only"),
+)
+def parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column parquet footer statistics for the lineitem table:
+    row-group count, compressed/uncompressed bytes, value counts,
+    min/max-statistics presence, and the compression ratio in basis
+    points — the physical facts behind every layout decision this
+    tier makes (row-group pruning needs min/max present; compaction
+    needs real byte sizes; scan cost models need compressed bytes).
+
+    Scale shape: the FILE MANIFEST parallelizes, not the data — each
+    task opens only footers (O(KB) reads per file, never data pages)
+    via a vectorized ``mapInPandas`` over the path list, so a
+    100 TB table with 100k files is a 100k-row job. Footer decoding
+    is a documented Python extension point (pyarrow is the footer
+    parser; there is no JVM expression for file metadata).
+    """
+    import glob
+    import os
+
+    target = os.path.join(sf_dir, "lineitem.parquet")
+    paths = (
+        sorted(glob.glob(os.path.join(target, "*.parquet")))
+        if os.path.isdir(target)
+        else [target]
+    )
+    paths = [p for p in paths if os.path.exists(p)]  # totality on a
+    # missing/empty table: zero manifest rows, typed empty result
+    files = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    cols = [
+        "column_name",
+        "n_row_groups",
+        "compressed_bytes",
+        "uncompressed_bytes",
+        "n_values",
+        "n_minmax",
+    ]
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        out.append(
+                            (
+                                c.path_in_schema,
+                                1,
+                                c.total_compressed_size,
+                                c.total_uncompressed_size,
+                                c.num_values,
+                                1
+                                if (
+                                    c.statistics is not None
+                                    and c.statistics.has_min_max
+                                )
+                                else 0,
+                            )
+                        )
+            yield pd.DataFrame(out, columns=cols)
+
+    schema = (
+        "column_name string, n_row_groups long, compressed_bytes long, "
+        "uncompressed_bytes long, n_values long, n_minmax long"
+    )
+    per_rg = files.mapInPandas(read_footers, schema)
+    return (
+        per_rg.groupBy("column_name")
+        .agg(
+            F.sum("n_row_groups").alias("n_row_groups"),
+            F.sum("compressed_bytes").alias("compressed_bytes"),
+            F.sum("uncompressed_bytes").alias("uncompressed_bytes"),
+            F.sum("n_values").alias("n_values"),
+            F.sum("n_minmax").alias("n_minmax"),
+        )
+        .withColumn(
+            "compression_ratio_bp",
+            (F.col("uncompressed_bytes") * 10000 / F.col("compressed_bytes"))
+            .cast("long"),
+        )
+        .orderBy("column_name")
+    )

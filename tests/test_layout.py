@@ -318,3 +318,46 @@ def test_round3b_queries_on_empty_inputs(spark, tmp_path):
     card = REGISTRY["join_cardinality_estimate"].fn(spark, str(tmp_path)).collect()[0]
     assert card.est_rows == 0 and card.actual_rows == 0
     assert card.abs_err_bp is None
+
+
+def test_parquet_footer_stats_matches_duckdb_metadata(spark):
+    """Local differential for the rows-only footer query: every cell
+    must equal DuckDB's parquet_metadata() aggregated the same way
+    over the same files."""
+    import duckdb
+
+    got = {
+        r.column_name: (
+            r.n_row_groups,
+            r.compressed_bytes,
+            r.uncompressed_bytes,
+            r.n_values,
+            r.n_minmax,
+        )
+        for r in _q(spark, "parquet_footer_stats").collect()
+    }
+    exp = {
+        row[0]: tuple(int(v) for v in row[1:])
+        for row in duckdb.sql(
+            f"""
+            SELECT path_in_schema,
+                   COUNT(*),
+                   SUM(total_compressed_size),
+                   SUM(total_uncompressed_size),
+                   SUM(num_values),
+                   COUNT(stats_min_value)
+            FROM parquet_metadata('{SF}/lineitem.parquet')
+            GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == exp
+
+
+def test_parquet_footer_stats_total_on_missing_table(spark, tmp_path):
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    out = REGISTRY["parquet_footer_stats"].fn(spark, str(tmp_path))
+    assert out.count() == 0
+    assert "compression_ratio_bp" in out.columns

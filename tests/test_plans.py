@@ -428,6 +428,9 @@ def test_no_python_stages_outside_documented_extension_points(spark):
         "multimodal_decode_stats",      # binary-column decode plumbing
         "multimodal_pipeline_stats",
         "multimodal_sniff_stats",
+        "parquet_footer_stats",         # pyarrow footer parser over the
+                                        # file manifest (no JVM expression
+                                        # for file metadata)
         "udtf_token_spans",             # Python UDTF demo (slow path, stated)
         "winnowing_fingerprints",       # numpy stride-tricks fingerprints
         "zscore_outlier_events",        # §2.9 applyInPandas demo
