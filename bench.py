@@ -207,6 +207,7 @@ HEADLINE = [
     "incremental_join_rollup",
     "write_audit_publish_stats",
     "parquet_footer_stats",
+    "feature_hashing_vectors",
 ]
 
 

@@ -1620,3 +1620,87 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Feature hashing (the hashing trick): fixed-width featurization with
+# no vocabulary pass. TF-IDF/BM25 need a vocabulary (one extra
+# corpus reduce + a join or broadcast that grows with vocab size);
+# the hashing trick maps each token straight to one of 2^k buckets
+# with a +/-1 sign bit, so featurization is a single narrow pass with
+# a fixed output width — the standard trick when the vocabulary is
+# unbounded (URLs, user agents, ngrams) or the model wants a fixed
+# dense width. Collisions are the accepted trade; the signed sum
+# makes them unbiased (Weinberger et al., ICML 2009).
+# --------------------------------------------------------------------------
+_FH_BUCKETS = 64
+
+
+@register(
+    "feature_hashing_vectors",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS token
+        FROM documents WHERE doc_id < 200
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('fh|' || token), 1, 15))::UBIGINT
+                   % {_FH_BUCKETS} AS bucket,
+               CASE WHEN ('0x' || substr(md5('sg|' || token), 1, 15))::UBIGINT
+                    % 2 = 0 THEN 1 ELSE -1 END AS sign
+        FROM tok
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(SUM(sign) AS BIGINT) AS weight,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM h
+    GROUP BY doc_id, bucket
+    HAVING SUM(sign) != 0
+    ORDER BY doc_id, bucket
+    """,
+    tags=("text", "featurize", "hashing_trick", "llm_pipeline"),
+)
+def feature_hashing_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing over the first 200 documents (bounded
+    output for the oracle compare; the plan is row-local either way):
+    lowercase alnum tokens hash to one of 64 buckets via the portable
+    md5 bucketing (identical in both engines), a second independent
+    md5 bit gives the +/-1 sign, and per-(doc, bucket) signed sums
+    form the sparse vector in long format. Zero-weight cells (exact
+    sign cancellation) drop on both sides.
+
+    Scale shape: explode → hash → groupBy(doc_id, bucket) with
+    map-side partial aggregation; no vocabulary reduce, no join, no
+    broadcast — output width fixed at 64 regardless of corpus size.
+    """
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("token"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("fh|"), F.col("token"))), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        % _FH_BUCKETS
+    ).cast("long")
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("sg|"), F.col("token"))), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    return (
+        tok.select("doc_id", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("sign").cast("long").alias("weight"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .filter(F.col("weight") != 0)
+        .orderBy("doc_id", "bucket")
+    )

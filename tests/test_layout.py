@@ -361,3 +361,37 @@ def test_parquet_footer_stats_total_on_missing_table(spark, tmp_path):
     out = REGISTRY["parquet_footer_stats"].fn(spark, str(tmp_path))
     assert out.count() == 0
     assert "compression_ratio_bp" in out.columns
+
+
+def test_feature_hashing_matches_python_md5(spark, tmp_path):
+    """Hand-computed hashing trick on a tiny corpus: bucket and sign
+    derive from the same md5 prefixes in pure Python."""
+    import hashlib
+
+    docs = [
+        (0, "alpha beta alpha!"),
+        (1, "Beta GAMMA, beta"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    def h(prefix, tok):
+        return int(hashlib.md5((prefix + tok).encode()).hexdigest()[:15], 16)
+
+    import re
+
+    expect: dict = {}
+    for doc_id, text in docs:
+        for tok in re.findall(r"[a-z0-9]+", text.lower()):
+            b = h("fh|", tok) % 64
+            s = 1 if h("sg|", tok) % 2 == 0 else -1
+            w, n = expect.get((doc_id, b), (0, 0))
+            expect[(doc_id, b)] = (w + s, n + 1)
+    expect = {k: v for k, v in expect.items() if v[0] != 0}
+    got = {
+        (r.doc_id, r.bucket): (r.weight, r.n_tokens)
+        for r in _q(spark, "feature_hashing_vectors", str(tmp_path)).collect()
+    }
+    assert got == expect

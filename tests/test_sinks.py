@@ -317,3 +317,31 @@ def test_write_audit_publish_lifecycle(spark, tmp_path):
     with _pytest.raises(AuditFailure):
         write_audit_publish(df1, str(tmp_path / "never"), min_rows=100)
     assert not os.path.isdir(str(tmp_path / "never"))
+
+
+def test_ignore_corrupt_files_reads_valid_subset(spark, tmp_path):
+    """Operational totality at scale: one corrupt object among
+    thousands must not kill the scan. With ignoreCorruptFiles the
+    reader returns every row from the intact files; without it the
+    scan fails fast (the default, so corruption can't silently pass
+    in pipelines that want strictness)."""
+    import glob
+
+    import pytest as _pytest
+
+    d = str(tmp_path / "t")
+    spark.range(100).write.parquet(d)
+    # drop a half-truncated "parquet" file into the directory
+    victim = sorted(glob.glob(f"{d}/part-*.parquet"))[0]
+    with open(victim, "rb") as f:
+        data = f.read()
+    with open(f"{d}/part-corrupt.parquet", "wb") as f:
+        f.write(data[: len(data) // 2])  # truncated: valid magic, no footer
+
+    ok = (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(d).count()
+    )
+    assert ok == 100
+
+    with _pytest.raises(Exception):
+        spark.read.option("ignoreCorruptFiles", "false").parquet(d).count()
