@@ -208,6 +208,7 @@ HEADLINE = [
     "write_audit_publish_stats",
     "parquet_footer_stats",
     "feature_hashing_vectors",
+    "streaming_wap_publish_stats",
 ]
 
 

@@ -395,3 +395,25 @@ def test_feature_hashing_matches_python_md5(spark, tmp_path):
         for r in _q(spark, "feature_hashing_vectors", str(tmp_path)).collect()
     }
     assert got == expect
+
+
+def test_streaming_wap_total_on_empty_events(spark, tmp_path):
+    """Cold-start totality: an empty events table drains an empty (or
+    zero) batch set, publishes nothing, and still returns the typed
+    all-zero summary row with both exactly-once proofs vacuously
+    true."""
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+    from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+    all_queries()
+    load_table(spark, SF, "events").filter(F.lit(False)).write.parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    rows = REGISTRY["streaming_wap_publish_stats"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_rows == 0
+    assert r.restart_published_nothing == 1
+    assert r.republish_noop == 1
