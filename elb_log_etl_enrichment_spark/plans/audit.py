@@ -100,11 +100,12 @@ def scale_readiness_report(df: DataFrame) -> dict:
       side broadcasts; a warn is informational and does NOT fail
       ``ok``: broadcasting a 1-row bounds/summary frame plans as BNLJ
       and is the legitimate pattern this engine itself uses).
-    * ``single_partition_exchange`` — ``Exchange SinglePartition``
-      feeding a non-aggregate: a global sort/window funneling every
-      row through one reducer. (1-row summary aggregates are the
-      legitimate use and are not flagged: partial aggregation has
-      already collapsed the data before the exchange.)
+    * ``single_partition_funnel`` — ``Exchange SinglePartition``
+      consumed by a Sort/Window: a global sort or unpartitioned
+      window funneling every row through one reducer. (A 1-row
+      summary aggregate consuming the exchange is the legitimate use
+      and is not flagged: partial aggregation has already collapsed
+      the data before the exchange.)
     * ``python_stage`` — Arrow/Pandas/Python eval nodes: the slow
       path; fine at documented extension points, a smell in a plan
       that could be pure JVM.
@@ -124,20 +125,19 @@ def scale_readiness_report(df: DataFrame) -> dict:
             flags.append(("warn", f"nested_loop_join: {n.strip()}"))
 
     # SinglePartition exchange is fine when it feeds the FINAL step of
-    # a partial+final aggregate (1-row global agg) — flag it when the
-    # plan also contains Sort/Window nodes, the global-funnel shape.
-    has_single = "Exchange SinglePartition" in plan
-    has_sort_or_window = any(
-        n.strip("( )").split()[1].startswith(("Sort", "Window"))
-        for n in nodes
-        if len(n.strip("( )").split()) > 1
-    )
-    if has_single and has_sort_or_window:
+    # a partial+final aggregate (1-row global agg) — the funnel shape
+    # is a Sort/Window CONSUMING it (every row through one reducer).
+    # Formatted explain splits a node across a "(n) Exchange" header
+    # and an "Arguments: SinglePartition, ..." line, so find the ids
+    # in the detail section and the consumer in the tree section.
+    for parent in _single_partition_funnels(plan):
         flags.append(
             (
                 "warn",
-                "single_partition_exchange with Sort/Window in plan: "
-                "check for a global sort or unpartitioned window",
+                f"single_partition_funnel: {parent} consumes an "
+                "Exchange SinglePartition — a global sort or "
+                "unpartitioned window pushes every row through one "
+                "reducer",
             )
         )
 
@@ -146,7 +146,7 @@ def scale_readiness_report(df: DataFrame) -> dict:
             flags.append(("warn", f"python_stage: {n.strip()}"))
 
     for schema in stats["read_schemas"]:
-        n_cols = schema.count(":")
+        n_cols = _top_level_fields(schema)
         if n_cols > 16:
             flags.append(
                 ("warn", f"full_width_scan: {n_cols} columns read: {schema[:80]}")
@@ -157,3 +157,65 @@ def scale_readiness_report(df: DataFrame) -> dict:
         "flags": flags,
         "stats": stats,
     }
+
+
+def _single_partition_funnels(plan: str) -> list[str]:
+    """Names of Sort/Window nodes that directly consume an
+    ``Exchange SinglePartition`` — the global-funnel shape. A
+    SinglePartition exchange whose consumer is a final HashAggregate
+    (the legitimate 1-row summary) is NOT returned."""
+    import re
+
+    lines = plan.splitlines()
+    # detail section: "(n) Exchange" header + Arguments line below
+    single_ids: set[str] = set()
+    for i, line in enumerate(lines):
+        m = re.match(r"\((\d+)\) Exchange\b", line.strip())
+        if not m:
+            continue
+        for j in range(i + 1, min(i + 4, len(lines))):
+            if lines[j].startswith("Arguments:"):
+                if "SinglePartition" in lines[j]:
+                    single_ids.add(m.group(1))
+                break
+    if not single_ids:
+        return []
+    # tree section: the consumer is the nearest line above with a
+    # smaller indent
+    funnels: list[str] = []
+    for i, line in enumerate(lines):
+        m = re.search(r"Exchange \((\d+)\)", line)
+        if not m or m.group(1) not in single_ids:
+            continue
+        indent = len(line) - len(line.lstrip())
+        for j in range(i - 1, -1, -1):
+            lj = lines[j]
+            if not lj.strip():
+                break
+            ind_j = len(lj) - len(lj.lstrip())
+            if ind_j < indent:
+                parent = lj.strip().lstrip("+-*: ").strip()
+                head = parent.split()[0] if parent.split() else ""
+                if head in ("Sort", "Window", "WindowGroupLimit"):
+                    funnels.append(parent)
+                break
+    return funnels
+
+
+def _top_level_fields(read_schema: str) -> int:
+    """Top-level field count of a ReadSchema string like
+    ``struct<a:bigint,b:struct<c:int,d:int>>`` — commas at nesting
+    depth 1, so nested struct fields don't inflate the count."""
+    depth = 0
+    commas = 0
+    saw_field = False
+    for ch in read_schema:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif depth == 1:
+            saw_field = True
+            if ch == ",":
+                commas += 1
+    return commas + 1 if saw_field else 0

@@ -997,7 +997,7 @@ CORE_PREFIX = _head3 + _R3_PROMOTED + _rest3
 # Round-3b: the physical-layout / cost-estimation tier
 # (plans/queries_layout.py) plus the chi-square and temporal-split
 # additions are NEW this round, so no driver row exists for any of
-# them; promote four representatives so CORRECTNESS_r03 exercises the
+# them; promote six representatives so CORRECTNESS_r03 exercises the
 # tier, displacing banked driver-green shapes (each keeps its local
 # oracle test and stays later in the list).
 _R3B_PROMOTED = [

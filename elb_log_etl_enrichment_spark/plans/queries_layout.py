@@ -417,14 +417,14 @@ _CARD_STRATUM_BP = 100
         SELECT o_orderkey, COUNT(*) AS co
         FROM orders
         WHERE o_orderpriority = '1-URGENT'
-          AND {_sql_bucket("CAST(o_orderkey AS VARCHAR)", "cardest")}
+          AND {_sql_bucket("CAST(o_orderkey AS VARCHAR)", "cardest|")}
               < {_CARD_STRATUM_BP}
         GROUP BY o_orderkey
     ),
     l_s AS (
         SELECT l_orderkey, COUNT(*) AS cl
         FROM lineitem
-        WHERE {_sql_bucket("CAST(l_orderkey AS VARCHAR)", "cardest")}
+        WHERE {_sql_bucket("CAST(l_orderkey AS VARCHAR)", "cardest|")}
               < {_CARD_STRATUM_BP}
         GROUP BY l_orderkey
     ),
@@ -468,12 +468,12 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = 10_000 // _CARD_STRATUM_BP
     o_s = (
         o.filter(F.col("o_orderpriority") == "1-URGENT")
-        .filter(hash_bucket(F.col("o_orderkey"), "cardest") < _CARD_STRATUM_BP)
+        .filter(hash_bucket(F.col("o_orderkey"), "cardest|") < _CARD_STRATUM_BP)
         .groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).alias("co"))
     )
     l_s = (
-        li.filter(hash_bucket(F.col("l_orderkey"), "cardest") < _CARD_STRATUM_BP)
+        li.filter(hash_bucket(F.col("l_orderkey"), "cardest|") < _CARD_STRATUM_BP)
         .groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).alias("cl"))
     )
@@ -492,11 +492,12 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actual_rows",
         F.when(
             F.col("actual_rows") > 0,
-            (
-                F.abs(F.col("est_rows") - F.col("actual_rows"))
-                * 10000
-                / F.col("actual_rows")
-            ).cast("long"),
+            # exact integer floor div — double division diverges from
+            # the oracle's // once the numerator exceeds 2^53
+            F.expr(
+                "CAST(abs(est_rows - actual_rows) * 10000 "
+                "div actual_rows AS BIGINT)"
+            ),
         ).alias("abs_err_bp"),
     )
 
@@ -564,9 +565,18 @@ def write_audit_publish_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
         )
     )
-    first = write_audit_publish(src, final)
-    retry = write_audit_publish(src, final)
-    retry_noop = 1 if (retry["noop"] and not retry["published"]) else 0
+    try:
+        write_audit_publish(src, final)
+        retry = write_audit_publish(src, final)
+        retry_noop = 1 if (retry["noop"] and not retry["published"]) else 0
+    except AuditFailure:
+        # empty source (no 1-URGENT orders): nothing publishable —
+        # degrade to the oracle's zero row, proofs vacuously true
+        return spark.createDataFrame(
+            [(0, None, None, 1, 0)],
+            "n_rows long, digest_sum long, digest_xor long, "
+            "retry_noop long, failed_audit_published long",
+        )
 
     failed_published = 1
     try:
@@ -770,7 +780,7 @@ def streaming_wap_publish_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         return sum(int(p.numInputRows) for p in q.recentProgress)
 
-    first_rows = drain()
+    drain()  # first run: every file lands and publishes
     published_dirs = sorted(glob.glob(os.path.join(pub_root, "batch_*")))
 
     # proof (a): restart on the same checkpoint → zero new input rows

@@ -1737,9 +1737,9 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("dow").cast("long").alias("dow"),
         F.col("observed").cast("long").alias("observed"),
-        (F.col("rt") * F.col("ct") * 1000 / F.col("n"))
-        .cast("long")
-        .alias("expected_milli"),
+        # exact integer floor div — the double-division form diverges
+        # from the oracle's // once rt*ct*1000 exceeds 2^53
+        F.expr("CAST(rt * ct * 1000 div n AS BIGINT)").alias("expected_milli"),
         F.round(
             (F.col("observed") - expected)
             * (F.col("observed") - expected)

@@ -272,11 +272,16 @@ def write_audit_publish(
     2. AUDIT by re-reading the staged files (catches truncated/corrupt
        writes, not just logical errors): row count >= ``min_rows``,
        and a content digest computed FROM THE STAGED BYTES.
-    3. PUBLISH with one atomic directory rename. Readers see the old
-       table or the new one, never a mix. (On object stores the
-       rename becomes a metastore/table-format pointer swap — Iceberg
-       and Delta commit protocols are this same pattern; a local
-       filesystem rename is the honest single-node equivalent.)
+    3. PUBLISH by directory rename. A fresh publish is one atomic
+       rename; a replace renames the old table aside (``._old``),
+       renames staging in, then deletes the retired copy — readers
+       never see a mix, the not-found window is two renames (not an
+       O(table) delete), and a crash at ANY point loses nothing: the
+       old publish survives in ``._old`` and the new one in staging,
+       both reclaimed on the next run. (On object stores this
+       becomes a metastore/table-format pointer swap — Iceberg and
+       Delta commit protocols are this same pattern; local renames
+       are the honest single-node equivalent.)
 
     Idempotent retry: if ``final_dir`` already holds data whose digest
     equals the staged digest, the publish is a no-op (``published:
@@ -292,8 +297,17 @@ def write_audit_publish(
 
     spark = df.sparkSession
     staging = final_dir.rstrip("/") + "._staging"
+    retired = final_dir.rstrip("/") + "._old"
     if os.path.isdir(staging):
         shutil.rmtree(staging)  # abandoned staging from a crashed run
+    if os.path.isdir(retired):
+        if not os.path.isdir(final_dir):
+            # crashed between the two replace renames: the old
+            # publish is intact in ._old — roll it back before
+            # anything else so no crash sequence can lose it
+            os.rename(retired, final_dir)
+        else:
+            shutil.rmtree(retired)  # crash after install: just GC
     df.write.mode("overwrite").parquet(staging)
 
     staged = spark.read.parquet(staging)
@@ -320,7 +334,19 @@ def write_audit_publish(
                 "published": False,
                 "noop": True,
             }
-        shutil.rmtree(final_dir)
+        # replace via rename-aside so a table is visible at every
+        # instant and a crash mid-replace loses nothing: the old
+        # publish survives in ._old until the new one is installed
+        os.rename(final_dir, retired)
+        os.rename(staging, final_dir)
+        shutil.rmtree(retired, ignore_errors=True)
+        return {
+            "n_rows": audit.n_rows,
+            "digest_sum": audit.digest_sum,
+            "digest_xor": audit.digest_xor,
+            "published": True,
+            "noop": False,
+        }
     os.rename(staging, final_dir)
     return {
         "n_rows": audit.n_rows,

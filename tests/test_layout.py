@@ -312,6 +312,7 @@ def test_round3b_queries_on_empty_inputs(spark, tmp_path):
         ("chi_square_independence", 0),
         ("join_cardinality_estimate", 1),   # 0-est / 0-actual summary row
         ("temporal_embargo_split_audit", 1),  # all-zero audit row
+        ("write_audit_publish_stats", 1),   # zero row, vacuous proofs
     ):
         out = REGISTRY[name].fn(spark, str(tmp_path)).collect()
         assert len(out) == expect, (name, len(out))

@@ -668,3 +668,19 @@ def test_scale_readiness_report_flags_and_passes(spark):
                    for sev, msg in cart["flags"])
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # the canonical global funnel — every row through one reducer via
+    # an unpartitioned window — must warn...
+    from pyspark.sql import Window
+
+    funnel = spark.range(10000).withColumn(
+        "rk", F.row_number().over(Window.orderBy("id"))
+    )
+    rep = scale_readiness_report(funnel)
+    assert any("single_partition_funnel" in m for _, m in rep["flags"])
+    # ...while a 1-row global summary aggregate (same SinglePartition
+    # exchange, legitimate consumer) must stay clean
+    summary = scale_readiness_report(spark.range(10000).agg(F.sum("id")))
+    assert not any(
+        "single_partition_funnel" in m for _, m in summary["flags"]
+    )
