@@ -219,3 +219,69 @@ def _top_level_fields(read_schema: str) -> int:
             if ch == ",":
                 commas += 1
     return commas + 1 if saw_field else 0
+
+
+def join_strategy_report(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    how: str = "inner",
+    threshold_bytes: int | None = None,
+) -> dict:
+    """Pre-flight join-strategy check: what SHOULD this join plan,
+    and what DID Catalyst plan?  Uses the optimizer's own size
+    statistics (the numbers driving its broadcast decision) so the
+    recommendation and the decision share one estimate source::
+
+        rep = join_strategy_report(facts, dims, on="key")
+        rep["recommended"]   # 'broadcast_right' | 'broadcast_left'
+                             # | 'shuffle_join'
+        rep["planned"]       # join node Catalyst actually chose
+        rep["agrees"]        # recommendation matches the plan
+
+    Disagreement usually means stale/missing statistics (an estimate
+    far above the true size blocks a broadcast that would be safe —
+    at 100 TB that's the difference between a 2-minute and a 2-hour
+    join) or an explicit hint overriding the sizes. ``on``/``how``
+    accept whatever ``DataFrame.join`` accepts.
+    """
+    spark = left.sparkSession
+    thr = (
+        threshold_bytes
+        if threshold_bytes is not None
+        else int(
+            spark._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold()
+        )
+    )
+    lsize = int(left._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    rsize = int(right._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if thr > 0 and rsize <= thr:
+        recommended = "broadcast_right"
+    elif thr > 0 and lsize <= thr:
+        recommended = "broadcast_left"
+    else:
+        recommended = "shuffle_join"
+
+    joined = left.join(right, on, how)
+    plan = plan_text(joined)
+    if "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan:
+        planned = "broadcast"
+    elif "SortMergeJoin" in plan:
+        planned = "sort_merge"
+    elif "ShuffledHashJoin" in plan:
+        planned = "shuffle_hash"
+    else:
+        planned = "other"
+    agrees = (
+        planned == "broadcast"
+        if recommended.startswith("broadcast")
+        else planned in ("sort_merge", "shuffle_hash")
+    )
+    return {
+        "left_bytes_est": lsize,
+        "right_bytes_est": rsize,
+        "threshold_bytes": thr,
+        "recommended": recommended,
+        "planned": planned,
+        "agrees": agrees,
+    }

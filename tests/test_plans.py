@@ -684,3 +684,29 @@ def test_scale_readiness_report_flags_and_passes(spark):
     assert not any(
         "single_partition_funnel" in m for _, m in summary["flags"]
     )
+
+
+def test_join_strategy_report_agrees_with_catalyst(spark):
+    """The advisor's recommendation (from Catalyst's own size stats)
+    must agree with the planner in both regimes: a small side →
+    broadcast; thresholds off → shuffle-based join."""
+    from elb_log_etl_enrichment_spark.plans.audit import join_strategy_report
+
+    big = spark.range(200_000).withColumnRenamed("id", "k")
+    small = spark.range(100).withColumnRenamed("id", "k")
+
+    rep = join_strategy_report(big, small, on="k")
+    assert rep["recommended"] == "broadcast_right"
+    assert rep["planned"] == "broadcast"
+    assert rep["agrees"]
+    assert rep["right_bytes_est"] < rep["left_bytes_est"]
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        rep2 = join_strategy_report(big, small, on="k")
+        assert rep2["recommended"] == "shuffle_join"
+        assert rep2["planned"] in ("sort_merge", "shuffle_hash")
+        assert rep2["agrees"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
