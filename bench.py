@@ -209,6 +209,7 @@ HEADLINE = [
     "parquet_footer_stats",
     "feature_hashing_vectors",
     "streaming_wap_publish_stats",
+    "dynamic_gap_sessions",
 ]
 
 

@@ -812,3 +812,91 @@ def incremental_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_items").cast("long").alias("n_items"),
         F.round(F.col("rev_sum"), 2).cast("double").alias("revenue"),
     ).orderBy("day_ms", "o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Dynamic-gap sessionization: the session timeout depends on the
+# EVENT (a purchase holds a session open for an hour, a view for 15
+# minutes) — the native session_window gap-expression feature, which
+# no fixed-gap lag/cumsum reconstruction can express. The oracle is
+# the classic gaps-and-islands build over per-event [ts, ts+gap)
+# intervals: a new island starts when ts moves strictly past the
+# running max interval end (session_window merges on boundary
+# equality — pinned by test_timeseries.py).
+# --------------------------------------------------------------------------
+_GAP_CASE_SQL = (
+    "CASE event_type WHEN 'view' THEN 900000 WHEN 'click' THEN 1800000 "
+    "WHEN 'purchase' THEN 3600000 ELSE 1200000 END"
+)
+
+
+@register(
+    "dynamic_gap_sessions",
+    sql=f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ms,
+               epoch_ms(ts) + {_GAP_CASE_SQL} AS end_ms
+        FROM events
+    ),
+    m AS (
+        SELECT *, MAX(end_ms) OVER (
+                   PARTITION BY user_id ORDER BY ms, end_ms
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+        FROM e
+    ),
+    s AS (
+        SELECT *, SUM(CASE WHEN prev_end IS NULL OR ms > prev_end
+                           THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ms, end_ms
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    )
+    SELECT user_id,
+           CAST(MIN(ms) AS BIGINT) AS session_start_ms,
+           CAST(MAX(end_ms) AS BIGINT) AS session_end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+               AS BIGINT) AS n_purchases
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start_ms
+    """,
+    tags=("timeseries", "session", "session_window", "dynamic_gap"),
+)
+def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions whose inactivity timeout depends on the event type
+    (purchase 60 min, click 30 min, view 15 min, else 20 min) via
+    ``session_window``'s gap EXPRESSION — each event holds the
+    session open for its own duration, so a purchase-ending session
+    survives a longer quiet period than a view-ending one.
+
+    Scale shape: the native session aggregate is ONE user_id-hash
+    exchange with merging partial states — no per-user sort or lag
+    chain on the Spark side; the oracle reconstructs the identical
+    islands with per-user ordered windows, so every session boundary
+    is hash-verified including the merge-on-boundary-equality rule.
+    """
+    e = _t(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "view", "900 seconds")
+        .when(F.col("event_type") == "click", "1800 seconds")
+        .when(F.col("event_type") == "purchase", "3600 seconds")
+        .otherwise("1200 seconds")
+    )
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "n_purchases"
+            ),
+        )
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("w.end").alias("session_end_ms"),
+            "n_events",
+            "n_purchases",
+        )
+        .orderBy("user_id", "session_start_ms")
+    )

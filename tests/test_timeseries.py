@@ -264,3 +264,56 @@ def test_incremental_join_rollup_empty_inputs(spark, tmp_path):
         REGISTRY["incremental_join_rollup"].fn(spark, str(tmp_path)).count()
         == 0
     )
+
+
+def test_dynamic_gap_sessions_boundary_semantics(spark, tmp_path):
+    """Pin the merge rule the oracle encodes: an event landing
+    EXACTLY at the running window end merges (session_window's
+    boundary-equality behavior); one millisecond past it starts a
+    new session. The purchase gap (1h) must hold a session open
+    where a view gap (15min) would have closed it."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, user, seconds_ms, etype):
+        return Row(
+            event_id=eid,
+            ts=t0 + dt.timedelta(milliseconds=seconds_ms),
+            user_id=user,
+            event_type=etype,
+            value=1.0,
+            props="{}",
+        )
+
+    rows = [
+        # user 1: view at 0 → window ends at 900_000; event AT the
+        # boundary merges; then one 1ms past the merged end breaks
+        ev(1, 1, 0, "view"),
+        ev(2, 1, 900_000, "view"),          # == end → same session
+        ev(3, 1, 1_800_001, "view"),        # 1ms past new end → new
+        # user 2: purchase at 0 holds the session open a full hour —
+        # a view 30min later is still inside
+        ev(4, 2, 0, "purchase"),
+        ev(5, 2, 1_800_000, "view"),
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    out = [
+        (r.user_id, r.n_events, r.session_end_ms - r.session_start_ms)
+        for r in REGISTRY["dynamic_gap_sessions"]
+        .fn(spark, str(tmp_path))
+        .orderBy("user_id", "session_start_ms")
+        .collect()
+    ]
+    assert out == [
+        (1, 2, 1_800_000),   # 0..(900000+900000)
+        (1, 1, 900_000),
+        # session end = MAX of member interval ends: the purchase's
+        # 1h interval outlasts the later view's 15min one
+        (2, 2, 3_600_000),
+    ]
