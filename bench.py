@@ -210,6 +210,7 @@ HEADLINE = [
     "feature_hashing_vectors",
     "streaming_wap_publish_stats",
     "dynamic_gap_sessions",
+    "elb_template_mining",
 ]
 
 

@@ -2588,3 +2588,112 @@ def streaming_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("m_cut")
         .orderBy("user_id", "session_start_ms")
     )
+
+
+# --------------------------------------------------------------------------
+# Log template mining (Drain-style, declarative): collapse variable
+# URL path segments so ops dashboards group by ENDPOINT, not by the
+# infinite set of concrete paths. /errors/e0../e4 → /errors/e<NUM>;
+# /api/v1/items → /api/v<NUM>/items. Same extended fixture corpus and
+# oracle pattern as elb_pipeline_hourly; path extraction and both
+# masking rules are the SAME regex text in both engines (no
+# parse_url in the oracle path, so there is no cross-engine URL
+# parser to disagree with).
+# --------------------------------------------------------------------------
+_TPL_PATH_RE = "^[a-z]+://[^/?]+(/[^?]*)?"
+_TPL_UUID_RE = (
+    "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+)
+_TPL_HC_RE = "datadog|healthchecker|kube-probe|aws-elb"
+
+
+@register(
+    "elb_template_mining",
+    sql=f"""
+    WITH raw AS (
+        SELECT regexp_extract_all(value, '"[^"]*"|\\S+') AS t
+        FROM read_parquet('{_ELB_FIXTURE_PARQUET}')
+    ),
+    parsed AS (
+        SELECT split_part(trim(t[13], '"'), ' ', 1) AS http_method,
+               split_part(trim(t[13], '"'), ' ', 2) AS url,
+               trim(t[14], '"') AS user_agent,
+               CASE WHEN regexp_matches(t[9], '^[0-9]+$')
+                    THEN CAST(t[9] AS BIGINT) END AS status
+        FROM raw WHERE len(t) >= 29
+    ),
+    tpl AS (
+        SELECT http_method,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_extract(url, '{_TPL_PATH_RE}', 1),
+                       '{_TPL_UUID_RE}', '<ID>', 'g'),
+                   '[0-9]+', '<NUM>', 'g') AS template,
+               regexp_extract(url, '{_TPL_PATH_RE}', 1) AS path,
+               status
+        FROM parsed
+        WHERE NOT COALESCE(
+            regexp_matches(lower(user_agent), '{_TPL_HC_RE}'), FALSE)
+    )
+    SELECT http_method, template,
+           CAST(COUNT(*) AS BIGINT) AS n_requests,
+           CAST(COUNT(DISTINCT path) AS BIGINT) AS n_distinct_paths,
+           CAST(COUNT(CASE WHEN status >= 500 THEN 1 END) AS BIGINT)
+               AS n_5xx,
+           CAST(COUNT(CASE WHEN status >= 500 THEN 1 END) * 10000
+                // COUNT(*) AS BIGINT) AS err_5xx_bp
+    FROM tpl
+    GROUP BY http_method, template
+    ORDER BY http_method, template
+    """,
+    tags=("elb", "text", "template_mining", "ops"),
+)
+def elb_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Endpoint templates from the parsed ALB corpus: mask UUIDs then
+    digit runs in the URL path, aggregate per (method, template) with
+    request counts, how many concrete paths collapsed into the
+    template, and exact-integer 5xx basis points. One parse + one
+    vocabulary-sized aggregate; the masking is a codegen'd
+    regexp_replace chain, so template extraction costs the same as
+    any projection at 100 TB."""
+    import os
+
+    from ..session import ensure_engine_confs
+    from ..sources.alb_fixtures import write_fixture_parquet
+    from ..sources.elb_logs import parse_elb_lines
+
+    ensure_engine_confs(spark)
+    if not os.path.exists(_ELB_FIXTURE_PARQUET):
+        write_fixture_parquet(_ELB_FIXTURE_PARQUET, extended=True)
+    parsed = parse_elb_lines(spark.read.parquet(_ELB_FIXTURE_PARQUET))
+    path = F.regexp_extract(F.col("full_url"), _TPL_PATH_RE, 1)
+    template = F.regexp_replace(
+        F.regexp_replace(path, _TPL_UUID_RE, "<ID>"), "[0-9]+", "<NUM>"
+    )
+    tpl = (
+        parsed.filter(
+            ~F.coalesce(
+                F.lower(F.col("user_agent")).rlike(_TPL_HC_RE), F.lit(False)
+            )
+        )
+        .select(
+            "http_method",
+            template.alias("template"),
+            path.alias("path"),
+            F.col("elb_status_code").alias("status"),
+        )
+    )
+    return (
+        tpl.groupBy("http_method", "template")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.countDistinct("path").alias("n_distinct_paths"),
+            F.count(F.when(F.col("status") >= 500, 1)).alias("n_5xx"),
+            F.expr(
+                "CAST(count(CASE WHEN status >= 500 THEN 1 END) * 10000 "
+                "div count(*) AS BIGINT)"
+            ).alias("err_5xx_bp"),
+        )
+        .orderBy("http_method", "template")
+    )

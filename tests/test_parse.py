@@ -326,3 +326,45 @@ def test_ua_battery_through_spark_udf(spark):
     expected = {ua: (b, o) for ua, b, o in UA_BATTERY}
     for r in out:
         assert (r["fam"]["browser"], r["fam"]["os"]) == expected[r["ua"]], r["ua"]
+
+
+def test_template_mining_collapses_ids_and_uuids(spark):
+    """The fixture's five /errors/e0..e4 paths must collapse into ONE
+    /errors/e<NUM> template (n_distinct_paths = 5), and the masking
+    chain must rewrite UUID segments before digit runs."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+    from elb_log_etl_enrichment_spark.plans.queries_ext import (
+        _TPL_UUID_RE,
+    )
+
+    all_queries()
+    out = {
+        r.template: r
+        for r in REGISTRY["elb_template_mining"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    err = out["/errors/e<NUM>"]
+    assert err.n_distinct_paths == 5 and err.n_requests == 5
+
+    # UUID rule fires before the digit rule: a uuid path segment maps
+    # to ONE <ID>, not a soup of <NUM>s
+    masked = (
+        spark.range(1)
+        .select(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.lit("/doc/123e4567-e89b-12d3-a456-426614174000/v2"),
+                    _TPL_UUID_RE,
+                    "<ID>",
+                ),
+                "[0-9]+",
+                "<NUM>",
+            ).alias("t")
+        )
+        .collect()[0]
+        .t
+    )
+    assert masked == "/doc/<ID>/v<NUM>"
