@@ -211,6 +211,7 @@ HEADLINE = [
     "streaming_wap_publish_stats",
     "dynamic_gap_sessions",
     "elb_template_mining",
+    "segment_digest_reconcile",
 ]
 
 

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import TOKEN_RE
 from .queries import _t, register
+from .queries_sampling import _sql_bucket, hash_bucket
 
 # --------------------------------------------------------------------------
 # Column profiler (long format, one row per column)
@@ -1214,4 +1215,151 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("key_digest"),
         )
         .orderBy("diff_class")
+    )
+
+
+# --------------------------------------------------------------------------
+# Merkle-style segment-digest reconciliation (anti-entropy locator).
+# snapshot_diff_orders finds WHICH ROWS changed with a full-outer
+# join — a data-sized shuffle. At 100 TB the first question is
+# cheaper: DID anything change, and in WHICH key segment? Hash keys
+# into 64 segments, fold each segment to (count, sum, xor) of 60-bit
+# row hashes (order-independent, map-side combined), and compare 64
+# digest rows per side. Only mismatched segments then justify the
+# row-level join, scoped by the same segment predicate.
+# --------------------------------------------------------------------------
+_RECON_SEGMENTS = 64
+#: replica corruption, both deterministic via the portable hash:
+#: keys in mutation stratum get a flipped status; keys in the drop
+#: stratum vanish from the replica entirely.
+_RECON_MUT_BP = 10
+_RECON_DROP_LO = 9995
+
+
+@register(
+    "segment_digest_reconcile",
+    sql=f"""
+    WITH rowset AS (
+        SELECT o_orderkey,
+               {_sql_bucket("CAST(o_orderkey AS VARCHAR)", "seg|")}
+                   % {_RECON_SEGMENTS} AS seg,
+               {_sql_bucket("CAST(o_orderkey AS VARCHAR)", "mut|")} AS mb,
+               o_orderstatus, o_orderpriority,
+               strftime(o_orderdate, '%Y-%m-%d') AS od
+        FROM orders
+    ),
+    p AS (  -- primary digest per segment
+        SELECT seg, COUNT(*) AS n,
+               SUM(('0x' || substr(md5(concat_ws('|', o_orderkey,
+                   o_orderstatus, o_orderpriority, od)), 1, 15))::UBIGINT)
+                   % 9223372036854775807 AS ds,
+               bit_xor(('0x' || substr(md5(concat_ws('|', o_orderkey,
+                   o_orderstatus, o_orderpriority, od)), 1, 15))::UBIGINT)
+                   AS dx
+        FROM rowset GROUP BY seg
+    ),
+    r AS (  -- replica: mutated statuses, dropped stratum
+        SELECT seg, COUNT(*) AS n,
+               SUM(('0x' || substr(md5(concat_ws('|', o_orderkey,
+                   CASE WHEN mb < {_RECON_MUT_BP} THEN 'X'
+                        ELSE o_orderstatus END,
+                   o_orderpriority, od)), 1, 15))::UBIGINT)
+                   % 9223372036854775807 AS ds,
+               bit_xor(('0x' || substr(md5(concat_ws('|', o_orderkey,
+                   CASE WHEN mb < {_RECON_MUT_BP} THEN 'X'
+                        ELSE o_orderstatus END,
+                   o_orderpriority, od)), 1, 15))::UBIGINT) AS dx
+        FROM rowset
+        WHERE {_sql_bucket("CAST(o_orderkey AS VARCHAR)", "drop|")}
+              < {_RECON_DROP_LO}
+        GROUP BY seg
+    )
+    SELECT p.seg AS seg,
+           CAST(p.n AS BIGINT) AS n_primary,
+           CAST(COALESCE(r.n, 0) AS BIGINT) AS n_replica,
+           CAST(CASE WHEN r.seg IS NOT NULL AND p.n = r.n
+                     AND p.ds = r.ds AND p.dx = r.dx
+                THEN 1 ELSE 0 END AS BIGINT) AS segment_match
+    FROM p LEFT JOIN r ON p.seg = r.seg
+    ORDER BY p.seg
+    """,
+    tags=("profiling", "integrity", "digest", "merkle", "reconcile"),
+)
+def segment_digest_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment digest comparison between orders and a
+    deterministically corrupted replica (status flips in a 0.1 %
+    key stratum, rows missing from a 0.05 % key stratum): 64 rows of
+    (counts, match flag) locate every divergent segment using two
+    scans and a 64-row join — the anti-entropy step that makes the
+    row-level ``snapshot_diff_orders`` join affordable at scale by
+    scoping it to mismatched segments only. Digest folds are SUM/XOR
+    of 60-bit md5 row hashes: associative, commutative, map-side
+    combined, layout-independent."""
+    o = _t(spark, sf_dir, "orders")
+    od = F.date_format("o_orderdate", "yyyy-MM-dd")
+    seg = (hash_bucket(F.col("o_orderkey"), "seg|") % _RECON_SEGMENTS).alias(
+        "seg"
+    )
+    mb = hash_bucket(F.col("o_orderkey"), "mut|")
+    rep_status = F.when(mb < _RECON_MUT_BP, "X").otherwise(
+        F.col("o_orderstatus")
+    )
+
+    def digest(status_col):
+        row = F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            status_col,
+            F.col("o_orderpriority"),
+            od,
+        )
+        return (
+            F.conv(F.substring(F.md5(row), 1, 15), 16, 10)
+            .cast("decimal(20,0)")
+            .alias("rh")
+        )
+
+    p = (
+        o.select(seg, digest(F.col("o_orderstatus")))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("rh") % F.lit(9223372036854775807))
+            .cast("long")
+            .alias("ds"),
+            F.bit_xor(F.col("rh").cast("long")).alias("dx"),
+        )
+    )
+    r = (
+        o.filter(hash_bucket(F.col("o_orderkey"), "drop|") < _RECON_DROP_LO)
+        .select(seg, digest(rep_status))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("rh") % F.lit(9223372036854775807))
+            .cast("long")
+            .alias("ds"),
+            F.bit_xor(F.col("rh").cast("long")).alias("dx"),
+        )
+    )
+    pj = p.alias("p")
+    rj = r.alias("r")
+    return (
+        pj.join(rj, F.col("p.seg") == F.col("r.seg"), "left")
+        .select(
+            F.col("p.seg").alias("seg"),
+            F.col("p.n").cast("long").alias("n_primary"),
+            F.coalesce(F.col("r.n"), F.lit(0)).cast("long").alias("n_replica"),
+            F.when(
+                F.col("r.seg").isNotNull()
+                & (F.col("p.n") == F.col("r.n"))
+                & (F.col("p.ds") == F.col("r.ds"))
+                & (F.col("p.dx") == F.col("r.dx")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("segment_match"),
+        )
+        .orderBy("seg")
     )

@@ -418,3 +418,46 @@ def test_streaming_wap_total_on_empty_events(spark, tmp_path):
     assert r.n_rows == 0
     assert r.restart_published_nothing == 1
     assert r.republish_noop == 1
+
+
+def test_segment_reconcile_flags_exactly_corrupted_segments(spark):
+    """Ground truth independent of the SQL oracle: a segment must
+    mismatch IFF it contains a mutated or dropped key — no false
+    alarms, no missed corruption."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+    from elb_log_etl_enrichment_spark.plans.queries_profiling import (
+        _RECON_DROP_LO,
+        _RECON_MUT_BP,
+        _RECON_SEGMENTS,
+    )
+    from elb_log_etl_enrichment_spark.plans.queries_sampling import hash_bucket
+    from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+    all_queries()
+    sf = "/root/testdata/sf0.01"
+    got_bad = {
+        r.seg
+        for r in REGISTRY["segment_digest_reconcile"].fn(spark, sf).collect()
+        if r.segment_match == 0
+    }
+    o = load_table(spark, sf, "orders")
+    corrupted = (
+        o.select(
+            (hash_bucket(F.col("o_orderkey"), "seg|") % _RECON_SEGMENTS).alias(
+                "seg"
+            ),
+            (
+                (hash_bucket(F.col("o_orderkey"), "mut|") < _RECON_MUT_BP)
+                | (hash_bucket(F.col("o_orderkey"), "drop|") >= _RECON_DROP_LO)
+            ).alias("bad"),
+        )
+        .filter("bad")
+        .select("seg")
+        .distinct()
+        .collect()
+    )
+    expect_bad = {r.seg for r in corrupted}
+    assert got_bad == expect_bad
+    assert 0 < len(expect_bad) < _RECON_SEGMENTS  # corruption is sparse
