@@ -212,6 +212,7 @@ HEADLINE = [
     "dynamic_gap_sessions",
     "elb_template_mining",
     "segment_digest_reconcile",
+    "shard_rebalance_audit",
 ]
 
 

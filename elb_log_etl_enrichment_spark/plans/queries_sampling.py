@@ -427,3 +427,111 @@ def temporal_embargo_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gap_ok"),
         F.col("users_in_both").cast("long").alias("users_in_both"),
     )
+
+
+# --------------------------------------------------------------------------
+# Shard-rebalance audit: rendezvous (HRW) hashing vs mod-hashing when
+# the shard count changes. Resharding 16 → 20 with mod-hash moves
+# ~(1 - 1/20 - gcd-share) of all keys — nearly everything re-shuffles;
+# highest-random-weight hashing moves only the keys whose argmax shard
+# is one of the NEW shards (~4/20). Both assignments are portable md5
+# arithmetic, so the audit itself is hash-verified cross-engine.
+# --------------------------------------------------------------------------
+_HRW_OLD = 16
+_HRW_NEW = 20
+
+
+def _hrw_sql(key_expr: str, n: int) -> str:
+    """DuckDB argmax-by-weight shard pick: GREATEST of n md5 weights,
+    then the first shard whose weight equals the max."""
+    w = [
+        f"(('0x' || substr(md5('hrw{s}|' || {key_expr}), 1, 15))::UBIGINT)"
+        for s in range(n)
+    ]
+    mx = f"GREATEST({', '.join(w)})"
+    case = " ".join(
+        f"WHEN {w[s]} = {mx} THEN {s}" for s in range(n)
+    )
+    return f"(CASE {case} END)"
+
+
+def _hrw_col(key, n: int):
+    """Spark twin of :func:`_hrw_sql` via array + array_position."""
+    weights = F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"hrw{s}|"), key.cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("decimal(20,0)")
+            for s in range(n)
+        ]
+    )
+    return (F.array_position(weights, F.array_max(weights)) - 1).cast("long")
+
+
+@register(
+    "shard_rebalance_audit",
+    sql=f"""
+    WITH k AS (
+        SELECT CAST(o_orderkey AS VARCHAR) AS key FROM orders
+    ),
+    a AS (
+        SELECT {_hrw_sql('key', _HRW_OLD)} AS hrw_old,
+               {_hrw_sql('key', _HRW_NEW)} AS hrw_new,
+               {_sql_bucket('key', 'shard|')} % {_HRW_OLD} AS mod_old,
+               {_sql_bucket('key', 'shard|')} % {_HRW_NEW} AS mod_new
+        FROM k
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(COUNT(CASE WHEN hrw_old <> hrw_new THEN 1 END) AS BIGINT)
+               AS hrw_moved,
+           CAST(COUNT(CASE WHEN hrw_old <> hrw_new THEN 1 END) * 10000
+                // COUNT(*) AS BIGINT) AS hrw_moved_bp,
+           CAST(COUNT(CASE WHEN mod_old <> mod_new THEN 1 END) AS BIGINT)
+               AS mod_moved,
+           CAST(COUNT(CASE WHEN mod_old <> mod_new THEN 1 END) * 10000
+                // COUNT(*) AS BIGINT) AS mod_moved_bp
+    FROM a
+    """,
+    tags=("sampling", "sharding", "rendezvous", "rebalance"),
+)
+def shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many keys move when resharding 16 → 20?  Rendezvous
+    hashing (argmax over per-shard md5 weights) relocates only keys
+    whose winning weight now belongs to a NEW shard — ~2000 bp —
+    while mod-hashing relocates ~7500+ bp (everything whose residue
+    changes).  At 100 TB that is the difference between re-shuffling
+    a twentieth of the corpus and re-shuffling most of it on every
+    topology change.  Row-local expressions only (20 md5s per key,
+    codegen'd), one 5-slot summary aggregate, zero joins; both
+    engines compute identical assignments so the audit hash-matches
+    exactly."""
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    mod = hash_bucket(key, "shard|")
+    a = o.select(
+        _hrw_col(key, _HRW_OLD).alias("hrw_old"),
+        _hrw_col(key, _HRW_NEW).alias("hrw_new"),
+        (mod % _HRW_OLD).alias("mod_old"),
+        (mod % _HRW_NEW).alias("mod_new"),
+    )
+    moved = F.count(F.when(F.col("hrw_old") != F.col("hrw_new"), 1))
+    mod_moved = F.count(F.when(F.col("mod_old") != F.col("mod_new"), 1))
+    return a.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        moved.alias("hrw_moved"),
+        F.expr(
+            "CAST(count(CASE WHEN hrw_old <> hrw_new THEN 1 END) * 10000 "
+            "div count(*) AS BIGINT)"
+        ).alias("hrw_moved_bp"),
+        mod_moved.alias("mod_moved"),
+        F.expr(
+            "CAST(count(CASE WHEN mod_old <> mod_new THEN 1 END) * 10000 "
+            "div count(*) AS BIGINT)"
+        ).alias("mod_moved_bp"),
+    )

@@ -132,3 +132,37 @@ def test_uniform_sample_plan_has_no_exchange(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_hrw_monotonicity_only_new_shard_winners_move(spark):
+    """The defining consistency property of rendezvous hashing: when
+    shards are ADDED, a key either keeps its shard or moves to one of
+    the NEW shards — no key reshuffles between surviving shards. And
+    the moved fraction tracks the theoretical new-shard share (4/20)
+    while mod-hashing scatters ~4/5 of all keys."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+    from elb_log_etl_enrichment_spark.plans.queries_sampling import (
+        _HRW_NEW,
+        _HRW_OLD,
+        _hrw_col,
+    )
+    from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+    all_queries()
+    sf = "/root/testdata/sf0.01"
+    o = load_table(spark, sf, "orders")
+    a = o.select(
+        _hrw_col(F.col("o_orderkey"), _HRW_OLD).alias("old"),
+        _hrw_col(F.col("o_orderkey"), _HRW_NEW).alias("new"),
+    )
+    # monotonicity: moved ⟹ destination is a brand-new shard
+    violations = a.filter(
+        (F.col("old") != F.col("new")) & (F.col("new") < _HRW_OLD)
+    ).count()
+    assert violations == 0
+
+    r = REGISTRY["shard_rebalance_audit"].fn(spark, sf).collect()[0]
+    assert 1700 <= r.hrw_moved_bp <= 2300   # ~4/20 of keys
+    assert 7700 <= r.mod_moved_bp <= 8300   # ~4/5 of keys
