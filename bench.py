@@ -213,6 +213,7 @@ HEADLINE = [
     "elb_template_mining",
     "segment_digest_reconcile",
     "shard_rebalance_audit",
+    "activity_bitmap_stats",
 ]
 
 

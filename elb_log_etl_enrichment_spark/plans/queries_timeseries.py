@@ -900,3 +900,94 @@ def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_ms")
     )
+
+
+# --------------------------------------------------------------------------
+# Bitmap-index activity analytics: one BIGINT per user encodes the
+# whole observation window (bit d = "active on day d"), built with a
+# bit_or aggregate; every downstream cohort/retention/intensity
+# question becomes bitwise arithmetic on 8 bytes per user — the
+# roaring-bitmap trick OLAP engines use, here in its dense-window
+# special case where a plain BIGINT suffices (<= 64-day windows;
+# longer windows shard into an array of words, same operations).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "activity_bitmap_stats",
+    sql="""
+    WITH b AS (
+        SELECT MIN(epoch_ms(ts) // 86400000) AS d0 FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               bit_or(CAST(1 AS BIGINT)
+                      << CAST(epoch_ms(ts) // 86400000 - b.d0 AS INT))
+                   AS bm
+        FROM events CROSS JOIN b
+        GROUP BY user_id
+    ),
+    f AS (
+        SELECT user_id, bm,
+               bit_count(bm) AS active_days,
+               bit_count(bm & 127) AS first_week_days,        -- days 0-6
+               bit_count(bm & (127::BIGINT << 23)) AS last_week_days
+        FROM u
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(active_days) AS BIGINT) AS sum_active_days,
+           CAST(MAX(active_days) AS BIGINT) AS max_active_days,
+           CAST(COUNT(CASE WHEN first_week_days > 0
+                            AND last_week_days > 0 THEN 1 END) AS BIGINT)
+               AS n_retained_first_to_last_week,
+           CAST(COUNT(CASE WHEN active_days = 1 THEN 1 END) AS BIGINT)
+               AS n_one_day_users
+    FROM f
+    """,
+    tags=("timeseries", "bitmap", "retention", "cohort"),
+)
+def activity_bitmap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity packed into ONE BIGINT (bit d = active on
+    day d of the observation window, day 0 from a broadcast 1-row
+    min), then retention and intensity read off with bit_count and
+    mask ANDs: users active in BOTH the first and last week, one-day
+    users, total/max active days.  The per-user state is 8 bytes and
+    the merge is bit_or — associative, commutative, map-side
+    combined — so the same query at 100 TB shuffles one word per
+    user instead of one row per event."""
+    e = _t(spark, sf_dir, "events")
+    b = e.agg(F.expr("min(unix_millis(ts) div 86400000)").alias("d0"))
+    u = (
+        e.crossJoin(F.broadcast(b))
+        .select(
+            "user_id",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                "CAST(unix_millis(ts) div 86400000 - d0 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("user_id")
+        .agg(F.expr("bit_or(bit)").alias("bm"))
+    )
+    f = u.select(
+        "user_id",
+        F.expr("bit_count(bm)").alias("active_days"),
+        F.expr("bit_count(bm & 127)").alias("first_week_days"),
+        F.expr(
+            "bit_count(bm & shiftleft(CAST(127 AS BIGINT), 23))"
+        ).alias("last_week_days"),
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("active_days").cast("long").alias("sum_active_days"),
+        F.max("active_days").cast("long").alias("max_active_days"),
+        F.count(
+            F.when(
+                (F.col("first_week_days") > 0) & (F.col("last_week_days") > 0),
+                1,
+            )
+        ).alias("n_retained_first_to_last_week"),
+        F.count(F.when(F.col("active_days") == 1, 1)).alias(
+            "n_one_day_users"
+        ),
+    )

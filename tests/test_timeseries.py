@@ -317,3 +317,32 @@ def test_dynamic_gap_sessions_boundary_semantics(spark, tmp_path):
         # 1h interval outlasts the later view's 15min one
         (2, 2, 3_600_000),
     ]
+
+
+def test_activity_bitmap_hand_case(spark, tmp_path):
+    """Hand-built 30-day window: user 1 active days {0, 29} (retained
+    first→last week), user 2 active only day 10 (one-day user,
+    retained in neither mask)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        Row(event_id=1, ts=t0, user_id=1, event_type="view",
+            value=1.0, props="{}"),
+        Row(event_id=2, ts=t0 + dt.timedelta(days=29), user_id=1,
+            event_type="view", value=1.0, props="{}"),
+        Row(event_id=3, ts=t0 + dt.timedelta(days=10, hours=5), user_id=2,
+            event_type="view", value=1.0, props="{}"),
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    r = REGISTRY["activity_bitmap_stats"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.n_users == 2
+    assert r.sum_active_days == 3
+    assert r.max_active_days == 2
+    assert r.n_retained_first_to_last_week == 1  # only user 1
+    assert r.n_one_day_users == 1                # only user 2
