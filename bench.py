@@ -214,6 +214,7 @@ HEADLINE = [
     "segment_digest_reconcile",
     "shard_rebalance_audit",
     "activity_bitmap_stats",
+    "watermark_lateness_profile",
 ]
 
 

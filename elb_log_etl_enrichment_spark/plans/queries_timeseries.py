@@ -15,7 +15,7 @@ ratios are not); bucket timestamps are emitted as epoch seconds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.timeseries import gapfill_locf, ohlc_bars, time_weighted_avg
@@ -990,4 +990,126 @@ def activity_bitmap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("active_days") == 1, 1)).alias(
             "n_one_day_users"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Watermark-lateness profiler: how late do events actually arrive?
+# Lateness of an event = (max event-time seen earlier in ARRIVAL
+# order) - (its own event time), when positive. The distribution
+# answers the question every streaming job must settle before it
+# runs: what withWatermark() delay keeps X% of events inside the
+# window state. Arrival order is event_id; the prior-max runs as the
+# two-pass bucketed scheme (percentile cuts -> per-bucket offsets ->
+# within-bucket window), so no single reducer sees the whole stream —
+# while the DuckDB oracle's plain global window proves the
+# distributed prior-max exact.
+# --------------------------------------------------------------------------
+_WM_DELAYS_S = (0, 10, 60, 300, 600)
+
+
+@register(
+    "watermark_lateness_profile",
+    sql=f"""
+    WITH a AS (
+        SELECT epoch_ms(ts) AS ms,
+               MAX(epoch_ms(ts)) OVER (
+                   ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior_max
+        FROM events
+    ),
+    l AS (
+        SELECT CASE WHEN prior_max > ms THEN prior_max - ms
+                    ELSE 0 END AS late_ms
+        FROM a
+    ),
+    s AS (
+        SELECT COUNT(*) AS n, MAX(late_ms) AS max_late_ms,
+               {", ".join(
+                   f"COUNT(CASE WHEN late_ms > {d * 1000} THEN 1 END) AS c{d}"
+                   for d in _WM_DELAYS_S
+               )}
+        FROM l
+    )
+    {" UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS delay_s,"
+        f" CAST(c{d} AS BIGINT) AS n_late,"
+        f" CAST(c{d} * 10000 // n AS BIGINT) AS late_bp,"
+        f" CAST(max_late_ms AS BIGINT) AS max_late_ms FROM s"
+        for d in _WM_DELAYS_S
+    )}
+    ORDER BY delay_s
+    """,
+    tags=("timeseries", "streaming", "watermark", "lateness"),
+)
+def watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile of the event stream: for candidate
+    watermark delays (0 s, 10 s, 1 min, 5 min, 10 min), how many
+    events would still arrive LATER than the watermark allows, in
+    exact counts and basis points, plus the maximum observed
+    lateness.  All five delay rows come from ONE aggregate over the
+    lateness column (conditional counts + stack — no row
+    expansion)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", F.expr("unix_millis(ts)").alias("ms")
+    )
+    n_buckets = 32
+    cuts = e.agg(
+        F.percentile(
+            "event_id",
+            F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)]),
+        ).alias("_cs")
+    )
+    rb = F.size(F.filter(F.col("_cs"), lambda x: x <= F.col("event_id")))
+    b = e.join(F.broadcast(cuts)).withColumn("_rb", rb).drop("_cs")
+    totals = b.groupBy("_rb").agg(F.max("ms").alias("_m"))
+    off_w = Window.orderBy("_rb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_rb", F.max("_m").over(off_w).alias("_off")
+    )
+    in_w = (
+        Window.partitionBy("_rb")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = (
+        b.join(F.broadcast(offsets), "_rb")
+        .withColumn(
+            "prior_max",
+            F.greatest(
+                F.max("ms").over(in_w),
+                F.col("_off"),
+            ),
+        )
+    )
+    late = prior.select(
+        F.when(
+            F.col("prior_max") > F.col("ms"), F.col("prior_max") - F.col("ms")
+        )
+        .otherwise(0)
+        .alias("late_ms")
+    )
+    counts = late.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("late_ms").alias("max_late_ms"),
+        *[
+            F.count(F.when(F.col("late_ms") > d * 1000, 1)).alias(f"c{d}")
+            for d in _WM_DELAYS_S
+        ],
+    )
+    stack = ", ".join(f"{d}L, c{d}" for d in _WM_DELAYS_S)
+    return (
+        counts.selectExpr(
+            "n",
+            "max_late_ms",
+            f"stack({len(_WM_DELAYS_S)}, {stack}) AS (delay_s, n_late)",
+        )
+        .selectExpr(
+            "CAST(delay_s AS BIGINT) AS delay_s",
+            "CAST(n_late AS BIGINT) AS n_late",
+            "CAST(n_late * 10000 div n AS BIGINT) AS late_bp",
+            "CAST(max_late_ms AS BIGINT) AS max_late_ms",
+        )
+        .orderBy("delay_s")
     )

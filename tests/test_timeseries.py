@@ -346,3 +346,34 @@ def test_activity_bitmap_hand_case(spark, tmp_path):
     assert r.max_active_days == 2
     assert r.n_retained_first_to_last_week == 1  # only user 1
     assert r.n_one_day_users == 1                # only user 2
+
+
+def test_watermark_lateness_hand_case(spark, tmp_path):
+    """Arrival order event_id 1..4 with event times 100s, 50s, 200s,
+    190s: two late events (50 s and 10 s behind the running max), so
+    delay 0 catches 2, delay 10 s catches 1, delay 60 s catches 0."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    t0 = dt.datetime(2024, 3, 1)
+    secs = {1: 100, 2: 50, 3: 200, 4: 190}
+    rows = [
+        Row(event_id=i, ts=t0 + dt.timedelta(seconds=s), user_id=1,
+            event_type="view", value=1.0, props="{}")
+        for i, s in secs.items()
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r.delay_s: (r.n_late, r.max_late_ms)
+        for r in REGISTRY["watermark_lateness_profile"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[0] == (2, 50_000)
+    assert out[10] == (1, 50_000)
+    assert out[60] == (0, 50_000)
+    assert out[300] == (0, 50_000)
