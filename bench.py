@@ -215,6 +215,7 @@ HEADLINE = [
     "shard_rebalance_audit",
     "activity_bitmap_stats",
     "watermark_lateness_profile",
+    "forget_entity_audit",
 ]
 
 

@@ -196,3 +196,146 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("risk_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# Right-to-be-forgotten audit: erase an entity set EVERYWHERE it is
+# referenced, and PROVE the erasure. A deletion request at 100 TB is
+# not one DELETE — it is an anti-join rewrite of every table keyed by
+# the entity plus evidence: per-table rows removed, zero remaining
+# references, and a digest of the surviving rows (so downstream
+# consumers can verify they hold the post-erasure version). The
+# request set is a deterministic md5 stratum of customers, so both
+# engines erase identical entities and the audit hash-matches.
+# --------------------------------------------------------------------------
+from .queries_sampling import _sql_bucket as _priv_sql_bucket
+from .queries_sampling import hash_bucket as _priv_hash_bucket
+
+_FORGET_BP = 200  # 2% of customers file a deletion request
+
+
+@register(
+    "forget_entity_audit",
+    sql=f"""
+    WITH req AS (
+        SELECT c_custkey FROM customer
+        WHERE {_priv_sql_bucket("CAST(c_custkey AS VARCHAR)", "forget|")}
+              < {_FORGET_BP}
+    ),
+    cust AS (
+        SELECT c.*,
+               c_custkey IN (SELECT c_custkey FROM req) AS erased
+        FROM customer c
+    ),
+    ords AS (
+        SELECT o.*,
+               o_custkey IN (SELECT c_custkey FROM req) AS erased
+        FROM orders o
+    ),
+    cs AS (
+        SELECT COUNT(CASE WHEN erased THEN 1 END) AS removed,
+               COUNT(CASE WHEN NOT erased THEN 1 END) AS remaining,
+               SUM(CASE WHEN NOT erased THEN
+                   ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+                       ::UBIGINT END) % 9223372036854775807 AS digest
+        FROM cust
+    ),
+    os AS (
+        SELECT COUNT(CASE WHEN erased THEN 1 END) AS removed,
+               COUNT(CASE WHEN NOT erased THEN 1 END) AS remaining,
+               SUM(CASE WHEN NOT erased THEN
+                   ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                       ::UBIGINT END) % 9223372036854775807 AS digest
+        FROM ords
+    ),
+    leftover AS (
+        -- completeness proof: the surviving orders must reference
+        -- ZERO requested customers
+        SELECT COUNT(*) AS n FROM ords
+        WHERE NOT erased
+          AND o_custkey IN (SELECT c_custkey FROM req)
+    )
+    SELECT 'customer' AS tbl,
+           CAST(cs.removed AS BIGINT) AS rows_removed,
+           CAST(cs.remaining AS BIGINT) AS rows_remaining,
+           CAST(cs.digest AS BIGINT) AS survivor_digest,
+           CAST(leftover.n AS BIGINT) AS remaining_refs
+    FROM cs CROSS JOIN leftover
+    UNION ALL
+    SELECT 'orders',
+           CAST(os.removed AS BIGINT),
+           CAST(os.remaining AS BIGINT),
+           CAST(os.digest AS BIGINT),
+           CAST(leftover.n AS BIGINT)
+    FROM os CROSS JOIN leftover
+    ORDER BY tbl
+    """,
+    tags=("privacy", "gdpr", "erasure", "digest"),
+)
+def forget_entity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erase a deterministic 2% customer stratum from every table
+    that references it (customer directly, orders via o_custkey) and
+    emit the compliance evidence per table: rows removed, rows
+    remaining, a key digest of the survivors, and the remaining-
+    reference count — which must be zero, and is computed as a probe
+    against the surviving orders, not assumed.
+
+    Scale shape: the request set broadcasts (it is tiny by nature);
+    each table rewrite is ONE broadcast anti-join — a scan-shaped
+    pass per table, no data-sized shuffle; digests fold map-side."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    req = c.filter(
+        _priv_hash_bucket(F.col("c_custkey"), "forget|") < _FORGET_BP
+    ).select("c_custkey")
+
+    def digest(col):
+        return (
+            F.sum(
+                F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+                .cast("decimal(20,0)")
+            )
+            % F.lit(9223372036854775807)
+        ).cast("long")
+
+    surv_c = c.join(F.broadcast(req), "c_custkey", "left_anti")
+    surv_o = o.join(
+        F.broadcast(req), o.o_custkey == req.c_custkey, "left_anti"
+    )
+    leftover = surv_o.join(
+        F.broadcast(req), surv_o.o_custkey == req.c_custkey
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    n_c = c.agg(F.count(F.lit(1)).alias("t"))
+    n_o = o.agg(F.count(F.lit(1)).alias("t"))
+    cs = (
+        surv_c.agg(
+            F.count(F.lit(1)).alias("remaining"),
+            digest(F.col("c_custkey")).alias("survivor_digest"),
+        )
+        .crossJoin(n_c)
+        .crossJoin(leftover)
+        .select(
+            F.lit("customer").alias("tbl"),
+            (F.col("t") - F.col("remaining")).cast("long").alias("rows_removed"),
+            F.col("remaining").cast("long").alias("rows_remaining"),
+            "survivor_digest",
+            F.col("n").cast("long").alias("remaining_refs"),
+        )
+    )
+    os_ = (
+        surv_o.agg(
+            F.count(F.lit(1)).alias("remaining"),
+            digest(F.col("o_orderkey")).alias("survivor_digest"),
+        )
+        .crossJoin(n_o)
+        .crossJoin(leftover)
+        .select(
+            F.lit("orders").alias("tbl"),
+            (F.col("t") - F.col("remaining")).cast("long").alias("rows_removed"),
+            F.col("remaining").cast("long").alias("rows_remaining"),
+            "survivor_digest",
+            F.col("n").cast("long").alias("remaining_refs"),
+        )
+    )
+    return cs.unionByName(os_).orderBy("tbl")

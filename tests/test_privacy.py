@@ -87,3 +87,36 @@ def test_k_anonymity_matches_bruteforce(spark):
     assert r.n_small_groups == int((sizes < K_ANON).sum())
     assert r.min_group_size == int(sizes.min())
     assert r.rows_at_risk == int(sizes[sizes < K_ANON].sum())
+
+
+def test_forget_entity_audit_erasure_is_complete_and_scoped(spark):
+    """Ground truth: rows_removed must equal the independently
+    computed membership counts, remaining_refs must be zero, and
+    non-requested entities must be untouched."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+    from elb_log_etl_enrichment_spark.plans.queries_privacy import _FORGET_BP
+    from elb_log_etl_enrichment_spark.plans.queries_sampling import hash_bucket
+    from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+    all_queries()
+    sf = "/root/testdata/sf0.01"
+    out = {
+        r.tbl: r
+        for r in REGISTRY["forget_entity_audit"].fn(spark, sf).collect()
+    }
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    in_req_c = c.filter(
+        hash_bucket(F.col("c_custkey"), "forget|") < _FORGET_BP
+    ).count()
+    in_req_o = o.filter(
+        hash_bucket(F.col("o_custkey"), "forget|") < _FORGET_BP
+    ).count()
+    assert out["customer"].rows_removed == in_req_c > 0
+    assert out["orders"].rows_removed == in_req_o > 0
+    assert out["customer"].remaining_refs == 0
+    assert out["orders"].remaining_refs == 0
+    assert out["customer"].rows_remaining == c.count() - in_req_c
+    assert out["orders"].rows_remaining == o.count() - in_req_o
