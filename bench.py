@@ -216,6 +216,8 @@ HEADLINE = [
     "activity_bitmap_stats",
     "watermark_lateness_profile",
     "forget_entity_audit",
+    "l_diversity_audit",
+    "column_encryption_roundtrip",
 ]
 
 

@@ -339,3 +339,124 @@ def forget_entity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cs.unionByName(os_).orderBy("tbl")
+
+
+# --------------------------------------------------------------------------
+# l-diversity: the companion risk metric to k-anonymity. A QI group
+# can be large (k-anonymous) yet expose everyone in it if the
+# SENSITIVE attribute is constant within the group — l-diversity
+# requires >= l distinct sensitive values per group.
+# --------------------------------------------------------------------------
+_L_DIVERSITY_L = 2
+
+
+@register(
+    "l_diversity_audit",
+    sql=f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               COUNT(*) AS group_size,
+               COUNT(DISTINCT
+                   CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS l_distinct
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(CASE WHEN l_distinct < {_L_DIVERSITY_L} THEN 1 END)
+               AS BIGINT) AS n_below_l,
+           CAST(SUM(CASE WHEN l_distinct < {_L_DIVERSITY_L}
+                         THEN group_size ELSE 0 END) AS BIGINT)
+               AS n_exposed_rows,
+           CAST(MIN(l_distinct) AS BIGINT) AS min_l,
+           CAST(SUM(group_size) AS BIGINT) AS n_rows
+    FROM g
+    """,
+    tags=("privacy", "l_diversity", "risk"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity over the (nation, market segment) quasi-identifier
+    with the account-balance band (1000-unit buckets) as the
+    sensitive attribute: groups where every member falls in the SAME
+    band leak the band to anyone who can place a person in the group,
+    however k-anonymous the group is. One grouped aggregate + one
+    5-slot summary; integer banding keeps both engines bit-equal."""
+    c = _t(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct(band).alias("l_distinct"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(F.col("l_distinct") < _L_DIVERSITY_L, 1)).alias(
+            "n_below_l"
+        ),
+        F.sum(
+            F.when(
+                F.col("l_distinct") < _L_DIVERSITY_L, F.col("group_size")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_exposed_rows"),
+        F.min("l_distinct").cast("long").alias("min_l"),
+        F.sum("group_size").cast("long").alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Field-level encryption round trip: aes_encrypt/aes_decrypt (GCM,
+# random IV per value — ciphertexts are non-deterministic, which is
+# the point) proven lossless by digesting the DECRYPTED bytes. The
+# oracle digests the plaintext straight from the table: a hash match
+# proves encrypt→decrypt returned every name byte-identically.
+# --------------------------------------------------------------------------
+_AES_KEY = "0123456789abcdef"  # demo key; production keys come from a KMS
+
+
+@register(
+    "column_encryption_roundtrip",
+    sql="""
+    WITH h AS (
+        SELECT ('0x' || substr(md5(c_name), 1, 15))::UBIGINT AS rh,
+               length(c_name) AS pl
+        FROM customer
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(rh) % 9223372036854775807 AS BIGINT)
+               AS roundtrip_digest,
+           CAST(COUNT(*) AS BIGINT) AS n_cipher_expanded
+    FROM h
+    """,
+    tags=("privacy", "encryption", "aes", "roundtrip"),
+)
+def column_encryption_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encrypt every customer name with AES-GCM, decrypt it back, and
+    digest the DECRYPTED values — hash-matching a digest the oracle
+    computes from the plaintext column, which proves the field-level
+    encryption layer is lossless. Also counts rows whose ciphertext
+    is strictly longer than the plaintext (GCM adds IV + tag to every
+    value, so this must be ALL rows — a cheap tripwire against an
+    identity 'encryption' misconfiguration). Spark-side only by
+    nature (the oracle has no AES): the cryptography is the
+    engine-specific part, the digest equality is the portable proof."""
+    c = _t(spark, sf_dir, "customer")
+    enc = F.expr(f"aes_encrypt(c_name, '{_AES_KEY}', 'GCM')")
+    dec = F.expr(
+        f"CAST(aes_decrypt(aes_encrypt(c_name, '{_AES_KEY}', 'GCM'), "
+        f"'{_AES_KEY}', 'GCM') AS STRING)"
+    )
+    h = c.select(
+        F.conv(F.substring(F.md5(dec), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .alias("rh"),
+        (F.length(enc) > F.length(F.col("c_name")))
+        .cast("long")
+        .alias("expanded"),
+    )
+    return h.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum("rh") % F.lit(9223372036854775807))
+        .cast("long")
+        .alias("roundtrip_digest"),
+        F.sum("expanded").cast("long").alias("n_cipher_expanded"),
+    )
