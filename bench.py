@@ -218,6 +218,7 @@ HEADLINE = [
     "forget_entity_audit",
     "l_diversity_audit",
     "column_encryption_roundtrip",
+    "exact_median_two_pass",
 ]
 
 

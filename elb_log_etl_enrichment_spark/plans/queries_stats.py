@@ -1747,3 +1747,100 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_part"),
     ).orderBy("event_type", "dow")
+
+
+# --------------------------------------------------------------------------
+# Exact order statistics WITHOUT a global sort: two-pass histogram
+# narrowing. Pass 1 bins every value into 1024 equi-width buckets
+# (map-side combined counts); the cumulative bucket counts locate
+# which bucket holds the target rank and the residual rank inside
+# it. Pass 2 sorts ONLY that bucket (~n/1024 of the data; iterate
+# the narrowing if a bucket is still too large). The approx twins
+# (equi_depth_histogram_orders_approx etc.) trade exactness for one
+# pass; this is the EXACT scale path — no single reducer ever sees
+# more than one bucket.
+# --------------------------------------------------------------------------
+_SEL_BINS = 1024
+
+
+@register(
+    "exact_median_two_pass",
+    sql=f"""
+    WITH v AS (
+        SELECT value, event_id FROM events WHERE value IS NOT NULL
+    ),
+    n AS (SELECT COUNT(*) AS n, (COUNT(*) + 1) // 2 AS k FROM v),
+    ranked AS (
+        SELECT value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn
+        FROM v
+    )
+    SELECT CAST(n.n AS BIGINT) AS n,
+           CAST(n.k AS BIGINT) AS k,
+           ROUND(ranked.value, 6) AS median_value
+    FROM ranked CROSS JOIN n
+    WHERE ranked.rn = n.k
+    """,
+    tags=("stats", "percentile", "exact", "two_pass"),
+)
+def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact lower median (order statistic k = (n+1)//2) of
+    events.value computed by histogram narrowing instead of a global
+    sort: a 1024-bin count pass locates the median's bucket and its
+    residual rank, then a row_number runs over THAT BUCKET ONLY.
+    The oracle's plain global ROW_NUMBER proves the narrowed answer
+    exact. Bin edges derive from min/max through the identical-IEEE
+    tree both engines share (value_drift_audit precedent); ties
+    share a bucket by construction, so the boundary cannot split a
+    tied value."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value", "event_id")
+    )
+    b = e.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.expr("(count(*) + 1) div 2").alias("k"),
+    )
+    binned = (
+        e.crossJoin(F.broadcast(b))
+        .withColumn(
+            "bin",
+            F.when(
+                F.col("hi") > F.col("lo"),
+                F.least(
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo"))
+                        * _SEL_BINS
+                    ).cast("long"),
+                    F.lit(_SEL_BINS - 1).cast("long"),
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    target = (
+        counts.crossJoin(F.broadcast(b.select("k")))
+        .withColumn("cum_before", F.coalesce(F.sum("c").over(w), F.lit(0)))
+        .filter(
+            (F.col("cum_before") < F.col("k"))
+            & (F.col("cum_before") + F.col("c") >= F.col("k"))
+        )
+        .select(
+            F.col("bin").alias("tbin"),
+            (F.col("k") - F.col("cum_before")).alias("local_rank"),
+        )
+    )
+    inside = binned.join(F.broadcast(target), binned.bin == target.tbin)
+    iw = Window.orderBy("value", "event_id")
+    hit = (
+        inside.withColumn("rn", F.row_number().over(iw))
+        .filter(F.col("rn") == F.col("local_rank"))
+        .select(F.round("value", 6).alias("median_value"))
+    )
+    return b.select(
+        F.col("n").cast("long").alias("n"), F.col("k").cast("long").alias("k")
+    ).crossJoin(hit)

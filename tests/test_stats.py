@@ -229,3 +229,42 @@ def test_mann_whitney_handcrafted(spark, tmp_path):
     r = REGISTRY["mann_whitney_u"].fn(spark, str(tmp_path)).collect()[0]
     assert (r.n_a, r.n_b) == (3, 2)
     assert r.u2_stat == 2  # 2 * U_A
+
+
+def test_exact_median_two_pass_hand_cases(spark, tmp_path):
+    """Odd count → middle element; even count → LOWER median (order
+    statistic (n+1)//2); duplicates straddling the pick are safe; and
+    empty input yields zero rows."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+
+    def run(values, sub):
+        rows = [
+            Row(event_id=i, ts=dt.datetime(2024, 3, 1, 0, 0, i % 60),
+                user_id=1, event_type="view", value=float(v), props="{}")
+            for i, v in enumerate(values)
+        ]
+        d = f"{tmp_path}/{sub}"
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+        return REGISTRY["exact_median_two_pass"].fn(spark, d).collect()
+
+    out = run([5, 1, 9, 3, 7], "odd")
+    assert (out[0].n, out[0].k, out[0].median_value) == (5, 3, 5.0)
+
+    out = run([4, 1, 3, 2], "even")  # lower median = 2nd smallest
+    assert (out[0].n, out[0].k, out[0].median_value) == (4, 2, 2.0)
+
+    out = run([2, 2, 2, 8, 9], "ties")
+    assert out[0].median_value == 2.0
+
+    out = run([], "empty")
+    assert out == []
