@@ -219,6 +219,7 @@ HEADLINE = [
     "l_diversity_audit",
     "column_encryption_roundtrip",
     "exact_median_two_pass",
+    "range_lookup_join",
 ]
 
 

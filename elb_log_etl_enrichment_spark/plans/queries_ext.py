@@ -2697,3 +2697,88 @@ def elb_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("http_method", "template")
     )
+
+
+# --------------------------------------------------------------------------
+# Range-dimension lookup join, rewritten to an equi-join. Assigning
+# each fact row the dimension row whose [lo, hi) range contains it
+# (price tiers here; IP->geo ranges, latency SLO bands, tax brackets
+# in the wild) naively plans a BroadcastNestedLoopJoin — O(facts x
+# ranges) compares. The scalable rewrite buckets the number line:
+# each RANGE expands to the buckets it covers (a tiny dim-side
+# explode), each FACT computes its bucket in place, and the join
+# becomes a plain broadcast HASH equi-join on bucket with the range
+# predicate as a residual — O(facts) probes no matter how many
+# ranges. test_plans.py pins that the rewrite really plans a
+# BroadcastHashJoin.
+# --------------------------------------------------------------------------
+_TIER_BUCKET = 50_000
+#: (tier name, lo, hi) — hi exclusive; last tier open-ended
+_PRICE_TIERS = (
+    ("T1_budget", 0, 50_000),
+    ("T2_mid", 50_000, 100_000),
+    ("T3_high", 100_000, 200_000),
+    ("T4_premium", 200_000, 400_000),
+    ("T5_luxury", 400_000, 600_000),
+)
+
+
+def _tier_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN o_totalprice >= {lo} AND o_totalprice < {hi} THEN '{name}'"
+        for name, lo, hi in _PRICE_TIERS
+    )
+    return f"CASE {arms} END"
+
+
+@register(
+    "range_lookup_join",
+    sql=f"""
+    SELECT {_tier_case_sql()} AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    WHERE {_tier_case_sql()} IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("join", "range", "broadcast", "rewrite"),
+)
+def range_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-tier assignment through the BUCKETED range-join rewrite:
+    the tier dim explodes each [lo, hi) range into its covered
+    50k-wide buckets, orders compute their bucket in place, and a
+    broadcast HASH equi-join on bucket (+ residual range predicate)
+    replaces the nested-loop scan a raw range join would plan. The
+    oracle expresses the same assignment as a CASE — a hash match
+    proves the rewrite assigns every order its correct range row.
+    Exact-integer cents keep the sums engine-identical."""
+    o = _t(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        [
+            (name, lo, hi, b)
+            for name, lo, hi in _PRICE_TIERS
+            for b in range(lo // _TIER_BUCKET, (hi - 1) // _TIER_BUCKET + 1)
+        ],
+        "tier string, lo long, hi long, bucket long",
+    )
+    facts = o.select(
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / _TIER_BUCKET)
+        .cast("long")
+        .alias("bucket"),
+    )
+    joined = facts.join(F.broadcast(tiers), "bucket").filter(
+        (F.col("o_totalprice") >= F.col("lo"))
+        & (F.col("o_totalprice") < F.col("hi"))
+    )
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("tier")
+    )

@@ -710,3 +710,13 @@ def test_join_strategy_report_agrees_with_catalyst(spark):
         assert rep2["agrees"]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_range_lookup_rewrite_plans_hash_join_not_nested_loop(spark):
+    """The bucketed range-join rewrite must plan a broadcast HASH
+    equi-join — the whole point versus the nested-loop scan a raw
+    range predicate would produce."""
+    plan = plan_text(_q(spark, "range_lookup_join"))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
