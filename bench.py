@@ -220,6 +220,7 @@ HEADLINE = [
     "column_encryption_roundtrip",
     "exact_median_two_pass",
     "range_lookup_join",
+    "seasonal_residual_anomalies",
 ]
 
 

@@ -1844,3 +1844,89 @@ def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select(
         F.col("n").cast("long").alias("n"), F.col("k").cast("long").alias("k")
     ).crossJoin(hit)
+
+
+# --------------------------------------------------------------------------
+# Seasonal-baseline anomaly detection (STL-lite): the EWMA chart
+# tracks level shifts and value_drift_audit tracks distribution
+# shifts; neither knows that 3 AM is ALWAYS quiet. This removes the
+# hour-of-day seasonal component first — baseline = per
+# (event_type, hour-of-day) exact median — and flags residuals
+# beyond 3 robust sigmas, with sigma = MAD of the residuals in the
+# same seasonal cell (robust to the very outliers being hunted).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_residual_anomalies",
+    sql="""
+    WITH v AS (
+        SELECT event_type, hour(ts) AS hod, value
+        FROM events WHERE value IS NOT NULL
+    ),
+    base AS (
+        SELECT event_type, hod,
+               quantile_cont(value, 0.5) AS med
+        FROM v GROUP BY event_type, hod
+    ),
+    r AS (
+        SELECT v.event_type, v.hod, v.value - base.med AS resid
+        FROM v JOIN base USING (event_type, hod)
+    ),
+    mad AS (
+        SELECT event_type, hod,
+               quantile_cont(abs(resid), 0.5) AS mad
+        FROM r GROUP BY event_type, hod
+    )
+    SELECT r.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN abs(r.resid) > 3 * mad.mad
+                           AND mad.mad > 0 THEN 1 END) AS BIGINT)
+               AS n_anomalies,
+           ROUND(MAX(abs(r.resid)), 6) AS max_abs_resid
+    FROM r JOIN mad USING (event_type, hod)
+    GROUP BY r.event_type
+    ORDER BY r.event_type
+    """,
+    tags=("stats", "anomaly", "seasonal", "robust"),
+)
+def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: how many values sit more than 3 robust sigmas
+    from their SEASONAL baseline (the exact median of the same
+    (event_type, hour-of-day) cell), with sigma = the cell's MAD.
+    Both medians are exact interpolated percentiles — the identical
+    IEEE expression both engines implement, the same parity
+    order_price_quartiles banks — so the anomaly flags agree bit for
+    bit. Scale shape: two grouped exact-percentile aggregates over
+    ≤ types x 24 cells, two broadcast joins of those cell tables —
+    the events scan happens twice, nothing else is data-sized."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.hour("ts").alias("hod"), "value")
+    )
+    base = e.groupBy("event_type", "hod").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    r = e.join(F.broadcast(base), ["event_type", "hod"]).select(
+        "event_type", "hod", (F.col("value") - F.col("med")).alias("resid")
+    )
+    mad = r.groupBy("event_type", "hod").agg(
+        F.percentile(F.abs(F.col("resid")), F.lit(0.5)).alias("mad")
+    )
+    return (
+        r.join(F.broadcast(mad), ["event_type", "hod"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(
+                    (F.abs(F.col("resid")) > 3 * F.col("mad"))
+                    & (F.col("mad") > 0),
+                    1,
+                )
+            ).alias("n_anomalies"),
+            F.round(F.max(F.abs(F.col("resid"))), 6).alias("max_abs_resid"),
+        )
+        .orderBy("event_type")
+    )

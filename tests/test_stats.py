@@ -268,3 +268,40 @@ def test_exact_median_two_pass_hand_cases(spark, tmp_path):
 
     out = run([], "empty")
     assert out == []
+
+
+def test_seasonal_anomalies_hand_case(spark, tmp_path):
+    """One seasonal cell with a planted outlier: 9 values at ~10
+    (MAD 1) and one at 100 → exactly one anomaly; a constant cell
+    (MAD 0) must flag nothing."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    rows = []
+    # cell (view, hour 12): values 9,9,10,10,10,10,10,11,11 + outlier
+    vals = [9, 9, 10, 10, 10, 10, 10, 11, 11, 100]
+    for i, v in enumerate(vals):
+        rows.append(
+            Row(event_id=i, ts=dt.datetime(2024, 3, 1 + i % 5, 12, i, 0),
+                user_id=1, event_type="view", value=float(v), props="{}")
+        )
+    # cell (click, hour 3): constant → MAD 0 → no flags even though
+    # every residual is 0
+    for i in range(5):
+        rows.append(
+            Row(event_id=100 + i, ts=dt.datetime(2024, 3, 1 + i, 3, 0, 0),
+                user_id=2, event_type="click", value=7.0, props="{}")
+        )
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r.event_type: r
+        for r in REGISTRY["seasonal_residual_anomalies"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["view"].n_anomalies == 1
+    assert out["click"].n_anomalies == 0
