@@ -221,6 +221,7 @@ HEADLINE = [
     "exact_median_two_pass",
     "range_lookup_join",
     "seasonal_residual_anomalies",
+    "rfm_segment_counts",
 ]
 
 

@@ -2782,3 +2782,125 @@ def range_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation: the classic customer-value grid. One per-customer
+# reduce builds (recency, frequency, monetary); each dimension is cut
+# at its exact quartiles (a 3-value broadcast per dimension — the
+# scale path is swapping in percentile_approx, the same documented
+# trade as the equi-depth twins); segment = R digit * 100 + F * 10
+# + M. Exact-integer inputs (epoch days, counts, cents) make the
+# cuts and comparisons engine-identical.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rfm_segment_counts",
+    sql="""
+    WITH per_c AS (
+        SELECT o_custkey,
+               MAX(epoch_ms(o_orderdate) // 86400000) AS last_day,
+               COUNT(*) AS freq,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    bounds AS (
+        SELECT MAX(last_day) AS maxd FROM per_c
+    ),
+    rfm AS (
+        SELECT o_custkey,
+               bounds.maxd - last_day AS recency,
+               freq, cents
+        FROM per_c CROSS JOIN bounds
+    ),
+    cuts AS (
+        SELECT quantile_cont(recency, 0.25) AS r1,
+               quantile_cont(recency, 0.50) AS r2,
+               quantile_cont(recency, 0.75) AS r3,
+               quantile_cont(freq, 0.25) AS f1,
+               quantile_cont(freq, 0.50) AS f2,
+               quantile_cont(freq, 0.75) AS f3,
+               quantile_cont(cents, 0.25) AS m1,
+               quantile_cont(cents, 0.50) AS m2,
+               quantile_cont(cents, 0.75) AS m3
+        FROM rfm
+    ),
+    seg AS (
+        SELECT (CASE WHEN recency <= cuts.r1 THEN 4
+                     WHEN recency <= cuts.r2 THEN 3
+                     WHEN recency <= cuts.r3 THEN 2 ELSE 1 END) * 100
+             + (CASE WHEN freq <= cuts.f1 THEN 1
+                     WHEN freq <= cuts.f2 THEN 2
+                     WHEN freq <= cuts.f3 THEN 3 ELSE 4 END) * 10
+             + (CASE WHEN cents <= cuts.m1 THEN 1
+                     WHEN cents <= cuts.m2 THEN 2
+                     WHEN cents <= cuts.m3 THEN 3 ELSE 4 END) AS segment,
+               cents
+        FROM rfm CROSS JOIN cuts
+    )
+    SELECT CAST(segment AS BIGINT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM seg GROUP BY segment ORDER BY segment
+    """,
+    tags=("analytics", "rfm", "segmentation"),
+)
+def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers segmented into the R/F/M quartile grid (recency
+    scored 4 = most recent; frequency and monetary scored 4 = top
+    quartile), rolled up to per-segment customer counts and exact
+    total cents. One per-customer reduce, one 9-value exact-quartile
+    aggregate broadcast back, then a vocabulary-sized segment
+    aggregate — no windows, no data-sized joins."""
+    o = _t(spark, sf_dir, "orders")
+    per_c = o.groupBy("o_custkey").agg(
+        F.expr("max(unix_millis(o_orderdate) div 86400000)").alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    bounds = per_c.agg(F.max("last_day").alias("maxd"))
+    rfm = per_c.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        (F.col("maxd") - F.col("last_day")).alias("recency"),
+        "freq",
+        "cents",
+    )
+    cuts = rfm.agg(
+        *[
+            F.percentile(c, F.lit(q)).alias(f"{c[0]}{i}")
+            for c in ("recency", "freq", "cents")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    r_digit = (
+        F.when(F.col("recency") <= F.col("r1"), 4)
+        .when(F.col("recency") <= F.col("r2"), 3)
+        .when(F.col("recency") <= F.col("r3"), 2)
+        .otherwise(1)
+    )
+    f_digit = (
+        F.when(F.col("freq") <= F.col("f1"), 1)
+        .when(F.col("freq") <= F.col("f2"), 2)
+        .when(F.col("freq") <= F.col("f3"), 3)
+        .otherwise(4)
+    )
+    m_digit = (
+        F.when(F.col("cents") <= F.col("c1"), 1)
+        .when(F.col("cents") <= F.col("c2"), 2)
+        .when(F.col("cents") <= F.col("c3"), 3)
+        .otherwise(4)
+    )
+    seg = rfm.crossJoin(F.broadcast(cuts)).select(
+        (r_digit * 100 + f_digit * 10 + m_digit).alias("segment"), "cents"
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("segment")
+    )

@@ -305,3 +305,30 @@ def test_seasonal_anomalies_hand_case(spark, tmp_path):
     }
     assert out["view"].n_anomalies == 1
     assert out["click"].n_anomalies == 0
+
+
+def test_rfm_segments_partition_all_customers(spark):
+    """Invariants: every ordering customer lands in exactly one
+    segment; digits stay in 1..4; champions (444) and at-risk (1xx)
+    both exist at sf0.01; total cents reconciles with orders."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+    from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+    all_queries()
+    sf = "/root/testdata/sf0.01"
+    rows = REGISTRY["rfm_segment_counts"].fn(spark, sf).collect()
+    o = load_table(spark, sf, "orders")
+    assert sum(r.n_customers for r in rows) == (
+        o.select("o_custkey").distinct().count()
+    )
+    for r in rows:
+        d_r, d_f, d_m = r.segment // 100, (r.segment // 10) % 10, r.segment % 10
+        assert 1 <= d_r <= 4 and 1 <= d_f <= 4 and 1 <= d_m <= 4
+    assert any(r.segment == 444 for r in rows)
+    assert any(r.segment // 100 == 1 for r in rows)
+    total = o.agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    ).collect()[0][0]
+    assert sum(r.total_cents for r in rows) == total
