@@ -222,6 +222,7 @@ HEADLINE = [
     "range_lookup_join",
     "seasonal_residual_anomalies",
     "rfm_segment_counts",
+    "embedding_centroid_drift",
 ]
 
 

@@ -2904,3 +2904,84 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding centroid drift: is the vector distribution moving? The
+# scalar drift audit (value_drift_audit) can't see a 64-dim shift;
+# per-dimension centroid deltas between two halves of the corpus
+# can. Decimal per-dim sums are exact (any order, any partitioning),
+# so the two centroids — and therefore every delta — are
+# bit-identical across engines; the split is vec_id parity, the
+# deterministic stand-in for a time column.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_centroid_drift",
+    sql="""
+    WITH e AS (
+        SELECT vec_id % 2 AS period, embedding
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    idx AS (
+        SELECT unnest(range(0, (SELECT COALESCE(MAX(len(embedding)), 0)
+                                FROM e))) AS dim
+    ),
+    x AS (
+        SELECT e.period, idx.dim, e.embedding[idx.dim + 1]::DOUBLE AS x
+        FROM e CROSS JOIN idx
+        WHERE idx.dim < len(e.embedding)
+    ),
+    m AS (
+        SELECT dim,
+               CAST(SUM(CASE WHEN period = 0
+                             THEN CAST(x AS DECIMAL(28,12)) END) AS DOUBLE)
+                   / COUNT(CASE WHEN period = 0 THEN 1 END) AS m0,
+               CAST(SUM(CASE WHEN period = 1
+                             THEN CAST(x AS DECIMAL(28,12)) END) AS DOUBLE)
+                   / COUNT(CASE WHEN period = 1 THEN 1 END) AS m1
+        FROM x GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           ROUND(m0, 9) AS mean_a,
+           ROUND(m1, 9) AS mean_b,
+           ROUND(ABS(m1 - m0), 9) AS abs_shift
+    FROM m ORDER BY dim
+    """,
+    tags=("embedding", "drift", "mlops"),
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension centroid comparison between the two vec_id-parity
+    halves of the embedding corpus: exact-decimal per-dim sums divide
+    into identical IEEE means in both engines, so every per-dim shift
+    is hash-verified. A rising `abs_shift` on specific dimensions is
+    the embedding-pipeline drift signal (model update, preprocessing
+    change, upstream corpus shift) that scalar histograms cannot see.
+    Scale shape: one posexplode scan into a (2 x dims)-sized
+    aggregate — the output is dimension-sized regardless of corpus
+    size."""
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    x = e.select(
+        (F.col("vec_id") % 2).alias("period"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    dec = F.col("x").cast("double").cast("decimal(28,12)")
+    m = x.groupBy("dim").agg(
+        (
+            F.sum(F.when(F.col("period") == 0, dec)).cast("double")
+            / F.count(F.when(F.col("period") == 0, 1))
+        ).alias("m0"),
+        (
+            F.sum(F.when(F.col("period") == 1, dec)).cast("double")
+            / F.count(F.when(F.col("period") == 1, 1))
+        ).alias("m1"),
+    )
+    return m.select(
+        F.col("dim").cast("long").alias("dim"),
+        F.round("m0", 9).alias("mean_a"),
+        F.round("m1", 9).alias("mean_b"),
+        F.round(F.abs(F.col("m1") - F.col("m0")), 9).alias("abs_shift"),
+    ).orderBy("dim")

@@ -71,3 +71,30 @@ def test_gram_matrix_drops_null_vectors(spark):
     assert n1 == n0
     np.testing.assert_allclose(s1, s0, rtol=1e-12)
     np.testing.assert_allclose(G1, G0, rtol=1e-12)
+
+
+def test_embedding_centroid_drift_hand_case(spark, tmp_path):
+    """Two even-id vectors vs two odd-id vectors with known means:
+    the per-dim shifts are exact."""
+    from pyspark.sql import Row
+
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=2, embedding=[3.0, 0.0], label=0),   # period 0 mean (2, 0)
+        Row(vec_id=1, embedding=[5.0, 2.0], label=1),
+        Row(vec_id=3, embedding=[7.0, 4.0], label=1),   # period 1 mean (6, 3)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = {
+        r.dim: (r.mean_a, r.mean_b, r.abs_shift)
+        for r in REGISTRY["embedding_centroid_drift"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[0] == (2.0, 6.0, 4.0)
+    assert out[1] == (0.0, 3.0, 3.0)
