@@ -223,6 +223,7 @@ HEADLINE = [
     "seasonal_residual_anomalies",
     "rfm_segment_counts",
     "embedding_centroid_drift",
+    "knn_label_agreement",
 ]
 
 

@@ -2985,3 +2985,86 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("m1", 9).alias("mean_b"),
         F.round(F.abs(F.col("m1") - F.col("m0")), 9).alias("abs_shift"),
     ).orderBy("dim")
+
+
+# --------------------------------------------------------------------------
+# kNN label-agreement audit: do the labels respect the geometry? For
+# each query vector, what fraction of its 5 exact nearest neighbors
+# share its label — per-label. Low agreement = mislabeled data or an
+# embedding space that doesn't separate that class; either way it's
+# the label-quality gate to run before training a classifier on the
+# corpus. Reuses the exact brute-force top-k operator (rounded-cosine
+# ranking with neighbor-id tiebreak — the cross-engine-stable order
+# cosine_topk_bruteforce banks).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "knn_label_agreement",
+    sql="""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    n AS (SELECT vec_id, label, v,
+                 sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    p AS (
+        SELECT q.vec_id AS qid, q.label AS qlab, c.label AS clab,
+               c.vec_id AS neighbor,
+               ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6)
+                   AS cosine
+        FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % 100 = 0
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY qid ORDER BY cosine DESC, neighbor ASC)
+                   AS rk
+        FROM p
+    ),
+    k AS (
+        SELECT qid, qlab,
+               COUNT(CASE WHEN clab = qlab THEN 1 END) AS agree
+        FROM r WHERE rk <= 5 GROUP BY qid, qlab
+    )
+    SELECT CAST(qlab AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(agree) AS BIGINT) AS n_agree,
+           CAST(SUM(agree) * 10000 // (COUNT(*) * 5) AS BIGINT)
+               AS agree_bp
+    FROM k GROUP BY qlab ORDER BY label
+    """,
+    tags=("embedding", "knn", "label_quality", "mlops"),
+)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label 5-NN agreement over the deterministic query subset
+    (vec_id % 100 == 0): reuse the exact brute-force top-k, join
+    labels onto both sides, and report exact-integer agreement basis
+    points per label. Scale shape: the query subset broadcasts (it is
+    1% of the corpus by construction) against one candidate scan —
+    the same bounded-queries discipline as every ANN baseline here."""
+    from ..operators.similarity import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = cosine_topk_bruteforce(emb, F.col("vec_id") % 100 == 0, k=5)
+    labels = emb.select("vec_id", "label")
+    ql = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "qlab"
+    )
+    cl = labels.withColumnRenamed("vec_id", "neighbor").withColumnRenamed(
+        "label", "clab"
+    )
+    j = topk.join(F.broadcast(ql), "query_id").join(F.broadcast(cl), "neighbor")
+    per_q = j.groupBy("query_id", "qlab").agg(
+        F.count(F.when(F.col("clab") == F.col("qlab"), 1)).alias("agree")
+    )
+    return (
+        per_q.groupBy(F.col("qlab").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("agree").cast("long").alias("n_agree"),
+            F.expr(
+                "CAST(sum(agree) * 10000 div (count(*) * 5) AS BIGINT)"
+            ).alias("agree_bp"),
+        )
+        .orderBy("label")
+    )

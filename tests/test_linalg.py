@@ -98,3 +98,37 @@ def test_embedding_centroid_drift_hand_case(spark, tmp_path):
     }
     assert out[0] == (2.0, 6.0, 4.0)
     assert out[1] == (0.0, 3.0, 3.0)
+
+
+def test_knn_label_agreement_hand_case(spark, tmp_path):
+    """Query vec 0 (label 0) whose 5 nearest neighbors split 3
+    same-label / 2 other-label by construction → agree_bp = 6000."""
+    import math
+
+    from pyspark.sql import Row
+
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+
+    def vec(angle_deg):
+        a = math.radians(angle_deg)
+        return [math.cos(a), math.sin(a)]
+
+    rows = [Row(vec_id=0, embedding=vec(0), label=0)]       # the query
+    # 3 same-label close neighbors, 2 other-label slightly farther,
+    # the rest far away with label 9
+    for i, (ang, lab) in enumerate(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (80, 9), (85, 9), (90, 9)]
+    ):
+        rows.append(Row(vec_id=101 + i, embedding=vec(ang), label=lab))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = {
+        r.label: r
+        for r in REGISTRY["knn_label_agreement"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[0].n_queries == 1
+    assert out[0].n_agree == 3
+    assert out[0].agree_bp == 6000
