@@ -1024,6 +1024,32 @@ _head3b = [
 _rest3b = [n for n in CORE_PREFIX if n not in _head3b and n not in _R3B_PROMOTED]
 CORE_PREFIX = _head3b + _R3B_PROMOTED + _rest3b
 
+# Round-3c: four more never-driver-checked representatives from the
+# late round-3 additions (anti-entropy reconciliation, streaming-ops
+# lateness profiling, exact-at-scale order statistics, GDPR erasure),
+# displacing shapes that are banked driver-green in BOTH r01 and r02
+# and remain covered by same-shape survivors in the head.
+_R3C_PROMOTED = [
+    "segment_digest_reconcile",         # Merkle anti-entropy locator
+    "watermark_lateness_profile",       # bucketed running max, streaming ops
+    "exact_median_two_pass",            # exact order stats, no global sort
+    "forget_entity_audit",              # cross-table erasure proof
+]
+_R3C_DEMOTED = {
+    "latest_event_per_user",            # keep-latest (banked r01+r02;
+                                        # shape also in snapshot_diff)
+    "rolling_5min_event_count",         # range frame (banked r01+r02)
+    "minhash_lsh_near_dup",             # MinHash-LSH (banked r01+r02;
+                                        # near-dup tier keeps 4 reps in head)
+    "token_count_documents",            # token counts (banked r01+r02)
+}
+_head3c = [
+    n for n in CORE_PREFIX[:50]
+    if n not in _R3C_DEMOTED and n not in _R3C_PROMOTED
+]
+_rest3c = [n for n in CORE_PREFIX if n not in _head3c and n not in _R3C_PROMOTED]
+CORE_PREFIX = _head3c + _R3C_PROMOTED + _rest3c
+
 
 def _ordered_specs() -> list[QuerySpec]:
     """CORE_PREFIX first, then remaining oracle-backed queries in
