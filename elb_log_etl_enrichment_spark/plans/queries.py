@@ -1051,6 +1051,70 @@ _rest3c = [n for n in CORE_PREFIX if n not in _head3c and n not in _R3C_PROMOTED
 CORE_PREFIX = _head3c + _R3C_PROMOTED + _rest3c
 
 
+# Round-4 rebalance (VERDICT r03 item 3): 19 promotions — the two
+# queries whose plans changed this round (knn_label_agreement's
+# broadcast-side fix rides next to the already-promoted
+# exact_median_two_pass) plus 18 never-driver-checked representatives
+# from tiers with zero driver rows: the reference's second CSV report
+# (elb_bot_report, NEW), sink/format matrix, sketches, graph/pagerank,
+# sampling, SQL-surface LATERAL, data contracts, the curation capstone
+# and its DSIR/SemDeDup siblings, profiling, time-series gap-fill,
+# retention, funnels, privacy l-diversity, column encryption, range
+# joins, and heavy hitters. Displaced entries are banked driver-green
+# in 2-3 prior rounds AND shape-covered by a survivor; every one keeps
+# its local oracle test.
+_R4_PROMOTED = [
+    "knn_label_agreement",              # changed r04: broadcast side flipped
+    "elb_bot_report",                   # NEW: reference bot report (F4+A8)
+    "format_matrix_roundtrip",          # §2.1 ORC/CSV round-trip
+    "count_min_sketch_audit",           # sketch tier
+    "nation_trade_pagerank",            # graph tier: pagerank
+    "stratified_sample_audit",          # sampling tier: per-stratum rates
+    "lateral_top2_customers",           # SQL surface: LATERAL subquery
+    "expectations_audit",               # data-contract audit
+    "training_export_pipeline",         # curation capstone e2e
+    "vocab_growth_audit",               # profiling: exact vocab growth
+    "gapfill_locf_hourly",              # time-series: LOCF gap fill
+    "cohort_retention_matrix",          # retention matrix
+    "funnel_view_click_purchase",       # ordered funnel
+    "dsir_importance_weights",          # curation: DSIR weighting
+    "semdedup_survivors",               # curation: SemDeDup
+    "l_diversity_audit",                # privacy: l-diversity
+    "column_encryption_roundtrip",      # AES column round-trip
+    "range_lookup_join",                # range-predicate join
+    "heavy_hitter_tokens",              # misra-gries-style heavy hitters
+]
+_R4_DEMOTED = {
+    # banked driver-green r01+r02+r03, shape-covered by survivors:
+    "pricing_summary",                  # agg battery ~ elb_pipeline_hourly
+    "revenue_by_nation",                # J1 broadcast ~ elb_pipeline (still entry())
+    "top3_customers_per_nation",        # W7 rank ~ lateral_top2_customers
+    "sessionize_events",                # sessions ~ streaming_timeout_sessions
+    "hourly_event_aggregate",           # P15+aggs ~ elb_pipeline_hourly
+    "orders_above_avg_scalar_subquery", # scalar subquery ~ lateral
+    "asof_latest_order_before_event",   # as-of ~ range_lookup_join
+    "order_price_quartiles",            # exact quartiles ~ exact_median_two_pass
+    "zscore_outlier_events",            # applyInPandas ~ grouped pandas kept local
+    "multimodal_decode_stats",          # multimodal (banked 3 rounds)
+    "streaming_sessionize_events",      # ~ streaming_timeout_sessions
+    "streaming_hourly_counts",          # ~ watermark_lateness_profile
+    "embedding_near_dup_pairs",         # ~ semdedup_survivors + simhash
+    # banked r02+r03, shape-covered:
+    "streaming_static_nation_counts",   # ~ streaming_view_purchase_outer
+    "cosine_topk_bruteforce",           # same operator inside knn_label_agreement
+    "ngram_jaccard_near_dup",           # near-dup tier keeps simhash + exact_dedup
+    "ewma_control_chart",               # stats tier keeps chi_square + mann_whitney
+    "pareto_concentration",             # ~ gini/survival shapes kept local
+    "value_drift_audit",                # drift ~ chi_square_independence
+}
+_head4 = [
+    n for n in CORE_PREFIX[:50]
+    if n not in _R4_DEMOTED and n not in _R4_PROMOTED
+]
+_rest4 = [n for n in CORE_PREFIX if n not in _head4 and n not in _R4_PROMOTED]
+CORE_PREFIX = _head4 + _R4_PROMOTED + _rest4
+
+
 def _ordered_specs() -> list[QuerySpec]:
     """CORE_PREFIX first, then remaining oracle-backed queries in
     registration order, then rows-only queries last."""

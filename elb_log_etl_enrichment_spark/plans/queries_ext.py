@@ -1262,6 +1262,91 @@ def elb_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bot-traffic report (reference export_bot_traffic,
+# elb_logs.py:380-391): boolean is_bot filter (F4) + count(*) group
+# size per (countryName, isp) origin (A8 — ROW count, vs A2's
+# non-null count), over the same extended fixture corpus. The
+# reference's second CSV report; elb_error_report covered the first
+# (VERDICT r03 item 4 closes the asymmetry). The geo columns replay
+# the fake_fetch octet formula; is_bot replays the keyword scan over
+# the lowered user agent (reference elb_logs.py:122-126). Note the
+# health-check filter runs FIRST (as in the reference main()), so a
+# datadog agent — bot keyword AND health-check pattern — never
+# reaches the bot report.
+# --------------------------------------------------------------------------
+_ELB_BOT_REPORT_SQL = f"""
+    WITH raw AS (
+        SELECT regexp_extract_all(value, '"[^"]*"|\\S+') AS t
+        FROM read_parquet('{_ELB_FIXTURE_PARQUET}')
+    ),
+    parsed AS (
+        SELECT
+            try_strptime(t[2], '%Y-%m-%dT%H:%M:%S.%fZ') AS time_utc,
+            split_part(t[4], ':', 1) AS client_ip,
+            trim(t[13], '"') AS request,
+            trim(t[14], '"') AS user_agent
+        FROM raw WHERE len(t) >= 29
+    ),
+    f AS (
+        SELECT *,
+            list_aggregate(
+                list_transform(string_split(client_ip, '.'),
+                               x -> try_cast(x AS BIGINT)), 'sum') % 5 AS octet
+        FROM parsed
+        WHERE time_utc IS NOT NULL
+          AND client_ip IS NOT NULL AND request IS NOT NULL
+          AND NOT COALESCE(
+              regexp_matches(lower(user_agent),
+                             'datadog|healthchecker|kube-probe|aws-elb'), FALSE)
+    )
+    SELECT
+        'Country' || octet AS "countryName",
+        'ISP' || octet     AS isp,
+        CAST(COUNT(*) AS BIGINT) AS bot_request_count
+    FROM f
+    WHERE COALESCE(
+        regexp_matches(lower(user_agent),
+                       'bot|crawler|spider|googlebot|python-urllib|datadog|'
+                       'pingdom|uptimerobot|newrelic|monitoring|nagios'),
+        FALSE)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+@register(
+    "elb_bot_report",
+    sql=_ELB_BOT_REPORT_SQL,
+    tags=("pipeline", "elb", "report", "filter", "agg"),
+)
+def elb_bot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference bot_traffic_by_origin_summary.csv (elb_logs.py:385-391)
+    as an oracle-backed query: full parse→filter→geo-enrich path, then
+    the is_bot boolean filter (F4) and a count(*) per origin (A8)."""
+    import os
+
+    from ..operators.aggregate import bot_traffic
+    from ..plans.pipeline import enrich_and_featurize
+    from ..session import ensure_engine_confs
+    from ..sources.alb_fixtures import write_fixture_parquet
+    from ..sources.elb_logs import parse_elb_lines
+
+    ensure_engine_confs(spark)
+    if not os.path.exists(_ELB_FIXTURE_PARQUET):
+        write_fixture_parquet(_ELB_FIXTURE_PARQUET, extended=True)
+    lines = spark.read.parquet(_ELB_FIXTURE_PARQUET)
+    parsed = parse_elb_lines(lines)
+    cache_dir = _fresh_checkpoint("elb_geo_cache_bot") + "/cache.parquet"
+    enriched = enrich_and_featurize(spark, parsed, cache_dir)
+    _, summary = bot_traffic(enriched)
+    return summary.select(
+        "countryName",
+        "isp",
+        F.col("bot_request_count").cast("long").alias("bot_request_count"),
+    ).orderBy("countryName", "isp")
+
+
+# --------------------------------------------------------------------------
 # Stream-static join: streaming events enriched against the static
 # customer⨝nation dim (broadcast, stateless), then a complete-mode
 # count per nation — the streaming analog of batch geo enrichment.
@@ -3039,9 +3124,13 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label 5-NN agreement over the deterministic query subset
     (vec_id % 100 == 0): reuse the exact brute-force top-k, join
     labels onto both sides, and report exact-integer agreement basis
-    points per label. Scale shape: the query subset broadcasts (it is
-    1% of the corpus by construction) against one candidate scan —
-    the same bounded-queries discipline as every ANN baseline here."""
+    points per label. Scale shape: the BOUNDED side of each label
+    join is the top-k frame itself (|queries| x 5 rows, queries being
+    1% of the corpus by construction) — so THAT is what broadcasts,
+    while the corpus-sized label projection streams as the probe side
+    of both joins (VERDICT r03 item 1: broadcasting the full label
+    map would ship the whole corpus to every executor at 1e9+
+    vectors; a plan test pins the build side to the top-k subtree)."""
     from ..operators.similarity import cosine_topk_bruteforce
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -3053,7 +3142,8 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     cl = labels.withColumnRenamed("vec_id", "neighbor").withColumnRenamed(
         "label", "clab"
     )
-    j = topk.join(F.broadcast(ql), "query_id").join(F.broadcast(cl), "neighbor")
+    with_qlab = ql.join(F.broadcast(topk), "query_id")
+    j = cl.join(F.broadcast(with_qlab), "neighbor")
     per_q = j.groupBy("query_id", "qlab").agg(
         F.count(F.when(F.col("clab") == F.col("qlab"), 1)).alias("agree")
     )

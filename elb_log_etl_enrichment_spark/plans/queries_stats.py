@@ -1750,17 +1750,76 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Exact order statistics WITHOUT a global sort: two-pass histogram
-# narrowing. Pass 1 bins every value into 1024 equi-width buckets
-# (map-side combined counts); the cumulative bucket counts locate
-# which bucket holds the target rank and the residual rank inside
-# it. Pass 2 sorts ONLY that bucket (~n/1024 of the data; iterate
-# the narrowing if a bucket is still too large). The approx twins
-# (equi_depth_histogram_orders_approx etc.) trade exactness for one
-# pass; this is the EXACT scale path — no single reducer ever sees
-# more than one bucket.
+# Exact order statistics WITHOUT a global sort: ITERATED histogram
+# narrowing (VERDICT r03 item 2). Each level bins the surviving rows
+# into 1024 equi-width buckets (map-side combined counts); the
+# cumulative bucket counts locate which bucket holds the target rank
+# and the residual rank inside it; only that bucket survives to the
+# next level. After L levels no downstream operator sees more than
+# ~n/1024^L rows (n/2^20 at the default depth 2), and the final
+# selection collapses the bucket to DISTINCT values before its
+# single-partition cumulative window — so even a pathological
+# all-ties bucket costs one tiny aggregate, never a full sort. The
+# approx twins (equi_depth_histogram_orders_approx etc.) trade
+# exactness for one pass; this is the EXACT scale path.
 # --------------------------------------------------------------------------
 _SEL_BINS = 1024
+_SEL_DEPTH = 2
+
+
+def _bin_col(lo, hi) -> F.Column:
+    """Equi-width bucket index over [lo, hi]; ties share a bucket by
+    construction (binning is a pure function of value), the top edge
+    clamps into the last bucket, and a degenerate lo == hi range maps
+    everything to bucket 0."""
+    return F.when(
+        hi > lo,
+        F.least(
+            F.floor((F.col("value") - lo) / (hi - lo) * _SEL_BINS).cast("long"),
+            F.lit(_SEL_BINS - 1).cast("long"),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def histogram_narrow(
+    values: DataFrame, k_frame: DataFrame, levels: int = _SEL_DEPTH
+) -> tuple[DataFrame, DataFrame]:
+    """Narrow a single-column ``values`` frame to the bucket holding
+    order statistic k (``k_frame``: one row, column ``k``), iterating
+    ``levels`` times. Each level recomputes min/max over the SURVIVORS
+    (so boundary IEEE drift between levels is impossible — the sub
+    -range is re-derived from the data, never from arithmetic on the
+    parent's edges) and re-bins; the surviving bucket is persisted
+    (≤ ~n/1024 rows after level 1) so later levels and the final
+    selection don't re-expand the full-scan lineage. Returns
+    ``(bucket, residual_k)``."""
+    cur, k = values, k_frame
+    for level in range(levels):
+        bounds = cur.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        binned = cur.crossJoin(F.broadcast(bounds)).withColumn(
+            "bin", _bin_col(F.col("lo"), F.col("hi"))
+        )
+        counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+        target = (
+            counts.crossJoin(F.broadcast(k))
+            .withColumn("cum_before", F.coalesce(F.sum("c").over(w), F.lit(0)))
+            .filter(
+                (F.col("cum_before") < F.col("k"))
+                & (F.col("cum_before") + F.col("c") >= F.col("k"))
+            )
+            .select(
+                F.col("bin").alias("tbin"),
+                (F.col("k") - F.col("cum_before")).alias("k"),
+            )
+        )
+        cur = (
+            binned.join(F.broadcast(target), binned.bin == target.tbin)
+            .select("value")
+            .persist()  # ≤ ~n/1024^(level+1) rows: feeds next level 3×
+        )
+        k = target.select("k")
+    return cur, k
 
 
 @register(
@@ -1784,61 +1843,36 @@ _SEL_BINS = 1024
 )
 def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact lower median (order statistic k = (n+1)//2) of
-    events.value computed by histogram narrowing instead of a global
-    sort: a 1024-bin count pass locates the median's bucket and its
-    residual rank, then a row_number runs over THAT BUCKET ONLY.
-    The oracle's plain global ROW_NUMBER proves the narrowed answer
-    exact. Bin edges derive from min/max through the identical-IEEE
-    tree both engines share (value_drift_audit precedent); ties
-    share a bucket by construction, so the boundary cannot split a
-    tied value."""
+    events.value computed by ITERATED histogram narrowing instead of
+    a global sort: ``_SEL_DEPTH`` 1024-bin count passes each locate
+    the bucket holding the residual rank and keep only that bucket
+    (no operator downstream of level L sees more than ~n/1024^L
+    rows), then the final bucket collapses to DISTINCT values before
+    a single-partition cumulative window picks the value whose count
+    range covers the residual rank. The oracle's plain global
+    ROW_NUMBER proves the narrowed answer exact; tie rows always
+    share a bucket (binning is a pure function of value), and the
+    order statistic's VALUE never needs a row tiebreak — tied rows
+    carry the same value."""
     e = (
         _t(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
-        .select("value", "event_id")
+        .select("value")
     )
     b = e.agg(
-        F.min("value").alias("lo"),
-        F.max("value").alias("hi"),
         F.count(F.lit(1)).alias("n"),
         F.expr("(count(*) + 1) div 2").alias("k"),
     )
-    binned = (
-        e.crossJoin(F.broadcast(b))
-        .withColumn(
-            "bin",
-            F.when(
-                F.col("hi") > F.col("lo"),
-                F.least(
-                    F.floor(
-                        (F.col("value") - F.col("lo"))
-                        / (F.col("hi") - F.col("lo"))
-                        * _SEL_BINS
-                    ).cast("long"),
-                    F.lit(_SEL_BINS - 1).cast("long"),
-                ),
-            ).otherwise(F.lit(0).cast("long")),
-        )
-    )
-    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
-    target = (
-        counts.crossJoin(F.broadcast(b.select("k")))
-        .withColumn("cum_before", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    bucket, k = histogram_narrow(e, b.select("k"))
+    g = bucket.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+    vw = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    hit = (
+        g.crossJoin(F.broadcast(k))
+        .withColumn("cum_before", F.coalesce(F.sum("c").over(vw), F.lit(0)))
         .filter(
             (F.col("cum_before") < F.col("k"))
             & (F.col("cum_before") + F.col("c") >= F.col("k"))
         )
-        .select(
-            F.col("bin").alias("tbin"),
-            (F.col("k") - F.col("cum_before")).alias("local_rank"),
-        )
-    )
-    inside = binned.join(F.broadcast(target), binned.bin == target.tbin)
-    iw = Window.orderBy("value", "event_id")
-    hit = (
-        inside.withColumn("rn", F.row_number().over(iw))
-        .filter(F.col("rn") == F.col("local_rank"))
         .select(F.round("value", 6).alias("median_value"))
     )
     return b.select(

@@ -117,3 +117,84 @@ def test_hll_sketch_merge_consistency(spark):
     )
     assert merged_est == global_est  # merge-invariance, not just closeness
     assert abs(global_est - exact) / exact < 0.05
+
+
+def _jvm_nodes(jplan, name: str):
+    """All nodes in a JVM physical-plan tree whose nodeName contains
+    ``name``; descends through the AdaptiveSparkPlan wrapper via its
+    pre-execution initialPlan (which carries the join hints)."""
+    out, stack = [], [jplan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "AdaptiveSparkPlan":
+            stack.append(node.initialPlan())
+            continue
+        if name in node.nodeName():
+            out.append(node)
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return out
+
+
+def test_knn_label_agreement_broadcasts_topk_not_corpus(spark):
+    """VERDICT r03 item 1: the label joins must broadcast the BOUNDED
+    top-k frame (whose subtree carries the vec_id % 100 query-subset
+    filter), never the corpus-sized label projection. Every
+    BroadcastExchange subtree must therefore contain the query filter,
+    and the full-corpus label scan must appear outside all of them."""
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+
+    all_queries()
+    df = REGISTRY["knn_label_agreement"].fn(spark, "/root/testdata/sf0.001")
+    jplan = df._jdf.queryExecution().executedPlan()
+    exchanges = _jvm_nodes(jplan, "BroadcastExchange")
+    assert exchanges, "expected broadcast label joins over the top-k frame"
+    for ex in exchanges:
+        sub = ex.toString()
+        assert "% 100)" in sub, (
+            "BroadcastExchange without the query-subset filter — "
+            "a corpus-sized side is being broadcast:\n" + sub[:2000]
+        )
+
+
+def test_exact_median_iterated_narrowing_bounds_window_input(spark):
+    """VERDICT r03 item 2: exact_median_two_pass must iterate the
+    histogram narrowing so no single-partition window ever ranks raw
+    rows — every Window in the plan must sit above a HashAggregate
+    (bin counts or the final distinct-value collapse), and the old
+    per-row row_number rank must be gone."""
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+    from elb_log_etl_enrichment_spark.plans.queries_stats import (
+        _SEL_DEPTH,
+        histogram_narrow,
+    )
+
+    all_queries()
+    df = REGISTRY["exact_median_two_pass"].fn(spark, "/root/testdata/sf0.001")
+    jplan = df._jdf.queryExecution().executedPlan()
+    windows = _jvm_nodes(jplan, "Window")
+    # one cumulative window per narrowing level + the final
+    # distinct-value selection
+    assert len(windows) == _SEL_DEPTH + 1, [w.nodeName() for w in windows]
+    for w in windows:
+        assert "row_number" not in w.toString().splitlines()[0]
+        assert _jvm_nodes(w, "HashAggregate"), (
+            "Window over raw rows:\n" + w.toString()[:2000]
+        )
+
+    # functional bound: depth-2 narrowing over 200k spread-out values
+    # leaves a final bucket no larger than n/1024 (level 1 alone
+    # guarantees that; level 2 shrinks further on spread data)
+    import pyspark.sql.functions as F
+
+    vals = spark.range(200_000).select(
+        (F.col("id") * 2654435761 % 1000003).cast("double").alias("value")
+    )
+    k = vals.agg(F.expr("(count(*) + 1) div 2").alias("k"))
+    bucket, resid = histogram_narrow(vals, k, levels=_SEL_DEPTH)
+    n_bucket = bucket.count()
+    assert n_bucket <= 200_000 // 1024, n_bucket
+    # the residual rank stays a valid index into the bucket
+    r = resid.first().k
+    assert 1 <= r <= n_bucket
