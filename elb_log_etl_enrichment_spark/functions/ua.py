@@ -30,7 +30,7 @@ try:  # pragma: no cover - not installed in the test container
 except Exception:  # pragma: no cover
     _ua_parse = None
 
-from .ua_regexes import OS_PARSERS, UA_PARSERS
+from .ua_regexes import DEVICE_PARSERS, OS_PARSERS, UA_PARSERS
 
 
 def _compile(parsers: list[dict], repl_key: str) -> list[tuple[re.Pattern, str | None]]:
@@ -50,6 +50,7 @@ def _compile(parsers: list[dict], repl_key: str) -> list[tuple[re.Pattern, str |
 #: proves real-lib parity wherever `user_agents` IS importable).
 _BROWSER_RULES = _compile(UA_PARSERS, "family_replacement")
 _OS_RULES = _compile(OS_PARSERS, "os_replacement")
+_DEVICE_RULES = _compile(DEVICE_PARSERS, "device_replacement")
 
 
 def _first_match(
@@ -86,6 +87,19 @@ def classify_ua(ua: str | None) -> tuple[str, str]:
     return (_first_match(_BROWSER_RULES, ua), _first_match(_OS_RULES, ua))
 
 
+def classify_device(ua: str | None) -> str:
+    """UA string → device family (uap-core ``device_parsers``
+    semantics: ordered first-match, ``device_replacement`` with $1,
+    "Other" fallback — so desktop Windows/Linux UAs are "Other" and
+    crawlers are the "Spider" pseudo-device, as upstream)."""
+    if not ua:
+        return "Other"
+    ua = ua.strip('"')
+    if _ua_parse is not None:  # full-fidelity path when the lib exists
+        return _ua_parse(ua).device.family or "Other"
+    return _first_match(_DEVICE_RULES, ua)
+
+
 @F.pandas_udf(UA_STRUCT)
 def _ua_classify_udf(ua: pd.Series) -> pd.DataFrame:
     out = [classify_ua(v) for v in ua]
@@ -95,3 +109,13 @@ def _ua_classify_udf(ua: pd.Series) -> pd.DataFrame:
 def ua_classify(col: Column) -> Column:
     """Column expression: UA string → struct<browser, os>."""
     return _ua_classify_udf(col)
+
+
+@F.pandas_udf(StringType())
+def _device_classify_udf(ua: pd.Series) -> pd.Series:
+    return pd.Series([classify_device(v) for v in ua])
+
+
+def device_classify(col: Column) -> Column:
+    """Column expression: UA string → device family."""
+    return _device_classify_udf(col)

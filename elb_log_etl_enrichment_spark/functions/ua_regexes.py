@@ -68,6 +68,25 @@ UA_PARSERS: list[dict] = [
     {"regex": r"(python-requests)/\d+", "family_replacement": "Python Requests"},
     {"regex": r"(Python-urllib)/?\d*"},
     {"regex": r"(Wget)/\d+"},
+    # --- monitoring agents (round 4: the reference's bot keyword list
+    # names pingdom/uptimerobot/newrelic; uap-core publishes explicit
+    # rules for these exact agents) ---
+    {
+        "regex": r"(Pingdom\.com_bot_version_)[\d.]+",
+        "family_replacement": "PingdomBot",
+    },
+    {"regex": r"(NewRelicPinger)/\d+"},
+    # --- generic crawler fallback (uap-core's token-is-the-family
+    # convention: AhrefsBot → "AhrefsBot", PetalBot → "PetalBot").
+    # Deliberately LAST: a bot that impersonates a full browser UA
+    # classifies as that browser here (upstream orders some bot rules
+    # first and carves device exceptions like Cubot phones; the
+    # curated table trades that edge for zero false positives on real
+    # browser traffic — no genuine browser UA contains these tokens).
+    {
+        "regex": r"([A-Za-z0-9._-]*(?:[Bb]ot|[Ss]pider|[Cc]rawler))"
+        r"(?:[/ ;)]|$)"
+    },
 ]
 
 #: OS-family rules (uap-core `os_parsers` shape). Specific before
@@ -79,7 +98,44 @@ OS_PARSERS: list[dict] = [
     {"regex": r"(Android)"},
     {"regex": r"(iPhone|iPad|iPod|iOS)", "os_replacement": "iOS"},
     {"regex": r"(Mac OS X|Macintosh)", "os_replacement": "Mac OS X"},
+    # specific distros before generic Linux (uap-core ordering)
     {"regex": r"(Ubuntu)"},
+    {"regex": r"(Debian)"},
+    {"regex": r"(Fedora)"},
     {"regex": r"(FreeBSD)"},
+    {"regex": r"(OpenBSD)"},
+    {"regex": r"(NetBSD)"},
     {"regex": r"(Linux)"},
+]
+
+#: Device-family rules (uap-core `device_parsers` shape:
+#: ``device_replacement`` with $1 substitution; default = first
+#: capture group). Curated high-frequency subset: crawler traffic maps
+#: to uap-core's "Spider" pseudo-device, Apple hardware to
+#: iPhone/iPad/Mac, Samsung/Pixel Androids to their model families,
+#: remaining Androids to the Generic buckets, desktop Windows/Linux to
+#: "Other" (upstream's convention). First match wins, as upstream.
+DEVICE_PARSERS: list[dict] = [
+    {
+        "regex": r"(?:Googlebot|bingbot|[A-Za-z0-9._-]*(?:[Bb]ot|[Ss]pider|"
+        r"[Cc]rawler)[/ ;)])",
+        "device_replacement": "Spider",
+    },
+    {"regex": r"(iPhone)"},
+    {"regex": r"(iPad)"},
+    {"regex": r"(iPod)"},
+    {
+        "regex": r"Android[^;)]*;\s(?:U;\s)?(?:[a-z]{2}-[A-Za-z]{2};\s)?"
+        r"(SM-[A-Za-z0-9]+)",
+        "device_replacement": "Samsung $1",
+    },
+    {
+        "regex": r"Android[^;)]*;\s(?:U;\s)?(?:[a-z]{2}-[A-Za-z]{2};\s)?"
+        r"(Pixel[ a-zA-Z0-9]*)",
+        "device_replacement": "$1",
+    },
+    # Android with a Mobile token but no recognized model
+    {"regex": r"(Android).*Mobile", "device_replacement": "Generic Smartphone"},
+    {"regex": r"(Android)", "device_replacement": "Generic Tablet"},
+    {"regex": r"(Macintosh)", "device_replacement": "Mac"},
 ]

@@ -361,11 +361,15 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark bit expressions exactly).
 # --------------------------------------------------------------------------
 def _simhash_sql() -> str:
+    from ..operators.text_dedup import SIMHASH_BITS
+
     sums = ",\n               ".join(
-        f"SUM(({_simhash_bit_sql(j, 'duckdb')}) * 2 - 1) AS s{j}" for j in range(32)
+        f"SUM(({_simhash_bit_sql(j, 'duckdb')}) * 2 - 1) AS s{j}"
+        for j in range(SIMHASH_BITS)
     )
     bits = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
     )
     return f"""
     WITH tok AS (

@@ -292,6 +292,147 @@ UA_BATTERY = [
     ("Go-http-client/2.0", "Go-http-client", "Other"),
     ("Java/1.8.0_362", "Java", "Other"),
     ("Wget/1.21.3", "Wget", "Other"),
+    ("okhttp/4.12.0", "okhttp", "Other"),
+    # --- round 4 (VERDICT r03 item 6): crawler long tail via the
+    # generic token-is-the-family rule, the reference-relevant
+    # monitoring agents, and the distro/BSD OS families ---
+    (
+        "Mozilla/5.0 (compatible; YandexBot/3.0; +http://yandex.com/bots)",
+        "YandexBot", "Other",
+    ),
+    (
+        "Mozilla/5.0 (compatible; Baiduspider/2.0; "
+        "+http://www.baidu.com/search/spider.html)",
+        "Baiduspider", "Other",
+    ),
+    (
+        "Mozilla/5.0 (compatible; AhrefsBot/7.0; +http://ahrefs.com/robot/)",
+        "AhrefsBot", "Other",
+    ),
+    (
+        "Mozilla/5.0 (compatible; SemrushBot/7~bl; "
+        "+http://www.semrush.com/bot.html)",
+        "SemrushBot", "Other",
+    ),
+    ("Twitterbot/1.0", "Twitterbot", "Other"),
+    (
+        "Mozilla/5.0 (compatible; DotBot/1.2; "
+        "+https://opensiteexplorer.org/dotbot)",
+        "DotBot", "Other",
+    ),
+    (
+        "Mozilla/5.0 (compatible; MJ12bot/v1.4.8; http://mj12bot.com/)",
+        "MJ12bot", "Other",
+    ),
+    (
+        "Mozilla/5.0 (compatible; PetalBot;"
+        "+https://webmaster.petalsearch.com/site/petalbot)",
+        "PetalBot", "Other",
+    ),
+    (
+        "Mozilla/5.0 (compatible; Applebot/0.1; "
+        "+http://www.apple.com/go/applebot)",
+        "Applebot", "Other",
+    ),
+    (
+        "Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko); compatible; "
+        "GPTBot/1.0; +https://openai.com/gptbot",
+        "GPTBot", "Other",
+    ),
+    (
+        "Mozilla/5.0 (compatible; CCBot/2.0; +https://commoncrawl.org/faq/)",
+        "CCBot", "Other",
+    ),
+    (
+        "Pingdom.com_bot_version_1.4_(http://www.pingdom.com/)",
+        "PingdomBot", "Other",
+    ),
+    ("NewRelicPinger/1.0 (733677)", "NewRelicPinger", "Other"),
+    (
+        "Mozilla/5.0 (compatible; UptimeRobot/2.0; http://www.uptimerobot.com/)",
+        "UptimeRobot", "Other",
+    ),
+    # the extended ELB fixture corpus's health-check agent: NOT a
+    # uap-core family — the reference's golden test pins monitoring
+    # agents without rules to Other/Other (tests/test_elb_logs.py:26)
+    ("ELB-HealthChecker/2.0 aws-elb", "Other", "Other"),
+    ("Datadog Agent/7.54.0", "Other", "Other"),
+    (
+        "Mozilla/5.0 (X11; Fedora; Linux x86_64; rv:125.0) "
+        "Gecko/20100101 Firefox/125.0",
+        "Firefox", "Fedora",
+    ),
+    (
+        "Mozilla/5.0 (X11; Debian; Linux x86_64; rv:125.0) "
+        "Gecko/20100101 Firefox/125.0",
+        "Firefox", "Debian",
+    ),
+    (
+        "Mozilla/5.0 (X11; FreeBSD amd64; rv:125.0) "
+        "Gecko/20100101 Firefox/125.0",
+        "Firefox", "FreeBSD",
+    ),
+    (
+        "Mozilla/5.0 (X11; OpenBSD amd64; rv:125.0) "
+        "Gecko/20100101 Firefox/125.0",
+        "Firefox", "OpenBSD",
+    ),
+    (
+        "Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36",
+        "Chrome", "Chrome OS",
+    ),
+]
+
+DEVICE_BATTERY = [
+    # (ua_string, expected_device_family) — uap-core device_parsers
+    # conventions: crawlers → "Spider", unrecognized desktop → "Other",
+    # generic Androids → the Generic buckets, models pass through.
+    (
+        "Mozilla/5.0 (compatible; Googlebot/2.1; "
+        "+http://www.google.com/bot.html)",
+        "Spider",
+    ),
+    (
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 17_4 like Mac OS X) "
+        "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.4 "
+        "Mobile/15E148 Safari/604.1",
+        "iPhone",
+    ),
+    (
+        "Mozilla/5.0 (iPad; CPU OS 17_4 like Mac OS X) "
+        "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.4 "
+        "Mobile/15E148 Safari/604.1",
+        "iPad",
+    ),
+    (
+        "Mozilla/5.0 (Linux; Android 13; SM-S918B) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 "
+        "Mobile Safari/537.36",
+        "Samsung SM-S918B",
+    ),
+    (
+        "Mozilla/5.0 (Linux; Android 13; Pixel 7) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/124.0.0.0 Mobile Safari/537.36",
+        "Pixel 7",
+    ),
+    (
+        "Mozilla/5.0 (Linux; Android 14; K) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/124.0.0.0 Mobile Safari/537.36",
+        "Generic Smartphone",
+    ),
+    (
+        "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) "
+        "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.4 "
+        "Safari/605.1.15",
+        "Mac",
+    ),
+    (
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36",
+        "Other",
+    ),
+    ("curl/8.5.0", "Other"),
 ]
 
 
@@ -312,6 +453,37 @@ def test_ua_battery_matches_real_lib():
         parsed = user_agents.parse(ua)
         assert (parsed.browser.family or "Other") == browser, ua
         assert (parsed.os.family or "Other") == os_family, ua
+
+
+def test_device_battery_offline_heuristic():
+    from elb_log_etl_enrichment_spark.functions.ua import classify_device
+
+    for ua, device in DEVICE_BATTERY:
+        assert classify_device(ua) == device, ua
+    assert classify_device(None) == "Other"
+
+
+def test_device_battery_matches_real_lib():
+    import pytest
+
+    user_agents = pytest.importorskip("user_agents")
+    for ua, device in DEVICE_BATTERY:
+        assert (user_agents.parse(ua).device.family or "Other") == device, ua
+
+
+def test_device_classify_spark_udf(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.functions.ua import device_classify
+
+    df = spark.createDataFrame(
+        [Row(ua=u) for u, _ in DEVICE_BATTERY], schema="ua string"
+    )
+    got = [
+        r.d for r in df.select(device_classify(F.col("ua")).alias("d")).collect()
+    ]
+    assert got == [d for _, d in DEVICE_BATTERY]
 
 
 def test_ua_battery_through_spark_udf(spark):
