@@ -1055,10 +1055,18 @@ def watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.expr("unix_millis(ts)").alias("ms")
     )
     n_buckets = 32
+    # Bucket cuts only need to be MONOTONE — any split of the event_id
+    # domain yields the same exact lateness (prior_max = greatest of
+    # the in-bucket running max and the previous buckets' offset, for
+    # ANY bucketing) — so the mergeable t-digest sketch replaces the
+    # exact percentile, whose single final reducer buffered every
+    # event_id (isolated re-time at 10x sf0.1: 7.4 s -> 1.2 s steady,
+    # growth for 10x data drops from 4.9x to ~1.1x; PERF.md r04).
     cuts = e.agg(
-        F.percentile(
+        F.approx_percentile(
             "event_id",
             F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)]),
+            F.lit(10_000),
         ).alias("_cs")
     )
     rb = F.size(F.filter(F.col("_cs"), lambda x: x <= F.col("event_id")))
