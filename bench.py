@@ -224,6 +224,8 @@ HEADLINE = [
     "rfm_segment_counts",
     "embedding_centroid_drift",
     "knn_label_agreement",
+    # --- round 4: signature-scheme audit (computes BOTH simhash schemes) ---
+    "simhash_block_bias_audit",
 ]
 
 

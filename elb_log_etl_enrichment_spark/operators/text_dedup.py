@@ -246,6 +246,13 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     at 10× corpus (see SIMHASH_BITS note above).
     """
     sig = simhash(docs)
+    return simhash_block_pairs(sig, max_hamming=max_hamming)
+
+
+def simhash_block_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """The pigeonhole block join + Hamming verify over an existing
+    (doc_id, simhash) frame — shared by the plain and IDF-weighted
+    signature schemes."""
     block_domain = 1 << SIMHASH_BLOCK_BITS
     probe = sig.select(
         "doc_id",
@@ -491,6 +498,91 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             )
             * 2
             - 1
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = nibs.groupBy("doc_id").agg(*aggs)
+    bits = sum(
+        (
+            F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(SIMHASH_BITS)
+        ),
+        F.lit(0),
+    )
+    return per_doc.select("doc_id", bits.cast("long").alias("simhash"))
+
+
+#: IDF weight cap for the weighted signature scheme. The weight is the
+#: ENGINE-STABLE integer ``least(CAP, n_docs div df + 1)`` — integer
+#: division only, no libm log whose last-bit rounding could diverge
+#: between Spark and DuckDB (the Benford-literals precedent): common
+#: tokens (df ≈ n) vote with weight 2, tokens in ≤1/15th of the corpus
+#: with the full cap. Curve calibrated on the sf0.1 bias audit: this
+#: 8:1 spread measures a 4-5% bucket-pair reduction on the synthetic
+#: single-topic corpus (whose ~uniform small vocabulary gives IDF
+#: little to exploit — every token sits in ≥5% of documents), while a
+#: steeper 64:1 spread measured WORSE than plain (concentrating the
+#: vote in a handful of rare tokens loses signature entropy). On a
+#: natural Zipfian corpus the gap is what `simhash_block_bias_audit`
+#: exists to measure before choosing a scheme.
+SIMHASH_IDF_CAP = 16
+
+
+def simhash_weighted(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """IDF-weighted 60-bit SimHash: every token OCCURRENCE votes ±1 on
+    each bit position scaled by the token's integer IDF weight, so
+    corpus-common tokens — which every document shares and which drag
+    all plain signatures toward one corpus-majority point (the bit
+    bias behind the measured ~24×-above-uniform block-collision floor,
+    PERF.md r04 stress) — stop dominating the majority vote, while
+    rare discriminative tokens drive it. The df table is vocabulary
+    -sized and broadcast (the ngram_jaccard_pairs precedent); at
+    vocabularies too large to broadcast the join falls back to
+    shuffle and the rest of the plan is unchanged."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    pairs = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok")
+    )
+    dfreq = (
+        pairs.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    hashed = (
+        pairs.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            F.md5("tok").alias("h"),
+            F.least(
+                F.lit(SIMHASH_IDF_CAP),
+                F.expr("n div df") + F.lit(1),
+            ).alias("w"),
+        )
+    )
+    nibs = hashed.select(
+        "doc_id",
+        "w",
+        *[
+            F.expr(
+                f"instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1"
+            ).alias(f"v{i}")
+            for i in range(SIMHASH_BITS // 4)
+        ],
+    )
+    aggs = [
+        F.sum(
+            F.col("w")
+            * (
+                (
+                    F.shiftright(F.col(f"v{j // 4}"), 3 - j % 4).bitwiseAND(
+                        F.lit(1)
+                    )
+                )
+                * 2
+                - 1
+            )
         ).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
