@@ -1083,6 +1083,8 @@ _R4_PROMOTED = [
     "column_encryption_roundtrip",      # AES column round-trip
     "range_lookup_join",                # range-predicate join
     "heavy_hitter_tokens",              # misra-gries-style heavy hitters
+    "simhash_weighted_near_dup",        # NEW r04: IDF-weighted simhash
+    "simhash_block_bias_audit",         # NEW r04: scheme-choice audit
 ]
 _R4_DEMOTED = {
     # banked driver-green r01+r02+r03, shape-covered by survivors:
@@ -1106,6 +1108,10 @@ _R4_DEMOTED = {
     "ewma_control_chart",               # stats tier keeps chi_square + mann_whitney
     "pareto_concentration",             # ~ gini/survival shapes kept local
     "value_drift_audit",                # drift ~ chi_square_independence
+    "streaming_view_purchase_outer",    # banked r02+r03; streaming keeps
+                                        # timeout_sessions + lateness_profile
+    "bucketed_join_agg",                # banked r02+r03; Exchange-free join
+                                        # pinned by its plan test
 }
 _head4 = [
     n for n in CORE_PREFIX[:50]
