@@ -538,9 +538,10 @@ def simhash_weighted(
     bias behind the measured ~24×-above-uniform block-collision floor,
     PERF.md r04 stress) — stop dominating the majority vote, while
     rare discriminative tokens drive it. The df table is vocabulary
-    -sized and broadcast (the ngram_jaccard_pairs precedent); at
-    vocabularies too large to broadcast the join falls back to
-    shuffle and the rest of the plan is unchanged."""
+    -sized and broadcast-HINTED (the ngram_jaccard_pairs precedent);
+    an explicit hint forces the strategy, so for vocabularies beyond
+    executor memory drop the hint and let the join shuffle — the
+    rest of the plan is unchanged."""
     toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
     pairs = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok")

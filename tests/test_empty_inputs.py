@@ -263,3 +263,45 @@ def test_round3_queries_on_empty_inputs(spark, tmp_path):
     g = {r.rule: r.n_violations for r in
          REGISTRY["gopher_quality_battery"].fn(spark, str(tmp_path)).collect()}
     assert set(g.values()) == {0}
+
+
+def test_simhash_weighted_empty_and_tokenless(spark):
+    """Empty corpus and token-less documents must yield typed empty
+    signature/pair frames (token-less docs have no vote and drop from
+    the signature table in BOTH engines — explode and unnest agree)."""
+    from pyspark.sql import Row
+
+    from elb_log_etl_enrichment_spark.operators.text_dedup import (
+        simhash_block_pairs,
+        simhash_weighted,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert simhash_weighted(empty).count() == 0
+    assert simhash_block_pairs(simhash_weighted(empty)).count() == 0
+    tokenless = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text=None)],
+        schema="doc_id long, text string",
+    )
+    assert simhash_weighted(tokenless).count() == 0
+
+
+def test_histogram_narrow_empty_and_all_ties(spark):
+    """Empty input narrows to an empty bucket (no crash); an all-ties
+    frame cannot shrink but the residual rank stays valid and the
+    distinct-value collapse bounds the final window to ONE row."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.plans.queries_stats import histogram_narrow
+
+    empty = spark.createDataFrame([], "value double")
+    k0 = empty.agg(F.expr("(count(*) + 1) div 2").alias("k"))
+    bucket, k = histogram_narrow(empty, k0)
+    assert bucket.count() == 0 and k.count() == 0
+
+    ties = spark.range(1000).select(F.lit(7.5).alias("value"))
+    kt = ties.agg(F.expr("(count(*) + 1) div 2").alias("k"))
+    bucket, k = histogram_narrow(ties, kt)
+    assert bucket.count() == 1000  # cannot shrink: one shared bucket
+    assert k.first().k == 500  # rank still valid
+    assert bucket.select("value").distinct().count() == 1  # window sees 1 row
