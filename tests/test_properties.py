@@ -405,3 +405,90 @@ def test_binpack_rule_invariants(sizes):
     # totality: nothing lost
     assert sum(len(v) for v in bins.values()) == len(sizes)
     assert sum(sum(v) for v in bins.values()) == sum(sizes)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_histogram_narrow_median_matches_python_sort(values):
+    """The iterated narrowing's order statistic equals the plain
+    Python sort on arbitrary doubles — duplicates, negatives, and
+    pathological clustering included (the narrowing's exactness
+    cannot depend on the value distribution)."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.plans.queries_stats import histogram_narrow
+
+    vals = _spark.createDataFrame(
+        [Row(value=float(v)) for v in values], schema="value double"
+    )
+    k_target = (len(values) + 1) // 2
+    k0 = vals.agg(F.expr("(count(*) + 1) div 2").alias("k"))
+    bucket, k = histogram_narrow(vals, k0)
+    g = bucket.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    vw = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    hit = (
+        g.crossJoin(F.broadcast(k))
+        .withColumn("cb", F.coalesce(F.sum("c").over(vw), F.lit(0)))
+        .filter((F.col("cb") < F.col("k")) & (F.col("cb") + F.col("c") >= F.col("k")))
+        .collect()
+    )
+    assert len(hit) == 1
+    assert hit[0].value == sorted(values)[k_target - 1]
+
+
+def test_simhash_block_join_exact_vs_bruteforce(spark):
+    """Pigeonhole exactness: the 4x15-bit block equi-join must find
+    EXACTLY the pairs a full cross-join Hamming filter finds at the
+    default threshold 3 — checked on 300 pseudo-random 60-bit
+    signatures (the worst case for blocking: no structure to help)."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.operators.text_dedup import (
+        SIMHASH_BITS,
+        simhash_block_pairs,
+    )
+
+    # xxhash64 masked to 60 bits; force some near-collisions by also
+    # including each signature with 1-3 bits flipped for a subset
+    base = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (
+            F.abs(F.xxhash64(F.col("id").cast("string")))
+            % F.lit(1 << SIMHASH_BITS)
+        ).alias("simhash"),
+    )
+    flipped = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.col("simhash").bitwiseXOR(
+            F.expr("shiftleft(1L, CAST(doc_id % 59 AS INT))")
+        ).alias("simhash"),
+    )
+    sig = base.unionByName(flipped)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_block_pairs(sig, max_hamming=3).collect()
+    }
+    a = sig.select(F.col("doc_id").alias("da"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("db"), F.col("simhash").alias("hb"))
+    brute = {
+        (r.da, r.db)
+        for r in a.crossJoin(b)
+        .filter(F.col("da") < F.col("db"))
+        .filter(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3
+        )
+        .collect()
+    }
+    assert got == brute
+    assert brute  # the flipped twins guarantee true pairs exist
