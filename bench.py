@@ -226,6 +226,7 @@ HEADLINE = [
     "knn_label_agreement",
     # --- round 4: signature-scheme audit (computes BOTH simhash schemes) ---
     "simhash_block_bias_audit",
+    "streaming_neardup_ingest_stats",
 ]
 
 

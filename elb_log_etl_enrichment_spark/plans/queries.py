@@ -1085,6 +1085,7 @@ _R4_PROMOTED = [
     "heavy_hitter_tokens",              # misra-gries-style heavy hitters
     "simhash_weighted_near_dup",        # NEW r04: IDF-weighted simhash
     "simhash_block_bias_audit",         # NEW r04: scheme-choice audit
+    "streaming_neardup_ingest_stats",   # NEW r04: LSH band-index ingest
 ]
 _R4_DEMOTED = {
     # banked driver-green r01+r02+r03, shape-covered by survivors:
@@ -1112,6 +1113,8 @@ _R4_DEMOTED = {
                                         # timeout_sessions + lateness_profile
     "bucketed_join_agg",                # banked r02+r03; Exchange-free join
                                         # pinned by its plan test
+    "snapshot_diff_orders",             # banked r03; CDC shape covered by
+                                        # segment_digest_reconcile survivor
 }
 _head4 = [
     n for n in CORE_PREFIX[:50]

@@ -2118,6 +2118,117 @@ def streaming_ingest_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Streaming NEAR-dup ingestion (round 4): the MinHash-LSH sibling of
+# the exact-digest ingest filter above. Same two-availableNow-runs
+# replay over one checkpoint, but the persisted index holds the
+# retained corpus's LSH BAND KEYS: a batch doc is a history near-dup
+# if any of its 4 band keys matches, a within-batch near-dup if any
+# of its band buckets contains a smaller batch doc_id, and only
+# survivors' keys append back. Band-level classification is a pure
+# function of the corpus split, so this streaming query too carries a
+# full DuckDB oracle (reusing the shared MinHash band construction).
+# --------------------------------------------------------------------------
+def _streaming_neardup_sql() -> str:
+    from .queries_text import _MINHASH_CTES
+
+    return f"""
+    WITH {_MINHASH_CTES},
+    hb AS (SELECT * FROM bands WHERE doc_id % 5 != 0),
+    bb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+    h_bm AS (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, band_key) AS bmin
+        FROM hb
+    ),
+    h_peer AS (SELECT doc_id, MIN(bmin) AS peer_min FROM h_bm GROUP BY doc_id),
+    h_docs AS (
+        SELECT d.doc_id, COALESCE(p.peer_min < d.doc_id, FALSE) AS batch_dup
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 5 != 0) d
+        LEFT JOIN h_peer p USING (doc_id)
+    ),
+    h_surv AS (SELECT doc_id FROM h_docs WHERE NOT batch_dup),
+    idx AS (
+        SELECT DISTINCT band, band_key FROM hb JOIN h_surv USING (doc_id)
+    ),
+    b_bm AS (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, band_key) AS bmin
+        FROM bb
+    ),
+    b_peer AS (SELECT doc_id, MIN(bmin) AS peer_min FROM b_bm GROUP BY doc_id),
+    b_hist AS (SELECT DISTINCT bb.doc_id FROM bb JOIN idx USING (band, band_key)),
+    b_docs AS (
+        SELECT d.doc_id,
+               d.doc_id IN (SELECT doc_id FROM b_hist) AS hist_dup,
+               COALESCE(p.peer_min < d.doc_id, FALSE) AS batch_dup
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        LEFT JOIN b_peer p USING (doc_id)
+    )
+    SELECT CAST(0 AS BIGINT) AS round,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(0 AS BIGINT) AS n_dup_of_history,
+           CAST(COUNT(CASE WHEN batch_dup THEN 1 END) AS BIGINT)
+               AS n_dup_within_batch,
+           CAST(COUNT(CASE WHEN NOT batch_dup THEN 1 END) AS BIGINT)
+               AS n_ingested
+    FROM h_docs
+    UNION ALL
+    SELECT CAST(1 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN hist_dup THEN 1 END) AS BIGINT),
+           CAST(COUNT(CASE WHEN NOT hist_dup AND batch_dup THEN 1 END)
+                AS BIGINT),
+           CAST(COUNT(CASE WHEN NOT hist_dup AND NOT batch_dup THEN 1 END)
+                AS BIGINT)
+    FROM b_docs
+    ORDER BY round
+    """
+
+
+@register(
+    "streaming_neardup_ingest_stats",
+    sql=_streaming_neardup_sql(),
+    tags=("streaming", "dedup", "minhash", "lsh", "incremental", "e2e"),
+)
+def streaming_neardup_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two real streaming runs (shared checkpoint, fresh per call)
+    through ``streaming.stream.neardup_ingest_stream``; the returned
+    frame is the landed per-round stats with rounds normalized by
+    rank (foreachBatch ids are checkpoint-relative)."""
+    import os
+
+    from ..session import ensure_engine_confs
+    from ..streaming.stream import neardup_ingest_stream
+
+    ensure_engine_confs(spark)
+    base = _fresh_checkpoint("neardup_ingest")
+    src = os.path.join(base, "src")
+    index = os.path.join(base, "band_index.parquet")
+    ck = os.path.join(base, "ck")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d.filter(F.col("doc_id") % 5 != 0).coalesce(1).write.mode("append").parquet(src)
+    schema = "doc_id long, text string"
+    neardup_ingest_stream(
+        spark.readStream.schema(schema).parquet(src), spark, index, ck
+    )
+    d.filter(F.col("doc_id") % 5 == 0).coalesce(1).write.mode("append").parquet(src)
+    neardup_ingest_stream(
+        spark.readStream.schema(schema).parquet(src), spark, index, ck
+    )
+    stats = spark.read.parquet(index + "_stats")
+    w = Window.orderBy("batch_id")
+    return (
+        stats.withColumn("round", F.row_number().over(w) - 1)
+        .select(
+            F.col("round").cast("long").alias("round"),
+            "n_batch",
+            "n_dup_of_history",
+            "n_dup_within_batch",
+            "n_ingested",
+        )
+        .orderBy("round")
+    )
+
+
+# --------------------------------------------------------------------------
 # JSON-lines source/sink round-trip (SURVEY §2.1 sink family): the one
 # text-based interchange format the sink tier didn't yet exercise
 # end-to-end. Spark writes a typed frame as JSONL and reads it back

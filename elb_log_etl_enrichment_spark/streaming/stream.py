@@ -557,6 +557,104 @@ def ingest_dedup_stream(
     query.awaitTermination()
 
 
+def neardup_ingest_stream(
+    docs: DataFrame,
+    spark: SparkSession,
+    index_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming continuous-ingestion NEAR-dup filtering: the
+    MinHash-LSH sibling of ``ingest_dedup_stream``. Per micro-batch,
+    each incoming document's 4 LSH band keys probe the PERSISTED band
+    index (the retained corpus's keys); a document is a near-dup of
+    history if ANY band key matches, a within-batch near-dup if any of
+    its band buckets contains a smaller batch doc_id, and only the
+    surviving documents' band keys are appended back — so the index
+    covers exactly the corpus that was KEPT, the property that makes
+    the filter idempotent under re-ingestion.
+
+    Scale shape: the index side is never re-shuffled — the matched-key
+    probe broadcasts the BATCH's keys into the index scan (bounded by
+    batch size, the ``ingest_dedup_stream`` pattern), classification
+    and bucket-peer selection are batch-local, and the unbounded dedup
+    horizon lives in the parquet index (restart-proof via checkpointed
+    offsets + idempotent append), not in watermark-evicted operator
+    state. Classification is at LSH band level (the candidate stage of
+    ``minhash_lsh_pairs``) — deterministic and SQL-replayable, which
+    is what gives the streaming query a full DuckDB oracle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.text_dedup import minhash_band_keys
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        b_spark = batch.sparkSession
+        bands = minhash_band_keys(batch).persist()
+        try:
+            hist = b_spark.read.parquet(index_path).select("band", "band_key")
+        except Exception:
+            hist = bands.select("band", "band_key").limit(0)
+        matched_keys = (
+            hist.join(
+                F.broadcast(bands.select("band", "band_key").distinct()),
+                ["band", "band_key"],
+                "left_semi",
+            )
+            .distinct()
+        )
+        hist_hits = (
+            bands.join(F.broadcast(matched_keys), ["band", "band_key"], "left_semi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("hist_dup", F.lit(True))
+        )
+        bw = Window.partitionBy("band", "band_key")
+        peer = (
+            bands.withColumn("bmin", F.min("doc_id").over(bw))
+            .groupBy("doc_id")
+            .agg(F.min("bmin").alias("peer_min"))
+        )
+        cls = (
+            batch.select("doc_id")
+            .join(F.broadcast(hist_hits), "doc_id", "left")
+            .join(F.broadcast(peer), "doc_id", "left")
+            .withColumn("hist_dup", F.coalesce("hist_dup", F.lit(False)))
+            .withColumn(
+                "batch_dup",
+                F.coalesce(F.col("peer_min") < F.col("doc_id"), F.lit(False)),
+            )
+        )
+        stats = cls.agg(
+            F.count(F.lit(1)).cast("long").alias("n_batch"),
+            F.count_if(F.col("hist_dup")).cast("long").alias("n_dup_of_history"),
+            F.count_if(~F.col("hist_dup") & F.col("batch_dup"))
+            .cast("long")
+            .alias("n_dup_within_batch"),
+            F.count_if(~F.col("hist_dup") & ~F.col("batch_dup"))
+            .cast("long")
+            .alias("n_ingested"),
+        ).select(F.lit(batch_id).cast("long").alias("batch_id"), "*")
+        survivors = cls.filter(~F.col("hist_dup") & ~F.col("batch_dup")).select(
+            "doc_id"
+        )
+        fresh = (
+            bands.join(F.broadcast(survivors), "doc_id", "left_semi")
+            .select("band", "band_key")
+            .distinct()
+        )
+        fresh.write.mode("append").parquet(index_path)
+        stats.write.mode("append").parquet(index_path + "_stats")
+        bands.unpersist()
+
+    query = (
+        docs.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 SESSION_TIMEOUT_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -314,6 +314,62 @@ def test_ingest_dedup_stream_dedups_across_runs(spark, tmp_path):
     assert last["n_ingested"] == 2
 
 
+def test_neardup_ingest_stream_band_index_across_runs(spark, tmp_path):
+    """The LSH band index must survive across stream RUNS: round 2
+    classifies a near-dup (NOT byte-identical — word substitutions
+    that preserve shingle overlap) of round-1 history via shared band
+    keys, catches a within-batch near-dup pair, and appends only
+    survivors' band keys; a third run with no new files is a no-op."""
+    from elb_log_etl_enrichment_spark.streaming.stream import neardup_ingest_stream
+
+    src = f"{tmp_path}/docs_src"
+    index = f"{tmp_path}/band_index.parquet"
+    ck = f"{tmp_path}/ck"
+    schema = "doc_id long, text string"
+
+    def write_round(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    other = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12 z13 z14 z15 z16"
+    write_round([(1, base), (2, other)])
+    neardup_ingest_stream(
+        spark.readStream.schema(schema).parquet(src), spark, index, ck
+    )
+    idx1 = spark.read.parquet(index).count()
+    assert idx1 > 0
+
+    write_round(
+        [
+            (11, base + " tail"),     # near-dup of doc 1 (same prefix shingles)
+            (12, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"),   # fresh
+            (13, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13"),  # near-dup of 12
+        ]
+    )
+    neardup_ingest_stream(
+        spark.readStream.schema(schema).parquet(src), spark, index, ck
+    )
+    stats = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(index + "_stats").collect()
+    }
+    last = stats[max(stats)]
+    assert last["n_batch"] == 3
+    assert last["n_dup_of_history"] == 1
+    assert last["n_dup_within_batch"] == 1
+    assert last["n_ingested"] == 1
+    idx2 = spark.read.parquet(index).count()
+    assert idx2 > idx1  # only doc 12's keys appended
+
+    # restart with nothing new: checkpoint replays no batch, index unchanged
+    neardup_ingest_stream(
+        spark.readStream.schema(schema).parquet(src), spark, index, ck
+    )
+    assert spark.read.parquet(index).count() == idx2
+
+
 def test_timeout_sessions_survive_multibatch_watermark_advance(spark, tmp_path):
     """Regression (ADVICE r02, medium): with maxFilesPerTrigger=1 the
     watermark advances between micro-batches; a group whose session is
