@@ -91,9 +91,12 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     what makes candidate volume small (the md5-ascending order is
     correct too, but its prefixes contain common shingles whose df²
     candidate blowup dominated runtime: 7.9 s → 2.4 s steady @ sf0.1).
-    The df table is broadcast here (shingle vocab ≪ corpus); at sizes
-    where it can't be, the join falls back to shuffle and the rest of
-    the plan is unchanged. Candidates carry ONLY (digest, doc_id) —
+    The df join carries NO broadcast hint (round 4): distinct shingle
+    digests grow with corpus token count, so a forced broadcast would
+    ship a corpus-proportional table to every executor at 100 TB —
+    AQE broadcasts it at small SF from runtime size stats (measured:
+    steady time unchanged) and shuffles it at scale, which a hint
+    would forbid. Candidates carry ONLY (digest, doc_id) —
     the 32-char digest is the join key and the dedup shuffles bare id
     pairs, never shingle sets.
     """
@@ -104,7 +107,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
         F.size("ds") - F.ceil(F.size("ds") * F.lit(threshold)) + 1
     ).cast("int")
     pref = (
-        ex.join(F.broadcast(df_tbl), "digest")
+        ex.join(df_tbl, "digest")
         .groupBy("doc_id")
         .agg(
             F.array_sort(
@@ -537,11 +540,12 @@ def simhash_weighted(
     all plain signatures toward one corpus-majority point (the bit
     bias behind the measured ~24×-above-uniform block-collision floor,
     PERF.md r04 stress) — stop dominating the majority vote, while
-    rare discriminative tokens drive it. The df table is vocabulary
-    -sized and broadcast-HINTED (the ngram_jaccard_pairs precedent);
-    an explicit hint forces the strategy, so for vocabularies beyond
-    executor memory drop the hint and let the join shuffle — the
-    rest of the plan is unchanged."""
+    rare discriminative tokens drive it. The df join carries NO
+    broadcast hint (ngram_jaccard_pairs rationale): token vocabulary
+    grows with the corpus (Heaps' law — ~1e8-1e9 types at 100 TB), so
+    a forced broadcast would eventually OOM executors; AQE broadcasts
+    the vocabulary table at small SF from runtime size stats and
+    shuffles it at scale."""
     toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
     pairs = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok")
@@ -551,7 +555,7 @@ def simhash_weighted(
     )
     nd = docs.agg(F.count(F.lit(1)).alias("n"))
     hashed = (
-        pairs.join(F.broadcast(dfreq), "tok")
+        pairs.join(dfreq, "tok")
         .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",
