@@ -227,6 +227,7 @@ HEADLINE = [
     # --- round 4: signature-scheme audit (computes BOTH simhash schemes) ---
     "simhash_block_bias_audit",
     "streaming_neardup_ingest_stats",
+    "multimodal_pixel_roundtrip_stats",
 ]
 
 

@@ -177,6 +177,79 @@ def resize_stub(decoded: DataFrame, max_side: int = 128) -> DataFrame:
     )
 
 
+def synthetic_png_roundtrip_stats(ids: DataFrame, side: int = 16) -> DataFrame:
+    """REAL pixel-level decode with zero codec dependencies: per id,
+    generate a ``side``×``side`` RGB tile from the integer formula
+    ``v(id, r, c, k) = (id·31 + r·17 + c·13 + k·7) mod 256``, encode
+    it as an actual PNG (cycling all five scanline filters), decode
+    the bytes back through the stdlib codec, and report per-channel
+    means FROM THE DECODED SAMPLES. Because the pixel content is a
+    pure formula, an independent engine can compute the expected
+    means without touching PNG at all — which is what turns a codec
+    path into an oracle-checkable query in a container with no media
+    libraries. Means are sums of 8-bit ints divided by side² (a power
+    of two), so they are exact doubles in every engine.
+
+    Arrow/mapInPandas shape identical to the other decode rungs: the
+    payload exists only inside the executor-side batch, and only the
+    tiny metadata row leaves it."""
+    from .png_codec import decode_png, encode_png
+
+    n_px = side * side
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_rows = []
+            for media_id in pdf["media_id"]:
+                mid = int(media_id)
+                px = [
+                    [
+                        [
+                            (mid * 31 + r * 17 + c * 13 + k * 7) % 256
+                            for k in range(3)
+                        ]
+                        for c in range(side)
+                    ]
+                    for r in range(side)
+                ]
+                w, h, ch, rows = decode_png(
+                    encode_png(px, color_type=2, filter_mode="cycle")
+                )
+                sums = [0, 0, 0]
+                for row in rows:
+                    for i, b in enumerate(row):
+                        sums[i % ch] += b
+                out_rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        sums[0] / n_px,
+                        sums[1] / n_px,
+                        sums[2] / n_px,
+                    )
+                )
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                ],
+            )
+
+    return ids.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, width long, height long, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )
+
+
 def frame_sample_stub(decoded: DataFrame, every_n: int = 10) -> DataFrame:
     """Video-style frame sampling plumbing: explode a deterministic
     frame index per asset (real path would demux the payload)."""

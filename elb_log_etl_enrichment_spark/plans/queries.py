@@ -1086,6 +1086,7 @@ _R4_PROMOTED = [
     "simhash_weighted_near_dup",        # NEW r04: IDF-weighted simhash
     "simhash_block_bias_audit",         # NEW r04: scheme-choice audit
     "streaming_neardup_ingest_stats",   # NEW r04: LSH band-index ingest
+    "multimodal_pixel_roundtrip_stats", # NEW r04: real PNG decode, formula oracle
 ]
 _R4_DEMOTED = {
     # banked driver-green r01+r02+r03, shape-covered by survivors:
@@ -1115,6 +1116,8 @@ _R4_DEMOTED = {
                                         # pinned by its plan test
     "snapshot_diff_orders",             # banked r03; CDC shape covered by
                                         # segment_digest_reconcile survivor
+    "mergeable_histogram_quantiles",    # banked r03; layout tier keeps
+                                        # zorder + join_cardinality reps
 }
 _head4 = [
     n for n in CORE_PREFIX[:50]

@@ -444,6 +444,52 @@ def multimodal_sniff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# REAL pixel decode, oracle-checked (round 4): per sampled doc a
+# 16×16 RGB tile is generated from an integer formula, encoded as an
+# ACTUAL PNG exercising all five scanline filters, decoded back
+# through the stdlib codec (operators/png_codec.py), and per-channel
+# means are computed from the DECODED samples. DuckDB computes the
+# expected means straight from the formula — no PNG anywhere — so any
+# codec bug (filter math, stride, CRC-skipped corruption, channel
+# interleave) breaks the hash. Means are integer sums divided by 256
+# (a power of two): exact doubles in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_pixel_roundtrip_stats",
+    sql="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+    g AS (SELECT unnest(generate_series(0, 15)) AS i),
+    px AS (SELECT ids.doc_id, r.i AS r, c.i AS c FROM ids, g r, g c)
+    SELECT doc_id AS media_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           ROUND(AVG((doc_id * 31 + r * 17 + c * 13) % 256), 6) AS mean_r,
+           ROUND(AVG((doc_id * 31 + r * 17 + c * 13 + 7) % 256), 6) AS mean_g,
+           ROUND(AVG((doc_id * 31 + r * 17 + c * 13 + 14) % 256), 6) AS mean_b
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("multimodal", "codec", "png", "mapInPandas", "oracle"),
+)
+def multimodal_pixel_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import synthetic_png_roundtrip_stats
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    stats = synthetic_png_roundtrip_stats(ids, side=16)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    ).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
 # Structured Streaming sessionization (session_window) — oracle-checked
 # against the batch lag/cumsum construction: gap-based session windows
 # are semantically identical to the reference's sessionizer.

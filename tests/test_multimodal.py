@@ -99,3 +99,99 @@ def test_decode_media_real_without_pillow_raises(spark):
     )
     with pytest.raises(NotImplementedError):
         decode_media(media, real=True)
+
+
+def test_png_codec_roundtrip_all_color_types_and_filters():
+    """Encoder→decoder identity for gray/RGB/RGBA across both filter
+    modes, including non-square shapes; every one of the five inverse
+    filters is exercised by the cycling mode."""
+    import random
+
+    from elb_log_etl_enrichment_spark.operators.png_codec import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = random.Random(7)
+    for ct, ch in ((0, 1), (2, 3), (6, 4)):
+        for mode in ("none", "cycle"):
+            for (w, h) in ((1, 1), (16, 16), (7, 11)):
+                px = [
+                    [[rng.randrange(256) for _ in range(ch)] for _ in range(w)]
+                    for _ in range(h)
+                ]
+                got_w, got_h, got_ch, rows = decode_png(
+                    encode_png(px, color_type=ct, filter_mode=mode)
+                )
+                assert (got_w, got_h, got_ch) == (w, h, ch)
+                assert [b for r in rows for b in r] == [
+                    v for row in px for p in row for v in p
+                ]
+
+
+def test_png_codec_rejects_unsupported_layouts():
+    import struct
+    import zlib
+
+    import pytest
+
+    from elb_log_etl_enrichment_spark.operators.png_codec import (
+        _chunk,
+        _SIG,
+        decode_png,
+    )
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a")
+    # 16-bit depth is outside the subset: loud, never wrong
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    bad = (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" + bytes(6)))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(bad)
+
+
+def test_png_codec_matches_pillow_when_available():
+    import io
+
+    import pytest
+
+    Image = pytest.importorskip("PIL.Image")
+
+    from elb_log_etl_enrichment_spark.operators.png_codec import encode_png
+
+    px = [
+        [[(r * 16 + c) % 256, (r * 7) % 256, (c * 11) % 256] for c in range(16)]
+        for r in range(16)
+    ]
+    im = Image.open(io.BytesIO(encode_png(px, 2, "cycle")))
+    assert im.size == (16, 16)
+    assert list(im.getdata()) == [tuple(p) for row in px for p in row]
+
+
+def test_synthetic_png_roundtrip_stats_formula(spark):
+    """Decoded-pixel means must equal the generation formula's means —
+    computed here independently in Python."""
+    from pyspark.sql import Row
+
+    from elb_log_etl_enrichment_spark.operators.multimodal import (
+        synthetic_png_roundtrip_stats,
+    )
+
+    ids = spark.createDataFrame([Row(media_id=123)])
+    row = synthetic_png_roundtrip_stats(ids, side=16).collect()[0]
+    for k, col in ((0, "mean_r"), (1, "mean_g"), (2, "mean_b")):
+        expect = (
+            sum(
+                (123 * 31 + r * 17 + c * 13 + k * 7) % 256
+                for r in range(16)
+                for c in range(16)
+            )
+            / 256
+        )
+        assert getattr(row, col) == expect, col
+    assert (row.width, row.height) == (16, 16)
