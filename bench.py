@@ -228,6 +228,7 @@ HEADLINE = [
     "simhash_block_bias_audit",
     "streaming_neardup_ingest_stats",
     "multimodal_pixel_roundtrip_stats",
+    "multimodal_wav_roundtrip_stats",
 ]
 
 

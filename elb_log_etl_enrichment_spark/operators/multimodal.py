@@ -250,6 +250,65 @@ def synthetic_png_roundtrip_stats(ids: DataFrame, side: int = 16) -> DataFrame:
     )
 
 
+def synthetic_wav_roundtrip_stats(
+    ids: DataFrame, n_samples: int = 1024, sample_rate: int = 16_000
+) -> DataFrame:
+    """Audio sibling of ``synthetic_png_roundtrip_stats``: per id, a
+    16-bit PCM waveform from the integer formula
+    ``s(id, i) = ((id·37 + i·73) mod 2048) − 1024`` round-trips
+    through ACTUAL RIFF/WAVE bytes (stdlib codec), and the signal
+    statistics — mean, RMS, zero crossings — come from the DECODED
+    samples. The oracle recomputes them from the formula: header
+    arithmetic, endianness, or interleave bugs break the hash. Mean
+    and mean-square are integer sums over a power-of-two count (exact
+    doubles); sqrt is correctly rounded IEEE in both engines."""
+    import math
+
+    from .wav_codec import decode_wav, encode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id in pdf["media_id"]:
+                mid = int(media_id)
+                samples = [
+                    ((mid * 37 + i * 73) % 2048) - 1024
+                    for i in range(n_samples)
+                ]
+                sr, ch, decoded = decode_wav(
+                    encode_wav(samples, sample_rate=sample_rate)
+                )
+                mean = sum(decoded) / len(decoded)
+                rms = math.sqrt(
+                    sum(v * v for v in decoded) / len(decoded)
+                )
+                zc = sum(
+                    1
+                    for a, b in zip(decoded, decoded[1:])
+                    if a * b < 0
+                )
+                rows.append((mid, len(decoded), sr, mean, rms, zc))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_samples",
+                    "sample_rate",
+                    "mean_amp",
+                    "rms",
+                    "zero_crossings",
+                ],
+            )
+
+    return ids.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, n_samples long, sample_rate long, "
+            "mean_amp double, rms double, zero_crossings long"
+        ),
+    )
+
+
 def frame_sample_stub(decoded: DataFrame, every_n: int = 10) -> DataFrame:
     """Video-style frame sampling plumbing: explode a deterministic
     frame index per asset (real path would demux the payload)."""

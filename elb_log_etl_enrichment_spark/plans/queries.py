@@ -1087,6 +1087,7 @@ _R4_PROMOTED = [
     "simhash_block_bias_audit",         # NEW r04: scheme-choice audit
     "streaming_neardup_ingest_stats",   # NEW r04: LSH band-index ingest
     "multimodal_pixel_roundtrip_stats", # NEW r04: real PNG decode, formula oracle
+    "multimodal_wav_roundtrip_stats",   # NEW r04: real WAV decode, formula oracle
 ]
 _R4_DEMOTED = {
     # banked driver-green r01+r02+r03, shape-covered by survivors:
@@ -1118,6 +1119,8 @@ _R4_DEMOTED = {
                                         # segment_digest_reconcile survivor
     "mergeable_histogram_quantiles",    # banked r03; layout tier keeps
                                         # zorder + join_cardinality reps
+    "incremental_join_rollup",          # banked r03; IVM shape kin to the
+                                        # write_audit_publish survivor
 }
 _head4 = [
     n for n in CORE_PREFIX[:50]

@@ -490,6 +490,61 @@ def multimodal_pixel_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # --------------------------------------------------------------------------
+# REAL audio decode, oracle-checked (round 4): the WAV sibling of the
+# PNG round-trip above — 16-bit PCM waveforms from an integer formula
+# round-trip through actual RIFF bytes (operators/wav_codec.py), and
+# mean / RMS / zero-crossing stats come from the DECODED samples
+# while DuckDB recomputes them from the formula. Mean and mean-square
+# are integer sums over 1024 (a power of two) so both are exact
+# doubles; sqrt is correctly rounded IEEE in both engines (the
+# ab_welch_ttest precedent).
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_wav_roundtrip_stats",
+    sql="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+    g AS (SELECT unnest(generate_series(0, 1023)) AS i),
+    s AS (
+        SELECT ids.doc_id, g.i,
+               ((doc_id * 37 + i * 73) % 2048) - 1024 AS v
+        FROM ids, g
+    ),
+    l AS (
+        SELECT doc_id, v,
+               LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        FROM s
+    )
+    SELECT doc_id AS media_id,
+           CAST(1024 AS BIGINT) AS n_samples,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           ROUND(CAST(SUM(v) AS DOUBLE) / 1024, 6) AS mean_amp,
+           ROUND(SQRT(CAST(SUM(v * v) AS DOUBLE) / 1024), 6) AS rms,
+           CAST(COUNT(CASE WHEN pv * v < 0 THEN 1 END) AS BIGINT)
+               AS zero_crossings
+    FROM l GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("multimodal", "codec", "wav", "audio", "mapInPandas", "oracle"),
+)
+def multimodal_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import synthetic_wav_roundtrip_stats
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    stats = synthetic_wav_roundtrip_stats(ids)
+    return stats.select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms", 6).alias("rms"),
+        "zero_crossings",
+    ).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
 # Structured Streaming sessionization (session_window) — oracle-checked
 # against the batch lag/cumsum construction: gap-based session windows
 # are semantically identical to the reference's sessionizer.

@@ -195,3 +195,42 @@ def test_synthetic_png_roundtrip_stats_formula(spark):
         )
         assert getattr(row, col) == expect, col
     assert (row.width, row.height) == (16, 16)
+
+
+def test_wav_codec_roundtrip_and_rejects():
+    import pytest
+
+    from elb_log_etl_enrichment_spark.operators.wav_codec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -9876] * 3
+    sr, ch, got = decode_wav(encode_wav(samples, sample_rate=8000))
+    assert (sr, ch) == (8000, 1)
+    assert got == samples
+    # stereo interleave survives
+    sr, ch, got = decode_wav(encode_wav(samples[:6], 44100, channels=2))
+    assert (sr, ch) == (44100, 2)
+    assert got == samples[:6]
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"OggS")
+
+
+def test_synthetic_wav_roundtrip_stats_formula(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from elb_log_etl_enrichment_spark.operators.multimodal import (
+        synthetic_wav_roundtrip_stats,
+    )
+
+    ids = spark.createDataFrame([Row(media_id=77)])
+    row = synthetic_wav_roundtrip_stats(ids).collect()[0]
+    samples = [((77 * 37 + i * 73) % 2048) - 1024 for i in range(1024)]
+    assert row.mean_amp == sum(samples) / 1024
+    assert row.rms == math.sqrt(sum(v * v for v in samples) / 1024)
+    assert row.zero_crossings == sum(
+        1 for a, b in zip(samples, samples[1:]) if a * b < 0
+    )
