@@ -229,6 +229,10 @@ HEADLINE = [
     "streaming_neardup_ingest_stats",
     "multimodal_pixel_roundtrip_stats",
     "multimodal_wav_roundtrip_stats",
+    "multimodal_video_frame_sample_stats",
+    "multimodal_image_resize_stats",
+    "multimodal_audio_frame_features",
+    "multimodal_video_motion_stats",
 ]
 
 

@@ -309,6 +309,331 @@ def synthetic_wav_roundtrip_stats(
     )
 
 
+def synthetic_y4m_frame_sample_stats(
+    ids: DataFrame,
+    n_frames: int = 8,
+    side: int = 16,
+    every_n: int = 2,
+) -> DataFrame:
+    """Video rung, completing the real-decode trio: per id an
+    ``n_frames``-frame C444 Y4M clip is generated from the formula
+    ``Y(id,f,r,c) = (id·11 + f·29 + r·17 + c·13) mod 256`` (U, V
+    shifted by 85/170), encoded as an actual YUV4MPEG2 stream, and
+    REALLY demuxed back — frame boundaries come from parsing marker
+    bytes and plane strides, not from trusting the generator. Every
+    ``every_n``-th frame is sampled (the frame-sampling operator a
+    video pipeline needs) and per-channel means over the sampled
+    frames come from the DECODED planes. Sampled plane volume is
+    (n_frames/every_n)·side² = a power of two, so the means are exact
+    doubles and the oracle recomputes them from the formula."""
+    from .y4m_codec import decode_y4m, encode_y4m
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id in pdf["media_id"]:
+                mid = int(media_id)
+                frames = []
+                for f in range(n_frames):
+                    base = [
+                        (mid * 11 + f * 29 + r * 17 + c * 13) % 256
+                        for r in range(side)
+                        for c in range(side)
+                    ]
+                    frames.append(
+                        (
+                            bytes(base),
+                            bytes((v + 85) % 256 for v in base),
+                            bytes((v + 170) % 256 for v in base),
+                        )
+                    )
+                w, h, decoded = decode_y4m(encode_y4m(frames, side, side))
+                sampled = decoded[::every_n]
+                n_px = len(sampled) * w * h
+                sums = [0, 0, 0]
+                for y, u, v in sampled:
+                    sums[0] += sum(y)
+                    sums[1] += sum(u)
+                    sums[2] += sum(v)
+                rows.append(
+                    (
+                        mid,
+                        len(decoded),
+                        len(sampled),
+                        sums[0] / n_px,
+                        sums[1] / n_px,
+                        sums[2] / n_px,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_frames",
+                    "n_sampled",
+                    "mean_y",
+                    "mean_u",
+                    "mean_v",
+                ],
+            )
+
+    return ids.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, n_frames long, n_sampled long, "
+            "mean_y double, mean_u double, mean_v double"
+        ),
+    )
+
+
+def synthetic_png_resize_stats(
+    ids: DataFrame, side: int = 16, factor: int = 2
+) -> DataFrame:
+    """REAL image resize on REALLY decoded pixels: the feature-extract
+    sibling of ``synthetic_png_roundtrip_stats``. Per id the same
+    formula tile round-trips through actual PNG bytes, then a
+    ``factor``×``factor`` box downsample runs over the DECODED samples
+    (each output sample is the floor mean of its source block — the
+    integer box filter every thumbnail pipeline starts from), the
+    RESIZED image round-trips through PNG a second time, and
+    per-channel means come from that second decode. The oracle
+    recomputes the block floor-means straight from the formula, so a
+    bug in either decode, the stride walk, or the box arithmetic
+    breaks the hash. Output means are integer sums over (side/factor)²
+    = a power of two: exact doubles in both engines."""
+    from .png_codec import decode_png, encode_png
+
+    out_side = side // factor
+    n_out = out_side * out_side
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_rows = []
+            for media_id in pdf["media_id"]:
+                mid = int(media_id)
+                px = [
+                    [
+                        [
+                            (mid * 31 + r * 17 + c * 13 + k * 7) % 256
+                            for k in range(3)
+                        ]
+                        for c in range(side)
+                    ]
+                    for r in range(side)
+                ]
+                w, h, ch, rows = decode_png(
+                    encode_png(px, color_type=2, filter_mode="cycle")
+                )
+                resized = [
+                    [
+                        [
+                            sum(
+                                rows[r * factor + dr][
+                                    (c * factor + dc) * ch + k
+                                ]
+                                for dr in range(factor)
+                                for dc in range(factor)
+                            )
+                            // (factor * factor)
+                            for k in range(ch)
+                        ]
+                        for c in range(out_side)
+                    ]
+                    for r in range(out_side)
+                ]
+                rw, rh, rch, rrows = decode_png(
+                    encode_png(resized, color_type=2, filter_mode="cycle")
+                )
+                sums = [0, 0, 0]
+                for row in rrows:
+                    for i, b in enumerate(row):
+                        sums[i % rch] += b
+                out_rows.append(
+                    (
+                        mid,
+                        w,
+                        rw,
+                        rh,
+                        sums[0] / n_out,
+                        sums[1] / n_out,
+                        sums[2] / n_out,
+                    )
+                )
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "media_id",
+                    "src_side",
+                    "out_width",
+                    "out_height",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                ],
+            )
+
+    return ids.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, src_side long, out_width long, "
+            "out_height long, mean_r double, mean_g double, mean_b double"
+        ),
+    )
+
+
+def synthetic_wav_frame_features(
+    ids: DataFrame,
+    n_samples: int = 2048,
+    frame_len: int = 256,
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """REAL audio feature extraction on REALLY decoded samples:
+    framing — the first stage of every audio DSP chain (energy, ZCR,
+    MFCC all start from it) — over the RIFF round-trip. Per id the
+    formula waveform ``s(id, i) = ((id·37 + i·5 + (i·i·31) mod 997)
+    mod 2048) − 1024`` (a quadratic term so frame energies genuinely
+    differ) round-trips through actual WAV bytes, the DECODED stream
+    is split into ``n_samples/frame_len`` frames, and per-frame
+    energy (Σ s², an exact integer) + in-frame zero crossings are
+    reduced to: the peak-energy frame index (ties → lowest index),
+    its energy, total energy, and total in-frame zero crossings. All
+    outputs are integers, so the oracle — which re-frames the formula
+    with window functions, never touching WAV — must match
+    bit-for-bit."""
+    from .wav_codec import decode_wav, encode_wav
+
+    n_frames = n_samples // frame_len
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id in pdf["media_id"]:
+                mid = int(media_id)
+                samples = [
+                    ((mid * 37 + i * 5 + (i * i * 31) % 997) % 2048) - 1024
+                    for i in range(n_samples)
+                ]
+                _sr, _ch, decoded = decode_wav(
+                    encode_wav(samples, sample_rate=sample_rate)
+                )
+                energies = []
+                zcs = []
+                for f in range(n_frames):
+                    frame = decoded[f * frame_len : (f + 1) * frame_len]
+                    energies.append(sum(v * v for v in frame))
+                    zcs.append(
+                        sum(
+                            1
+                            for a, b in zip(frame, frame[1:])
+                            if a * b < 0
+                        )
+                    )
+                peak = energies.index(max(energies))
+                rows.append(
+                    (
+                        mid,
+                        n_frames,
+                        peak,
+                        energies[peak],
+                        sum(energies),
+                        sum(zcs),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_frames",
+                    "peak_frame",
+                    "peak_energy",
+                    "total_energy",
+                    "total_zero_crossings",
+                ],
+            )
+
+    return ids.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, n_frames long, peak_frame long, "
+            "peak_energy long, total_energy long, total_zero_crossings long"
+        ),
+    )
+
+
+def synthetic_y4m_motion_stats(
+    ids: DataFrame, n_frames: int = 8, side: int = 16
+) -> DataFrame:
+    """REAL video temporal analysis on REALLY demuxed frames: the
+    scene-change / motion-estimation primitive (sum of absolute
+    luma differences between consecutive frames) over the Y4M
+    round-trip. The luma formula ``Y(id,f,r,c) = (id·11 + f²·29 +
+    r·17 + c·13) mod 256`` carries a quadratic frame term so
+    inter-frame deltas genuinely vary; chroma planes are constant
+    128 (motion is a luma statistic). After encode→demux, per
+    consecutive pair the SAD (Σ|ΔY|, an exact integer) is computed
+    from the DECODED Y planes, reduced to total SAD, the peak
+    transition index (frame f whose delta from f−1 is largest, ties
+    → lowest f), and the peak SAD. All-integer outputs: the oracle
+    re-derives them from the formula with window functions and never
+    touches Y4M."""
+    from .y4m_codec import decode_y4m, encode_y4m
+
+    plane = side * side
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id in pdf["media_id"]:
+                mid = int(media_id)
+                frames = []
+                for f in range(n_frames):
+                    y = bytes(
+                        (mid * 11 + f * f * 29 + r * 17 + c * 13) % 256
+                        for r in range(side)
+                        for c in range(side)
+                    )
+                    grey = bytes([128]) * plane
+                    frames.append((y, grey, grey))
+                _w, _h, decoded = decode_y4m(
+                    encode_y4m(frames, side, side)
+                )
+                sads = [
+                    sum(
+                        abs(a - b)
+                        for a, b in zip(decoded[f][0], decoded[f - 1][0])
+                    )
+                    for f in range(1, len(decoded))
+                ]
+                peak = sads.index(max(sads))
+                rows.append(
+                    (
+                        mid,
+                        len(decoded),
+                        sum(sads),
+                        peak + 1,
+                        sads[peak],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_frames",
+                    "total_sad",
+                    "peak_transition",
+                    "peak_sad",
+                ],
+            )
+
+    return ids.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, n_frames long, total_sad long, "
+            "peak_transition long, peak_sad long"
+        ),
+    )
+
+
 def frame_sample_stub(decoded: DataFrame, every_n: int = 10) -> DataFrame:
     """Video-style frame sampling plumbing: explode a deterministic
     frame index per asset (real path would demux the payload)."""

@@ -1086,8 +1086,13 @@ _R4_PROMOTED = [
     "simhash_weighted_near_dup",        # NEW r04: IDF-weighted simhash
     "simhash_block_bias_audit",         # NEW r04: scheme-choice audit
     "streaming_neardup_ingest_stats",   # NEW r04: LSH band-index ingest
-    "multimodal_pixel_roundtrip_stats", # NEW r04: real PNG decode, formula oracle
-    "multimodal_wav_roundtrip_stats",   # NEW r04: real WAV decode, formula oracle
+    "multimodal_image_resize_stats",    # NEW r04: real decode→box-resize→
+                                        # decode (supersets the PNG
+                                        # round-trip, which stays local)
+    "multimodal_audio_frame_features",  # NEW r04: real decode→framing
+                                        # energy/ZCR (supersets the WAV
+                                        # round-trip, which stays local)
+    "multimodal_video_frame_sample_stats",  # NEW r04: real Y4M demux + sampling
 ]
 _R4_DEMOTED = {
     # banked driver-green r01+r02+r03, shape-covered by survivors:
@@ -1121,6 +1126,8 @@ _R4_DEMOTED = {
                                         # zorder + join_cardinality reps
     "incremental_join_rollup",          # banked r03; IVM shape kin to the
                                         # write_audit_publish survivor
+    "chi_square_independence",          # banked r03; stats tier keeps
+                                        # mann_whitney + exact_median reps
 }
 _head4 = [
     n for n in CORE_PREFIX[:50]

@@ -545,6 +545,262 @@ def multimodal_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # --------------------------------------------------------------------------
+# REAL video demux + frame sampling, oracle-checked (round 4): the
+# trio-completing Y4M rung. Per sampled doc an 8-frame C444 YUV clip
+# round-trips through an actual YUV4MPEG2 stream
+# (operators/y4m_codec.py) — frame boundaries are parsed from marker
+# bytes and plane strides — then every 2nd frame is sampled and
+# per-plane means come from the DECODED planes. DuckDB recomputes
+# them from the generation formula; sampled volume is 4 frames × 256
+# px (a power of two), so the means are exact doubles.
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_video_frame_sample_stats",
+    sql="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+    f AS (SELECT unnest(generate_series(0, 7)) AS f),
+    g AS (SELECT unnest(generate_series(0, 15)) AS i),
+    px AS (
+        SELECT ids.doc_id,
+               (doc_id * 11 + f.f * 29 + r.i * 17 + c.i * 13) % 256 AS y
+        FROM ids, f, g r, g c WHERE f.f % 2 = 0
+    )
+    SELECT doc_id AS media_id,
+           CAST(8 AS BIGINT) AS n_frames,
+           CAST(4 AS BIGINT) AS n_sampled,
+           ROUND(AVG(y), 6)               AS mean_y,
+           ROUND(AVG((y + 85) % 256), 6)  AS mean_u,
+           ROUND(AVG((y + 170) % 256), 6) AS mean_v
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("multimodal", "codec", "video", "y4m", "mapInPandas", "oracle"),
+)
+def multimodal_video_frame_sample_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import synthetic_y4m_frame_sample_stats
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    stats = synthetic_y4m_frame_sample_stats(ids)
+    return stats.select(
+        "media_id",
+        "n_frames",
+        "n_sampled",
+        F.round("mean_y", 6).alias("mean_y"),
+        F.round("mean_u", 6).alias("mean_u"),
+        F.round("mean_v", 6).alias("mean_v"),
+    ).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# REAL image resize on really-decoded pixels (round 4): the
+# feature-extract rung on top of the pixel round-trip. The formula
+# tile round-trips through actual PNG bytes, a 2×2 integer box
+# downsample runs over the DECODED samples, the RESIZED tile
+# round-trips through PNG again, and channel means come from the
+# second decode. DuckDB recomputes the block floor-means from the
+# formula — two decodes, the stride walk, and the box arithmetic all
+# sit between the query and the oracle. Means are sums over 64 (a
+# power of two): exact doubles.
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_image_resize_stats",
+    sql="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+    g AS (SELECT unnest(generate_series(0, 7)) AS i),
+    d AS (SELECT unnest(generate_series(0, 1)) AS j),
+    k AS (SELECT unnest(generate_series(0, 2)) AS k),
+    blocks AS (
+        SELECT ids.doc_id, r.i AS r, c.i AS c, k.k AS k,
+               SUM((doc_id * 31 + (r.i * 2 + dr.j) * 17
+                    + (c.i * 2 + dc.j) * 13 + k.k * 7) % 256) // 4 AS bv
+        FROM ids, g r, g c, k, d dr, d dc
+        GROUP BY ids.doc_id, r.i, c.i, k.k
+    )
+    SELECT doc_id AS media_id,
+           CAST(16 AS BIGINT) AS src_side,
+           CAST(8 AS BIGINT) AS out_width,
+           CAST(8 AS BIGINT) AS out_height,
+           ROUND(AVG(CASE WHEN k = 0 THEN bv END), 6) AS mean_r,
+           ROUND(AVG(CASE WHEN k = 1 THEN bv END), 6) AS mean_g,
+           ROUND(AVG(CASE WHEN k = 2 THEN bv END), 6) AS mean_b
+    FROM blocks GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("multimodal", "codec", "png", "resize", "mapInPandas", "oracle"),
+)
+def multimodal_image_resize_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import synthetic_png_resize_stats
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    stats = synthetic_png_resize_stats(ids, side=16, factor=2)
+    return stats.select(
+        "media_id",
+        "src_side",
+        "out_width",
+        "out_height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    ).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# REAL audio feature extraction (round 4): framing + per-frame
+# energy/ZCR over the RIFF round-trip — the first stage of every
+# audio DSP chain, on DECODED samples. The waveform formula carries a
+# quadratic term so frame energies genuinely differ; outputs are
+# all-integer (peak frame by energy with ties→lowest, its energy,
+# total energy, in-frame zero crossings), so DuckDB — re-framing the
+# formula with window functions, no WAV anywhere — must match
+# bit-for-bit.
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_audio_frame_features",
+    sql="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+    g AS (SELECT unnest(generate_series(0, 2047)) AS i),
+    s AS (
+        SELECT ids.doc_id, g.i, g.i // 256 AS f,
+               ((doc_id * 37 + i * 5 + (i * i * 31) % 997) % 2048)
+                   - 1024 AS v
+        FROM ids, g
+    ),
+    l AS (
+        SELECT doc_id, f, v,
+               LAG(v) OVER (PARTITION BY doc_id, f ORDER BY i) AS pv
+        FROM s
+    ),
+    fr AS (
+        SELECT doc_id, f, SUM(v * v) AS energy,
+               COUNT(CASE WHEN pv * v < 0 THEN 1 END) AS zc
+        FROM l GROUP BY doc_id, f
+    ),
+    rk AS (
+        SELECT doc_id, f, energy, zc,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY energy DESC, f ASC
+               ) AS rn
+        FROM fr
+    )
+    SELECT doc_id AS media_id,
+           CAST(8 AS BIGINT) AS n_frames,
+           CAST(MAX(CASE WHEN rn = 1 THEN f END) AS BIGINT) AS peak_frame,
+           CAST(MAX(CASE WHEN rn = 1 THEN energy END) AS BIGINT)
+               AS peak_energy,
+           CAST(SUM(energy) AS BIGINT) AS total_energy,
+           CAST(SUM(zc) AS BIGINT) AS total_zero_crossings
+    FROM rk GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("multimodal", "codec", "wav", "audio", "features",
+          "mapInPandas", "oracle"),
+)
+def multimodal_audio_frame_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import synthetic_wav_frame_features
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return (
+        synthetic_wav_frame_features(ids)
+        .select(
+            "media_id",
+            "n_frames",
+            "peak_frame",
+            "peak_energy",
+            "total_energy",
+            "total_zero_crossings",
+        )
+        .orderBy("media_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL video temporal analysis (round 4): consecutive-frame SAD (the
+# scene-change / motion-estimation primitive) over really-demuxed Y4M
+# frames. The luma formula's quadratic frame term makes inter-frame
+# deltas vary, so the peak transition is content-dependent, not
+# constant. All-integer outputs; DuckDB re-derives them from the
+# formula with a LAG over the frame axis.
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_video_motion_stats",
+    sql="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+    f AS (SELECT unnest(generate_series(0, 7)) AS f),
+    g AS (SELECT unnest(generate_series(0, 15)) AS i),
+    px AS (
+        SELECT ids.doc_id, f.f, r.i AS r, c.i AS c,
+               (doc_id * 11 + f.f * f.f * 29 + r.i * 17 + c.i * 13)
+                   % 256 AS y
+        FROM ids, f, g r, g c
+    ),
+    dl AS (
+        SELECT doc_id, f, r, c, y,
+               LAG(y) OVER (
+                   PARTITION BY doc_id, r, c ORDER BY f
+               ) AS py
+        FROM px
+    ),
+    sad AS (
+        SELECT doc_id, f, SUM(ABS(y - py)) AS sad
+        FROM dl WHERE f > 0 GROUP BY doc_id, f
+    ),
+    rk AS (
+        SELECT doc_id, f, sad,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY sad DESC, f ASC
+               ) AS rn
+        FROM sad
+    )
+    SELECT doc_id AS media_id,
+           CAST(8 AS BIGINT) AS n_frames,
+           CAST(SUM(sad) AS BIGINT) AS total_sad,
+           CAST(MAX(CASE WHEN rn = 1 THEN f END) AS BIGINT)
+               AS peak_transition,
+           CAST(MAX(CASE WHEN rn = 1 THEN sad END) AS BIGINT) AS peak_sad
+    FROM rk GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("multimodal", "codec", "video", "y4m", "motion",
+          "mapInPandas", "oracle"),
+)
+def multimodal_video_motion_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import synthetic_y4m_motion_stats
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return (
+        synthetic_y4m_motion_stats(ids)
+        .select(
+            "media_id",
+            "n_frames",
+            "total_sad",
+            "peak_transition",
+            "peak_sad",
+        )
+        .orderBy("media_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Structured Streaming sessionization (session_window) — oracle-checked
 # against the batch lag/cumsum construction: gap-based session windows
 # are semantically identical to the reference's sessionizer.

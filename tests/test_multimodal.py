@@ -234,3 +234,124 @@ def test_synthetic_wav_roundtrip_stats_formula(spark):
     assert row.zero_crossings == sum(
         1 for a, b in zip(samples, samples[1:]) if a * b < 0
     )
+
+
+def test_y4m_codec_roundtrip_and_rejects():
+    import pytest
+
+    from elb_log_etl_enrichment_spark.operators.y4m_codec import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    frames = [
+        (bytes(range(16)), bytes(16), bytes([255] * 16)),
+        (bytes([7] * 16), bytes(range(240, 256)), bytes(16)),
+    ]
+    w, h, got = decode_y4m(encode_y4m(frames, 4, 4))
+    assert (w, h) == (4, 4)
+    assert got == frames
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"RIFF....WAVE")
+    with pytest.raises(ValueError, match="unsupported chroma"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C420jpeg\nFRAME\n" + bytes(24))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C444\nFRAME\n" + bytes(10))
+
+
+def test_synthetic_y4m_frame_sample_stats_formula(spark):
+    from pyspark.sql import Row
+
+    from elb_log_etl_enrichment_spark.operators.multimodal import (
+        synthetic_y4m_frame_sample_stats,
+    )
+
+    ids = spark.createDataFrame([Row(media_id=42)])
+    row = synthetic_y4m_frame_sample_stats(ids).collect()[0]
+    ys = [
+        (42 * 11 + f * 29 + r * 17 + c * 13) % 256
+        for f in range(0, 8, 2)
+        for r in range(16)
+        for c in range(16)
+    ]
+    assert (row.n_frames, row.n_sampled) == (8, 4)
+    assert row.mean_y == sum(ys) / len(ys)
+    assert row.mean_u == sum((y + 85) % 256 for y in ys) / len(ys)
+    assert row.mean_v == sum((y + 170) % 256 for y in ys) / len(ys)
+
+
+def test_synthetic_png_resize_stats_formula(spark):
+    from pyspark.sql import Row
+
+    from elb_log_etl_enrichment_spark.operators.multimodal import (
+        synthetic_png_resize_stats,
+    )
+
+    ids = spark.createDataFrame([Row(media_id=93)])
+    row = synthetic_png_resize_stats(ids, side=16, factor=2).collect()[0]
+    assert (row.src_side, row.out_width, row.out_height) == (16, 8, 8)
+    for k, col in enumerate(("mean_r", "mean_g", "mean_b")):
+        blocks = [
+            sum(
+                (93 * 31 + (2 * r + dr) * 17 + (2 * c + dc) * 13 + k * 7)
+                % 256
+                for dr in (0, 1)
+                for dc in (0, 1)
+            )
+            // 4
+            for r in range(8)
+            for c in range(8)
+        ]
+        assert getattr(row, col) == sum(blocks) / 64, col
+
+
+def test_synthetic_wav_frame_features_formula(spark):
+    from pyspark.sql import Row
+
+    from elb_log_etl_enrichment_spark.operators.multimodal import (
+        synthetic_wav_frame_features,
+    )
+
+    ids = spark.createDataFrame([Row(media_id=51)])
+    row = synthetic_wav_frame_features(ids).collect()[0]
+    samples = [
+        ((51 * 37 + i * 5 + (i * i * 31) % 997) % 2048) - 1024
+        for i in range(2048)
+    ]
+    frames = [samples[f * 256 : (f + 1) * 256] for f in range(8)]
+    energies = [sum(v * v for v in fr) for fr in frames]
+    zcs = [
+        sum(1 for a, b in zip(fr, fr[1:]) if a * b < 0) for fr in frames
+    ]
+    assert row.n_frames == 8
+    assert row.peak_frame == energies.index(max(energies))
+    assert row.peak_energy == max(energies)
+    assert row.total_energy == sum(energies)
+    assert row.total_zero_crossings == sum(zcs)
+
+
+def test_synthetic_y4m_motion_stats_formula(spark):
+    from pyspark.sql import Row
+
+    from elb_log_etl_enrichment_spark.operators.multimodal import (
+        synthetic_y4m_motion_stats,
+    )
+
+    ids = spark.createDataFrame([Row(media_id=64)])
+    row = synthetic_y4m_motion_stats(ids).collect()[0]
+    planes = [
+        [
+            (64 * 11 + f * f * 29 + r * 17 + c * 13) % 256
+            for r in range(16)
+            for c in range(16)
+        ]
+        for f in range(8)
+    ]
+    sads = [
+        sum(abs(a - b) for a, b in zip(planes[f], planes[f - 1]))
+        for f in range(1, 8)
+    ]
+    assert row.n_frames == 8
+    assert row.total_sad == sum(sads)
+    assert row.peak_transition == sads.index(max(sads)) + 1
+    assert row.peak_sad == max(sads)

@@ -428,6 +428,13 @@ def test_no_python_stages_outside_documented_extension_points(spark):
         "multimodal_decode_stats",      # binary-column decode plumbing
         "multimodal_pipeline_stats",
         "multimodal_sniff_stats",
+        "multimodal_pixel_roundtrip_stats",  # real PNG codec (pure-Python
+                                        # byte work has no JVM expression)
+        "multimodal_wav_roundtrip_stats",    # real RIFF/PCM codec
+        "multimodal_video_frame_sample_stats",  # real Y4M demux + sampling
+        "multimodal_image_resize_stats",     # real decode→box-resize→decode
+        "multimodal_audio_frame_features",   # real decode→framing features
+        "multimodal_video_motion_stats",     # real demux→frame-SAD motion
         "parquet_footer_stats",         # pyarrow footer parser over the
                                         # file manifest (no JVM expression
                                         # for file metadata)
