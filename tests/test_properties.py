@@ -492,3 +492,76 @@ def test_simhash_block_join_exact_vs_bruteforce(spark):
     }
     assert got == brute
     assert brute  # the flipped twins guarantee true pairs exist
+
+
+# --- codec round-trips: arbitrary content must survive bit-exactly ---
+
+
+@given(
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+    st.booleans(),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_arbitrary_pixels(w, h, cycle, rng):
+    from elb_log_etl_enrichment_spark.operators.png_codec import (
+        decode_png,
+        encode_png,
+    )
+
+    px = [
+        [[rng.randrange(256) for _ in range(3)] for _ in range(w)]
+        for _ in range(h)
+    ]
+    dw, dh, ch, rows = decode_png(
+        encode_png(px, color_type=2, filter_mode="cycle" if cycle else "none")
+    )
+    assert (dw, dh, ch) == (w, h, 3)
+    for r in range(h):
+        assert list(rows[r]) == [v for pix in px[r] for v in pix]
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=64,
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_arbitrary_samples(samples, rate):
+    from elb_log_etl_enrichment_spark.operators.wav_codec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    sr, ch, got = decode_wav(encode_wav(samples, sample_rate=rate))
+    assert (sr, ch, got) == (rate, 1, samples)
+
+
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=4),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=30, deadline=None)
+def test_y4m_roundtrip_arbitrary_planes(w, h, n_frames, rng):
+    from elb_log_etl_enrichment_spark.operators.y4m_codec import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    plane = w * h
+    frames = [
+        tuple(
+            bytes(rng.randrange(256) for _ in range(plane))
+            for _ in range(3)
+        )
+        for _ in range(n_frames)
+    ]
+    dw, dh, got = decode_y4m(encode_y4m(frames, w, h))
+    assert (dw, dh) == (w, h)
+    assert got == frames
