@@ -489,72 +489,98 @@ def ingest_dedup_stream(
     the dedup horizon is unbounded (every doc ever ingested) and must
     survive restarts/redeploys, which watermark-evicted operator state
     cannot — the exactly-once story is the checkpointed source offsets
-    plus the idempotent append (same pattern as the geo-cache loop,
-    ``foreach_batch_cache_upsert``). At scale the index probe is the
-    batch-side broadcast semi-join, never an index re-shuffle."""
+    plus a REPLAY-SAFE upsert (``_digest_ingest_upsert``): index rows
+    carry the writing ``batch_id`` and the history probe excludes the
+    current batch's own rows, so a foreachBatch replay after a
+    mid-commit failure reclassifies identically, and the per-batch
+    stats land by deterministic overwrite (one directory per
+    ``batch_id``), never by a second append. At scale the index probe
+    is the batch-side broadcast semi-join, never an index re-shuffle."""
+
+    docs.writeStream.foreachBatch(
+        lambda batch, batch_id: _digest_ingest_upsert(
+            batch, batch_id, index_path, prefix_tokens
+        )
+    ).option("checkpointLocation", checkpoint_dir).trigger(
+        availableNow=True
+    ).start().awaitTermination()
+
+
+def _digest_ingest_upsert(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    prefix_tokens: int = 8,
+) -> None:
+    """One replay-safe micro-batch step of ``ingest_dedup_stream``.
+
+    Idempotence under foreachBatch replay (driver dies after the
+    index/stats writes but before the checkpoint commit): the history
+    probe filters ``batch_id < current``, so keys this batch already
+    appended in the failed attempt are invisible and the replay
+    computes the SAME classification; re-appended index rows are
+    exact duplicates the distinct/semi-join probes ignore; and the
+    stats row overwrites its own ``batch=<id>`` directory rather than
+    appending a sibling."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ..functions.text import TOKEN_RE
 
-    def upsert(batch: DataFrame, batch_id: int) -> None:
-        b_spark = batch.sparkSession
-        prefix = F.concat_ws(
-            " ",
-            F.slice(
-                F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0)),
-                1,
-                prefix_tokens,
-            ),
-        )
-        digests = batch.select(
-            "doc_id", F.md5(prefix).alias("digest")
-        ).persist()
-        try:
-            hist = b_spark.read.parquet(index_path).select("digest")
-        except Exception:
-            hist = digests.select("digest").limit(0)
-        matched = (
-            hist.join(
-                F.broadcast(digests.select("digest").distinct()),
-                "digest",
-                "left_semi",
-            )
-            .distinct()
-            .withColumn("in_hist", F.lit(True))
-        )
-        w = Window.partitionBy("digest")
-        cls = (
-            digests.join(F.broadcast(matched), "digest", "left")
-            .withColumn("in_hist", F.coalesce("in_hist", F.lit(False)))
-            .withColumn("survivor", F.min("doc_id").over(w))
-        )
-        stats = cls.agg(
-            F.count(F.lit(1)).cast("long").alias("n_batch"),
-            F.count_if(F.col("in_hist")).cast("long").alias("n_dup_of_history"),
-            F.count_if(
-                ~F.col("in_hist") & (F.col("doc_id") != F.col("survivor"))
-            ).cast("long").alias("n_dup_within_batch"),
-            F.count_if(
-                ~F.col("in_hist") & (F.col("doc_id") == F.col("survivor"))
-            ).cast("long").alias("n_ingested"),
-        ).select(F.lit(batch_id).cast("long").alias("batch_id"), "*")
-        fresh = (
-            cls.filter(~F.col("in_hist") & (F.col("doc_id") == F.col("survivor")))
-            .select("digest")
-            .distinct()
-        )
-        fresh.write.mode("append").parquet(index_path)
-        stats.write.mode("append").parquet(index_path + "_stats")
-        digests.unpersist()
-
-    query = (
-        docs.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    b_spark = batch.sparkSession
+    prefix = F.concat_ws(
+        " ",
+        F.slice(
+            F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0)),
+            1,
+            prefix_tokens,
+        ),
     )
-    query.awaitTermination()
+    digests = batch.select("doc_id", F.md5(prefix).alias("digest")).persist()
+    try:
+        hist = (
+            b_spark.read.parquet(index_path)
+            .filter(F.col("batch_id") < batch_id)
+            .select("digest")
+        )
+    except Exception:
+        hist = digests.select("digest").limit(0)
+    matched = (
+        hist.join(
+            F.broadcast(digests.select("digest").distinct()),
+            "digest",
+            "left_semi",
+        )
+        .distinct()
+        .withColumn("in_hist", F.lit(True))
+    )
+    w = Window.partitionBy("digest")
+    cls = (
+        digests.join(F.broadcast(matched), "digest", "left")
+        .withColumn("in_hist", F.coalesce("in_hist", F.lit(False)))
+        .withColumn("survivor", F.min("doc_id").over(w))
+    )
+    stats = cls.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.count_if(F.col("in_hist")).cast("long").alias("n_dup_of_history"),
+        F.count_if(
+            ~F.col("in_hist") & (F.col("doc_id") != F.col("survivor"))
+        ).cast("long").alias("n_dup_within_batch"),
+        F.count_if(
+            ~F.col("in_hist") & (F.col("doc_id") == F.col("survivor"))
+        ).cast("long").alias("n_ingested"),
+    ).select(F.lit(batch_id).cast("long").alias("batch_id"), "*")
+    fresh = (
+        cls.filter(~F.col("in_hist") & (F.col("doc_id") == F.col("survivor")))
+        .select("digest")
+        .distinct()
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+    )
+    fresh.write.mode("append").parquet(index_path)
+    stats.write.mode("overwrite").parquet(
+        os.path.join(index_path + "_stats", f"batch={batch_id}")
+    )
+    digests.unpersist()
 
 
 def neardup_ingest_stream(
