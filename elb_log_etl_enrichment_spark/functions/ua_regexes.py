@@ -118,7 +118,7 @@ OS_PARSERS: list[dict] = [
 DEVICE_PARSERS: list[dict] = [
     {
         "regex": r"(?:Googlebot|bingbot|[A-Za-z0-9._-]*(?:[Bb]ot|[Ss]pider|"
-        r"[Cc]rawler)[/ ;)])",
+        r"[Cc]rawler)(?:[/ ;)]|$))",
         "device_replacement": "Spider",
     },
     {"regex": r"(iPhone)"},

@@ -2,15 +2,28 @@
 
 Media assets ride through the engine as opaque ``binary`` payload
 columns plus a typed metadata struct — the schema/partitioning layer
-is real and tested; the actual codec work (image decode, audio
-resample, video frame extraction) is STUBBED because no media
-libraries exist in this container:
+is real and tested, and since round 4 so are three zero-dependency
+codec rungs with formula oracles (each a real wire-format
+encoder/decoder written against the public spec, not a library
+binding):
 
-* ``decode_media`` with ``real=True`` raises ``NotImplementedError``
-  at the point where Pillow/ffmpeg would be invoked;
-* the default deterministic fake derives metadata purely from the
-  payload bytes, so the Arrow batch shapes, UDF signatures and
-  downstream aggregations are exercised end-to-end.
+* **PNG** (``png_codec.py``, RFC 2083): all five scanline filters,
+  zlib via stdlib — drives ``multimodal_pixel_roundtrip_stats`` and
+  the resize rung (``multimodal_image_resize_stats``);
+* **WAV** (``wav_codec.py``, RIFF/PCM-16): drives the roundtrip and
+  framed audio-feature rungs (``multimodal_audio_frame_features``);
+* **Y4M** (``y4m_codec.py``, YUV4MPEG2): demux + frame sampling +
+  frame-SAD motion features (``multimodal_video_*``).
+
+These pure-Python codecs are the CORRECTNESS rung — they prove the
+Spark-side plumbing (schema, partitioning, mapInPandas batch shape,
+metadata pruning) on real bytes. Production-rate decode remains the
+env-gated library path: ``decode_media`` with ``real=True`` raises
+``NotImplementedError`` at the point where Pillow/ffmpeg would be
+invoked (neither exists in this container), and the default
+deterministic fake derives metadata purely from the payload bytes so
+the UDF signatures and downstream aggregations exercise end-to-end
+even without the codec rungs.
 
 Scale notes: payloads stay in executor-side Arrow batches
 (``mapInPandas``), never on the driver; batch size is bounded by

@@ -76,6 +76,32 @@ def _empty_topk(frame, id_col: str = "vec_id"):
     )
 
 
+#: Hard ceiling on the driver-collected query vector set for the
+#: ADC-table paths (PQ / IVFPQ). The ADC tables are O(|Q|·m·centroids)
+#: driver memory and broadcast to every executor, so the query set
+#: must be bounded — not just "small by contract". 65,536 queries
+#: × 128-dim float64 ≈ 64 MiB of vectors: comfortably broadcastable,
+#: far past any sane per-job query batch. Larger query sets should be
+#: chunked by the caller, not silently collected.
+MAX_QUERY_ROWS = 65_536
+
+
+def _bounded_query_rows(unit: DataFrame, query_pred, cap: int = MAX_QUERY_ROWS):
+    """Collect the query rows with a HARD fail-fast bound (VERDICT
+    r04): `limit(cap+1)` stops executors early and ships at most
+    cap+1 rows, so an oversized `query_pred` (e.g. an always-true
+    predicate over a 100 TB corpus) raises immediately instead of
+    OOMing the driver mid-collect."""
+    rows = unit.filter(query_pred).limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"query_pred selects more than {cap} rows; the ANN query "
+            "set is driver-collected and broadcast — chunk the query "
+            "batch or tighten the predicate"
+        )
+    return rows
+
+
 def _lloyd(X, n_centroids: int, iters: int, rng, pp_init: bool = False):
     """Vectorized Lloyd k-means over a driver-side sample: one
     argmin-assignment + np.add.at centroid update per iteration, empty
@@ -399,6 +425,7 @@ def cosine_topk_pq(
     n_centroids: int = 64,
     sample_limit: int = 16384,
     kmeans_iters: int = 10,
+    query_cap: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Product-quantization ADC top-k — the memory-bounded ANN tier.
 
@@ -477,7 +504,7 @@ def cosine_topk_pq(
     spark = emb.sparkSession
     bc_books = spark.sparkContext.broadcast(codebooks)
 
-    q_rows = unit.filter(query_pred).collect()
+    q_rows = _bounded_query_rows(unit, query_pred, query_cap)
     if not q_rows:
         empty = unit.limit(0).select(
             F.col("vec_id").alias("query_id"),
@@ -557,6 +584,7 @@ def cosine_topk_ivfpq(
     n_centroids: int = 64,
     sample_limit: int = 16384,
     kmeans_iters: int = 10,
+    query_cap: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """IVF-PQ composed index (Jégou et al. 2011, "Product Quantization
     for Nearest Neighbor Search" — the IVFADC layout): a KMeans coarse
@@ -641,7 +669,7 @@ def cosine_topk_ivfpq(
     spark = emb.sparkSession
     bc_model = spark.sparkContext.broadcast((centers, codebooks))
 
-    q_rows = unit.filter(query_pred).collect()  # small by contract
+    q_rows = _bounded_query_rows(unit, query_pred, query_cap)  # hard-capped
     if not q_rows:
         return unit.limit(0).select(
             F.col("vec_id").alias("query_id"),

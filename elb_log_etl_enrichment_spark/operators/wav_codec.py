@@ -57,6 +57,8 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
         (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + length]
         if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             audio_fmt, channels, sample_rate, _, _, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )

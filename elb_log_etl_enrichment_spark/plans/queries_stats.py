@@ -1781,6 +1781,26 @@ def _bin_col(lo, hi) -> F.Column:
     ).otherwise(F.lit(0).cast("long"))
 
 
+_NARROW_PERSISTED: list[DataFrame] = []
+
+
+def _narrow_release() -> None:
+    """Unpersist every bucket level cached by the PREVIOUS
+    ``histogram_narrow`` call. The per-level persists must outlive the
+    caller's final action (the returned bucket is lazy), so they can't
+    be freed inside the loop; releasing them at the next call's entry
+    bounds the cache footprint to one call's worth of tiny buckets
+    (≤ ~n/1024 rows each) instead of leaking ``_SEL_DEPTH`` frames per
+    call for the session's lifetime (ADVICE r04). Unpersisting a frame
+    a stale handle still references only forces recompute, never a
+    wrong answer."""
+    while _NARROW_PERSISTED:
+        try:
+            _NARROW_PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+
+
 def histogram_narrow(
     values: DataFrame, k_frame: DataFrame, levels: int = _SEL_DEPTH
 ) -> tuple[DataFrame, DataFrame]:
@@ -1793,6 +1813,7 @@ def histogram_narrow(
     (≤ ~n/1024 rows after level 1) so later levels and the final
     selection don't re-expand the full-scan lineage. Returns
     ``(bucket, residual_k)``."""
+    _narrow_release()
     cur, k = values, k_frame
     for level in range(levels):
         bounds = cur.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
@@ -1818,6 +1839,7 @@ def histogram_narrow(
             .select("value")
             .persist()  # ≤ ~n/1024^(level+1) rows: feeds next level 3×
         )
+        _NARROW_PERSISTED.append(cur)
         k = target.select("k")
     return cur, k
 

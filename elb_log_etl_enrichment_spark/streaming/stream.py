@@ -607,78 +607,106 @@ def neardup_ingest_stream(
     offsets + idempotent append), not in watermark-evicted operator
     state. Classification is at LSH band level (the candidate stage of
     ``minhash_lsh_pairs``) — deterministic and SQL-replayable, which
-    is what gives the streaming query a full DuckDB oracle."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    is what gives the streaming query a full DuckDB oracle.
 
-    from ..operators.text_dedup import minhash_band_keys
-
-    def upsert(batch: DataFrame, batch_id: int) -> None:
-        b_spark = batch.sparkSession
-        bands = minhash_band_keys(batch).persist()
-        try:
-            hist = b_spark.read.parquet(index_path).select("band", "band_key")
-        except Exception:
-            hist = bands.select("band", "band_key").limit(0)
-        matched_keys = (
-            hist.join(
-                F.broadcast(bands.select("band", "band_key").distinct()),
-                ["band", "band_key"],
-                "left_semi",
-            )
-            .distinct()
-        )
-        hist_hits = (
-            bands.join(F.broadcast(matched_keys), ["band", "band_key"], "left_semi")
-            .select("doc_id")
-            .distinct()
-            .withColumn("hist_dup", F.lit(True))
-        )
-        bw = Window.partitionBy("band", "band_key")
-        peer = (
-            bands.withColumn("bmin", F.min("doc_id").over(bw))
-            .groupBy("doc_id")
-            .agg(F.min("bmin").alias("peer_min"))
-        )
-        cls = (
-            batch.select("doc_id")
-            .join(F.broadcast(hist_hits), "doc_id", "left")
-            .join(F.broadcast(peer), "doc_id", "left")
-            .withColumn("hist_dup", F.coalesce("hist_dup", F.lit(False)))
-            .withColumn(
-                "batch_dup",
-                F.coalesce(F.col("peer_min") < F.col("doc_id"), F.lit(False)),
-            )
-        )
-        stats = cls.agg(
-            F.count(F.lit(1)).cast("long").alias("n_batch"),
-            F.count_if(F.col("hist_dup")).cast("long").alias("n_dup_of_history"),
-            F.count_if(~F.col("hist_dup") & F.col("batch_dup"))
-            .cast("long")
-            .alias("n_dup_within_batch"),
-            F.count_if(~F.col("hist_dup") & ~F.col("batch_dup"))
-            .cast("long")
-            .alias("n_ingested"),
-        ).select(F.lit(batch_id).cast("long").alias("batch_id"), "*")
-        survivors = cls.filter(~F.col("hist_dup") & ~F.col("batch_dup")).select(
-            "doc_id"
-        )
-        fresh = (
-            bands.join(F.broadcast(survivors), "doc_id", "left_semi")
-            .select("band", "band_key")
-            .distinct()
-        )
-        fresh.write.mode("append").parquet(index_path)
-        stats.write.mode("append").parquet(index_path + "_stats")
-        bands.unpersist()
-
+    Replay safety mirrors ``_digest_ingest_upsert``: index band rows
+    carry the writing ``batch_id`` and the history probe excludes the
+    current batch's own rows, so a foreachBatch replay after a
+    mid-commit failure (index/stats written, checkpoint not) sees the
+    SAME history and reclassifies identically — the failed attempt's
+    own keys never read back as history (which would flip every doc to
+    n_dup_of_history and append zero survivor keys); re-appended index
+    rows are exact duplicates the distinct/semi-join probes ignore;
+    and the stats row lands by deterministic overwrite into its own
+    ``batch=<id>`` directory, never a second contradictory append."""
     query = (
-        docs.writeStream.foreachBatch(upsert)
+        docs.writeStream.foreachBatch(
+            lambda batch, batch_id: _neardup_ingest_upsert(
+                batch, batch_id, index_path
+            )
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
+
+
+def _neardup_ingest_upsert(
+    batch: DataFrame, batch_id: int, index_path: str
+) -> None:
+    """One replay-safe micro-batch step of ``neardup_ingest_stream``
+    (module-level so a replay — same batch, same ``batch_id``, run
+    twice — is directly testable, like ``_digest_ingest_upsert``)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.text_dedup import minhash_band_keys
+
+    b_spark = batch.sparkSession
+    bands = minhash_band_keys(batch).persist()
+    try:
+        hist = (
+            b_spark.read.parquet(index_path)
+            .filter(F.col("batch_id") < batch_id)
+            .select("band", "band_key")
+        )
+    except Exception:
+        hist = bands.select("band", "band_key").limit(0)
+    matched_keys = (
+        hist.join(
+            F.broadcast(bands.select("band", "band_key").distinct()),
+            ["band", "band_key"],
+            "left_semi",
+        )
+        .distinct()
+    )
+    hist_hits = (
+        bands.join(F.broadcast(matched_keys), ["band", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hist_dup", F.lit(True))
+    )
+    bw = Window.partitionBy("band", "band_key")
+    peer = (
+        bands.withColumn("bmin", F.min("doc_id").over(bw))
+        .groupBy("doc_id")
+        .agg(F.min("bmin").alias("peer_min"))
+    )
+    cls = (
+        batch.select("doc_id")
+        .join(F.broadcast(hist_hits), "doc_id", "left")
+        .join(F.broadcast(peer), "doc_id", "left")
+        .withColumn("hist_dup", F.coalesce("hist_dup", F.lit(False)))
+        .withColumn(
+            "batch_dup",
+            F.coalesce(F.col("peer_min") < F.col("doc_id"), F.lit(False)),
+        )
+    )
+    stats = cls.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.count_if(F.col("hist_dup")).cast("long").alias("n_dup_of_history"),
+        F.count_if(~F.col("hist_dup") & F.col("batch_dup"))
+        .cast("long")
+        .alias("n_dup_within_batch"),
+        F.count_if(~F.col("hist_dup") & ~F.col("batch_dup"))
+        .cast("long")
+        .alias("n_ingested"),
+    ).select(F.lit(batch_id).cast("long").alias("batch_id"), "*")
+    survivors = cls.filter(~F.col("hist_dup") & ~F.col("batch_dup")).select(
+        "doc_id"
+    )
+    fresh = (
+        bands.join(F.broadcast(survivors), "doc_id", "left_semi")
+        .select("band", "band_key")
+        .distinct()
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+    )
+    fresh.write.mode("append").parquet(index_path)
+    stats.write.mode("overwrite").parquet(
+        os.path.join(index_path + "_stats", f"batch={batch_id}")
+    )
+    bands.unpersist()
 
 
 SESSION_TIMEOUT_OUTPUT_SCHEMA = StructType(

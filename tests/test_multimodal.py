@@ -215,6 +215,16 @@ def test_wav_codec_roundtrip_and_rejects():
     assert got == samples[:6]
     with pytest.raises(ValueError, match="not a RIFF"):
         decode_wav(b"OggS")
+    # ADVICE r04: truncated fmt chunk must raise the documented
+    # ValueError ("loud, never wrong"), not leak struct.error.
+    import struct as _struct
+
+    short_fmt = (
+        b"RIFF" + _struct.pack("<I", 16) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", 8) + bytes(8)
+    )
+    with pytest.raises(ValueError, match="truncated fmt chunk"):
+        decode_wav(short_fmt)
 
 
 def test_synthetic_wav_roundtrip_stats_formula(spark):

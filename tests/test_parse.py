@@ -463,6 +463,27 @@ def test_device_battery_offline_heuristic():
     assert classify_device(None) == "Other"
 
 
+def test_crawler_token_at_end_consistent_across_classifiers():
+    """ADVICE r04: a UA ending EXACTLY in bot/spider/crawler (no
+    trailing delimiter) must classify consistently — the browser
+    crawler fallback and the Spider device rule share the
+    ``(?:[/ ;)]|$)`` delimiter group, so neither fires without the
+    other. Kept out of DEVICE_BATTERY: these synthetic stubs aren't
+    uap-core-published rows, so the real-lib parity test skips them."""
+    from elb_log_etl_enrichment_spark.functions.ua import (
+        classify_device,
+        classify_ua,
+    )
+
+    for ua, fam in [
+        ("examplebot", "examplebot"),
+        ("mysearch-spider", "mysearch-spider"),
+        ("AcmeCrawler", "AcmeCrawler"),
+    ]:
+        assert classify_ua(ua)[0] == fam, ua
+        assert classify_device(ua) == "Spider", ua
+
+
 def test_device_battery_matches_real_lib():
     import pytest
 

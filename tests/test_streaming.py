@@ -370,6 +370,42 @@ def test_neardup_ingest_stream_band_index_across_runs(spark, tmp_path):
     assert spark.read.parquet(index).count() == idx2
 
 
+def test_ingest_upserts_replay_safe(spark, tmp_path):
+    """ADVICE r04 (medium): a foreachBatch replay — same batch, same
+    batch_id, run twice, as after a mid-commit driver failure — must
+    reclassify IDENTICALLY for both ingest upserts: the history probe
+    excludes the current batch's own index rows (batch_id < current),
+    and stats overwrite their batch=<id> directory instead of
+    appending a second contradictory row."""
+    from elb_log_etl_enrichment_spark.streaming.stream import (
+        _digest_ingest_upsert,
+        _neardup_ingest_upsert,
+    )
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    batch = spark.createDataFrame(
+        [(1, base), (2, base + " tail")], "doc_id long, text string"
+    )
+    for name, upsert in [
+        ("nd", _neardup_ingest_upsert),
+        ("dg", _digest_ingest_upsert),
+    ]:
+        index = f"{tmp_path}/{name}_index.parquet"
+        upsert(batch, 0, index)
+        first = spark.read.parquet(index + "_stats").collect()
+        idx_first = spark.read.parquet(index).count()
+        upsert(batch, 0, index)  # replay: checkpoint never committed
+        replay = spark.read.parquet(index + "_stats").collect()
+        assert len(replay) == 1, name  # overwrite, not a second row
+        assert replay == first, name  # identical classification
+        assert replay[0]["n_dup_of_history"] == 0, name
+        assert replay[0]["n_ingested"] == 1, name
+        # re-appended survivor keys are exact duplicates of batch 0's
+        idx = spark.read.parquet(index)
+        assert idx.filter("batch_id = 0").count() == idx.count()
+        assert idx.dropDuplicates().count() == idx_first, name
+
+
 def test_timeout_sessions_survive_multibatch_watermark_advance(spark, tmp_path):
     """Regression (ADVICE r02, medium): with maxFilesPerTrigger=1 the
     watermark advances between micro-batches; a group whose session is
