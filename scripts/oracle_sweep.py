@@ -30,6 +30,12 @@ def main() -> None:
         SparkSession.builder.master("local[16]")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", "32")
+        # sf1 sweeps OOM the default 1g driver heap (broadcast builds);
+        # match get_spark's sizing, overridable like bench.py
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

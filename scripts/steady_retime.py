@@ -1,0 +1,129 @@
+"""Solo steady-state re-timer (VERDICT r04 item 8).
+
+The shared-session bench is exposed to host CPU steal (PERF.md records
+the same query swinging 1 s ↔ 20 s across idle runs), so
+round-over-round comparisons of in-suite numbers burn triage cycles on
+noise. This script runs each query under the established solo protocol
+(fresh `local[N]` JVM per query, 1 cold + K warm runs; steady = min of
+the warm runs — the number the r02-r04 PERF.md investigations used)
+and persists the results to ``BENCH.steady.json``, which ``bench.py``
+attaches to its report as the ``steady`` map. Re-run only on code
+change (or when a bench number looks regressed); the file records the
+measuring commit so staleness is visible.
+
+Usage:
+    python scripts/steady_retime.py q1 q2 ...      # named queries
+    python scripts/steady_retime.py --top 20       # 20 slowest from
+                                                   # BENCH.local.json
+    SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=... apply as for bench.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT_PATH = os.path.join(REPO_ROOT, "BENCH.steady.json")
+
+#: child body: one query, one fresh JVM, cold + K warm materializations
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+from elb_log_etl_enrichment_spark.session import get_spark
+name, sf_dir, cpus, warm = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+all_queries()
+spark = get_spark(app_name="steady-" + name, master="local[" + cpus + "]")
+spark.sparkContext.setLogLevel("ERROR")
+times = []
+for _ in range(warm + 1):
+    t0 = time.perf_counter()
+    REGISTRY[name].fn(spark, sf_dir).count()
+    times.append(round(time.perf_counter() - t0, 3))
+print("STEADY_JSON:" + json.dumps(times), flush=True)
+spark.stop()
+"""
+
+
+def _git_head() -> str:
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=REPO_ROOT,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout.strip()
+        )
+    except Exception:
+        return "unknown"
+
+
+def _top_from_bench(n: int) -> list[str]:
+    with open(os.path.join(REPO_ROOT, "BENCH.local.json")) as fh:
+        timings = json.load(fh)["queries"]
+    return [k for k, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:n]]
+
+
+def retime(name: str, sf_dir: str, cpus: str, warm: int) -> dict | None:
+    proc = subprocess.run(
+        [sys.executable, "-c", _CHILD % {"repo": REPO_ROOT},
+         name, sf_dir, cpus, str(warm)],
+        capture_output=True,
+        text=True,
+        cwd=REPO_ROOT,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("STEADY_JSON:"):
+            times = json.loads(line[len("STEADY_JSON:"):])
+            return {
+                "cold": times[0],
+                "warm": times[1:],
+                "steady": min(times[1:]),
+            }
+    sys.stderr.write(f"{name}: child failed\n{proc.stderr[-2000:]}\n")
+    return None
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", help="query names to re-time")
+    ap.add_argument(
+        "--top", type=int, default=0,
+        help="also re-time the N slowest queries from BENCH.local.json",
+    )
+    ap.add_argument("--warm", type=int, default=2, help="warm runs per query")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    names = list(dict.fromkeys(args.names + (_top_from_bench(args.top) if args.top else [])))
+    if not names:
+        ap.error("no queries: pass names or --top N")
+
+    book: dict = {}
+    if os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as fh:
+            book = json.load(fh)
+    sha = _git_head()
+    for name in names:
+        rec = retime(name, sf_dir, cpus, args.warm)
+        if rec is None:
+            continue
+        rec.update({"sf_dir": sf_dir, "cpus": cpus, "commit": sha})
+        book[name] = rec
+        print(f"{name}: cold {rec['cold']} s; warm {rec['warm']} -> "
+              f"steady {rec['steady']} s", flush=True)
+    with open(OUT_PATH, "w") as fh:
+        json.dump(book, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"wrote {OUT_PATH} ({len(book)} queries)")
+
+
+if __name__ == "__main__":
+    main()

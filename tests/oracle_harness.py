@@ -9,6 +9,7 @@ the driver does.
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -19,8 +20,11 @@ from elb_log_etl_enrichment_spark.sources.tables import TABLE_NAMES
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLE_NAMES:
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(path):  # Spark-written layout (e.g. /tmp/sf1)
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 

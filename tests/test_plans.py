@@ -727,3 +727,23 @@ def test_range_lookup_rewrite_plans_hash_join_not_nested_loop(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rfm_reuses_per_customer_exchange_single_scan(spark):
+    """r05 regression guard: folding the recency quartiles into the
+    quantile aggregate (exact monotone identity, see the query
+    docstring) makes BOTH consumers of the per-customer reduce
+    identically pruned, so AQE reuses the exchange — ONE orders scan
+    instead of the pre-fix three. The pre-execution plan must contain
+    exactly two canonically-equal custkey exchanges (AQE dedupes at
+    runtime) and no third differently-pruned branch."""
+    import re
+
+    df = _q(spark, "rfm_segment_counts")
+    pre = plan_text(df)
+    # the old shape had THREE orders scans (rfm / bounds / cuts)
+    assert len(re.findall(r"\(\d+\) Scan parquet", pre)) == 2, pre
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final, final
