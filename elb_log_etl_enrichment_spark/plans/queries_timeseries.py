@@ -115,10 +115,15 @@ def time_weighted_avg_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     series AS (SELECT DISTINCT event_type AS series FROM events),
     obs AS (
+        -- exact decimal sum, then ONE double division: both engines
+        -- produce the identical IEEE double, so no final ROUND — at
+        -- sf1 a quotient landing on a .xxxxxx5 representation tie
+        -- rounds differently in Spark (BigDecimal half-up on the
+        -- shortest repr) vs DuckDB (nearbyint on the scaled double)
         SELECT event_type AS series,
                date_trunc('hour', ts) AS bucket_ts,
-               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                     / COUNT(value), 6) AS observed
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(value) AS observed
         FROM events
         GROUP BY 1, 2
     ),
@@ -144,12 +149,14 @@ def gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality is series x hours — independent of event volume; the
     running fill windows over the spine, never over raw events."""
     e = _t(spark, sf_dir, "events")
-    # decimal-sum average (order-independent across engines; see
-    # hourly_event_aggregate)
-    exact_avg = F.round(
+    # decimal-sum average, NO final round: the exact sums cast to the
+    # same double on both engines and one shared division is IEEE-
+    # identical, while ROUND(double, 6) tie-breaks differently across
+    # engines (caught by the sf1 sweep: 2/3600 cells off by 1 ulp-of-
+    # the-6th-decimal)
+    exact_avg = (
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-        / F.count("value"),
-        6,
+        / F.count("value")
     )
     filled = gapfill_locf(
         e, series_col="event_type", ts_col="ts", agg_expr=exact_avg
@@ -651,7 +658,10 @@ _ROLLUP_DIRS: dict[str, str] = {}
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
                AS sum_value,
-           ROUND(SUM(CAST(value AS DECIMAL(18,6)))::DOUBLE / COUNT(*), 6)
+           -- no ROUND on the derived mean: decimal sum -> double ->
+           -- one division is engine-identical; ROUND(double,6)
+           -- tie-breaking is not (sf1 sweep finding)
+           SUM(CAST(value AS DECIMAL(18,6)))::DOUBLE / COUNT(*)
                AS avg_value
     FROM events
     GROUP BY 1, 2
@@ -710,7 +720,7 @@ def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
         F.round(F.col("sum_val"), 2).cast("double").alias("sum_value"),
-        F.round(F.col("sum_val").cast("double") / F.col("n_events"), 6).alias(
+        (F.col("sum_val").cast("double") / F.col("n_events")).alias(
             "avg_value"
         ),
     ).orderBy("hour_start_ms", "event_type")

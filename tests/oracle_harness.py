@@ -19,6 +19,12 @@ from elb_log_etl_enrichment_spark.sources.tables import TABLE_NAMES
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # bound the oracle's memory and let it spill: the quadratic
+    # oracles (pairwise-cosine triangles) exhaust RAM at sf1 when a
+    # Spark driver JVM holds its share (sf1 sweep finding); with a
+    # temp_directory DuckDB runs them out-of-core instead of dying
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for name in TABLE_NAMES:
         path = f"{sf_dir}/{name}.parquet"
         if os.path.isdir(path):  # Spark-written layout (e.g. /tmp/sf1)
