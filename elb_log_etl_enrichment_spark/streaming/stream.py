@@ -555,6 +555,9 @@ def _digest_ingest_upsert(
         .withColumn("in_hist", F.lit(True))
     )
     w = Window.partitionBy("digest")
+    # no cls persist here (unlike _neardup_ingest_upsert): this chain
+    # is one window over the already-persisted digests — recomputing
+    # it for the second write is cheaper than a cache materialization
     cls = (
         digests.join(F.broadcast(matched), "digest", "left")
         .withColumn("in_hist", F.coalesce("in_hist", F.lit(False)))
@@ -682,6 +685,9 @@ def _neardup_ingest_upsert(
             "batch_dup",
             F.coalesce(F.col("peer_min") < F.col("doc_id"), F.lit(False)),
         )
+        .persist()  # stats AND survivor-key writes both consume it;
+        # without the cache the second action re-runs the hist_hits
+        # and peer broadcast jobs (~1/3 of warm batch time)
     )
     stats = cls.agg(
         F.count(F.lit(1)).cast("long").alias("n_batch"),
@@ -706,6 +712,7 @@ def _neardup_ingest_upsert(
     stats.write.mode("overwrite").parquet(
         os.path.join(index_path + "_stats", f"batch={batch_id}")
     )
+    cls.unpersist()
     bands.unpersist()
 
 
