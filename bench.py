@@ -290,12 +290,16 @@ def main() -> None:
     if os.path.exists(steady_path):
         with open(steady_path) as fh:
             steady_book = json.load(fh)
-        report["steady"] = {
-            n: rec["steady"] for n, rec in steady_book.items() if n in timings
+        # only entries measured at THIS run's sf_dir: a steady number
+        # from a different scale next to these timings would send perf
+        # triage comparing across data sizes (code-review r05 finding)
+        steady_book = {
+            n: rec for n, rec in steady_book.items()
+            if n in timings and rec.get("sf_dir") == sf_dir
         }
+        report["steady"] = {n: rec["steady"] for n, rec in steady_book.items()}
         report["steady_commit"] = {
             n: rec.get("commit", "?") for n, rec in steady_book.items()
-            if n in timings
         }
     # The driver stores a bounded stdout tail KEPT FROM THE END (r01's
     # recorded tail is front-truncated), so the multi-KB full-report line

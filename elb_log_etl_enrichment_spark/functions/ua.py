@@ -89,7 +89,9 @@ def _first_match(
         if m is None:
             continue
         if repl is None:
-            return m.group(1)
+            # falsy family -> 'Other', matching the real-lib branch's
+            # `parsed.*.family or "Other"` (code-review r05 finding)
+            return m.group(1) or "Other"
         if "$" in repl:
 
             def _grp(mm: re.Match) -> str:
@@ -99,7 +101,7 @@ def _first_match(
                 except IndexError:
                     return ""
 
-            return re.sub(r"\$(\d)", _grp, repl).strip()
+            return re.sub(r"\$(\d)", _grp, repl).strip() or "Other"
         return repl
     return "Other"
 

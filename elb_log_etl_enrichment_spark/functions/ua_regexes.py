@@ -100,10 +100,19 @@ def load_uap_core(path: str | None = None) -> dict[str, list[dict]] | None:
         data = yaml.safe_load(text)
     except Exception:
         data = _parse_uap_yaml(text)
-    return {
-        k: list(data.get(k) or [])
+    if not isinstance(data, dict):  # empty file / non-mapping YAML
+        data = {}
+    tables = {
+        k: [r for r in (data.get(k) or []) if isinstance(r, dict) and "regex" in r]
         for k in ("user_agent_parsers", "os_parsers", "device_parsers")
     }
+    if not tables["user_agent_parsers"]:
+        # a file that parses to nothing usable (truncated download,
+        # HTML error page saved as regexes.yaml, empty file) must NOT
+        # replace the curated tables with empty rule lists — every UA
+        # would silently classify as 'Other' (code-review r05 finding)
+        return None
+    return tables
 
 
 #: Browser-family rules (uap-core `user_agent_parsers` shape).

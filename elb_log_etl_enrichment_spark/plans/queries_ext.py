@@ -3456,7 +3456,7 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers segmented into the R/F/M quartile grid (recency
     scored 4 = most recent; frequency and monetary scored 4 = top
     quartile), rolled up to per-segment customer counts and exact
-    total cents. One per-customer reduce, one 10-value exact-quartile
+    total cents. One per-customer reduce, one 9-value exact-quartile
     aggregate broadcast back, then a vocabulary-sized segment
     aggregate — no windows, no data-sized joins.
 
@@ -3485,8 +3485,9 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     cuts = per_c.agg(
-        F.max("last_day").alias("maxd"),
-        # recency quartile q maps to last_day quantile 1-q (see above)
+        # recency quartile q maps to last_day quantile 1-q (see above);
+        # maxd itself cancels out of every comparison, so it is never
+        # computed
         F.percentile("last_day", F.lit(0.75)).alias("ld1"),
         F.percentile("last_day", F.lit(0.50)).alias("ld2"),
         F.percentile("last_day", F.lit(0.25)).alias("ld3"),

@@ -1793,7 +1793,11 @@ def _narrow_release() -> None:
     (≤ ~n/1024 rows each) instead of leaking ``_SEL_DEPTH`` frames per
     call for the session's lifetime (ADVICE r04). Unpersisting a frame
     a stale handle still references only forces recompute, never a
-    wrong answer."""
+    wrong answer. Assumes the registry's single-threaded execution
+    model: a concurrent histogram_narrow on the same session would
+    release the other call's levels mid-flight — recompute-only, but
+    it defeats the persist's purpose; key the registry per query if
+    the engine ever drives these concurrently."""
     while _NARROW_PERSISTED:
         try:
             _NARROW_PERSISTED.pop().unpersist()

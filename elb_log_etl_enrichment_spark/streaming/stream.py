@@ -506,6 +506,30 @@ def ingest_dedup_stream(
     ).start().awaitTermination()
 
 
+def _index_history(
+    spark: SparkSession, index_path: str, batch_id: int, empty: DataFrame
+) -> DataFrame:
+    """The persisted ingest index as REPLAY-SAFE history: rows written
+    by earlier batches only (``batch_id < current``). A missing index
+    (the very first batch) returns the typed ``empty`` template; any
+    OTHER read failure raises — in particular an index that lacks the
+    ``batch_id`` column (written by a pre-replay-safety build, or not
+    an ingest index at all) must fail LOUDLY, because silently treating
+    it as empty history would reclassify every historical duplicate as
+    newly ingested and re-append its keys (code-review r05 finding:
+    the old blanket ``except Exception`` did exactly that)."""
+    if not os.path.exists(index_path):
+        return empty
+    idx = spark.read.parquet(index_path)
+    if "batch_id" not in idx.columns:
+        raise ValueError(
+            f"ingest index at {index_path} has no batch_id column "
+            "(pre-replay-safety layout?) — rebuild the index or "
+            "backfill batch_id before resuming ingestion"
+        )
+    return idx.filter(F.col("batch_id") < batch_id)
+
+
 def _digest_ingest_upsert(
     batch: DataFrame,
     batch_id: int,
@@ -537,14 +561,9 @@ def _digest_ingest_upsert(
         ),
     )
     digests = batch.select("doc_id", F.md5(prefix).alias("digest")).persist()
-    try:
-        hist = (
-            b_spark.read.parquet(index_path)
-            .filter(F.col("batch_id") < batch_id)
-            .select("digest")
-        )
-    except Exception:
-        hist = digests.select("digest").limit(0)
+    hist = _index_history(
+        b_spark, index_path, batch_id, digests.select("digest").limit(0)
+    ).select("digest")
     matched = (
         hist.join(
             F.broadcast(digests.select("digest").distinct()),
@@ -648,14 +667,9 @@ def _neardup_ingest_upsert(
 
     b_spark = batch.sparkSession
     bands = minhash_band_keys(batch).persist()
-    try:
-        hist = (
-            b_spark.read.parquet(index_path)
-            .filter(F.col("batch_id") < batch_id)
-            .select("band", "band_key")
-        )
-    except Exception:
-        hist = bands.select("band", "band_key").limit(0)
+    hist = _index_history(
+        b_spark, index_path, batch_id, bands.select("band", "band_key").limit(0)
+    ).select("band", "band_key")
     matched_keys = (
         hist.join(
             F.broadcast(bands.select("band", "band_key").distinct()),

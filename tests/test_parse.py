@@ -547,6 +547,44 @@ def test_uap_core_loader_parses_published_yaml_shape(tmp_path):
     assert _first_match(devices, "curl/8.5.0") == "Other"
 
 
+def test_uap_core_loader_rejects_unusable_files(tmp_path):
+    """Code-review r05: an empty or garbage regexes.yaml (truncated
+    download, HTML error page) must fall back to the curated tables
+    (return None), never half-succeed with empty rule lists that
+    would classify every UA as 'Other'."""
+    from elb_log_etl_enrichment_spark.functions.ua_regexes import load_uap_core
+
+    empty = tmp_path / "regexes.yaml"
+    empty.write_text("")
+    assert load_uap_core(str(empty)) is None
+    garbage = tmp_path / "garbage.yaml"
+    garbage.write_text("<html><body>404 Not Found</body></html>\n")
+    assert load_uap_core(str(garbage)) is None
+    # sections present but no usable rules -> still fallback
+    headers_only = tmp_path / "headers.yaml"
+    headers_only.write_text("user_agent_parsers:\nos_parsers:\ndevice_parsers:\n")
+    assert load_uap_core(str(headers_only)) is None
+
+
+def test_first_match_empty_family_falls_back_to_other():
+    """Code-review r05: a rule whose substitution resolves to empty
+    (all referenced groups empty/non-participating) must yield
+    'Other', matching the real-lib branch's `family or \"Other\"`."""
+    from elb_log_etl_enrichment_spark.functions.ua import (
+        _compile,
+        _first_match,
+    )
+
+    rules = _compile(
+        [{"regex": r"agent(?:-(\w+))?", "family_replacement": "$1"}],
+        "family_replacement",
+    )
+    assert _first_match(rules, "agent-foo x") == "foo"
+    assert _first_match(rules, "agent x") == "Other"
+    bare = _compile([{"regex": r"(x*)agent"}], "family_replacement")
+    assert _first_match(bare, "agent") == "Other"
+
+
 def test_full_uap_core_battery_when_available():
     """If a real full regexes.yaml is present (env/path-gated), the
     vendored battery must STILL pass through it — the curated tables'

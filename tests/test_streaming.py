@@ -406,6 +406,34 @@ def test_ingest_upserts_replay_safe(spark, tmp_path):
         assert idx.dropDuplicates().count() == idx_first, name
 
 
+def test_ingest_upsert_rejects_legacy_index_without_batch_id(spark, tmp_path):
+    """Code-review r05: a persisted index LACKING the batch_id column
+    (pre-replay-safety layout) must fail loudly — the old blanket
+    except treated it as EMPTY history, silently reclassifying every
+    historical duplicate as newly ingested."""
+    import pytest
+
+    from elb_log_etl_enrichment_spark.streaming.stream import (
+        _digest_ingest_upsert,
+        _neardup_ingest_upsert,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16")],
+        "doc_id long, text string",
+    )
+    legacy_nd = f"{tmp_path}/legacy_nd.parquet"
+    spark.createDataFrame(
+        [(0, "k")], "band int, band_key string"
+    ).write.parquet(legacy_nd)
+    with pytest.raises(ValueError, match="no batch_id column"):
+        _neardup_ingest_upsert(batch, 1, legacy_nd)
+    legacy_dg = f"{tmp_path}/legacy_dg.parquet"
+    spark.createDataFrame([("d",)], "digest string").write.parquet(legacy_dg)
+    with pytest.raises(ValueError, match="no batch_id column"):
+        _digest_ingest_upsert(batch, 1, legacy_dg)
+
+
 def test_timeout_sessions_survive_multibatch_watermark_advance(spark, tmp_path):
     """Regression (ADVICE r02, medium): with maxFilesPerTrigger=1 the
     watermark advances between micro-batches; a group whose session is
