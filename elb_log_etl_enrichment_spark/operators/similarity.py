@@ -77,13 +77,29 @@ def _empty_topk(frame, id_col: str = "vec_id"):
 
 
 #: Hard ceiling on the driver-collected query vector set for the
-#: ADC-table paths (PQ / IVFPQ). The ADC tables are O(|Q|·m·centroids)
-#: driver memory and broadcast to every executor, so the query set
-#: must be bounded — not just "small by contract". 65,536 queries
+#: dense-matrix paths (arrow/bruteforce shapes). 65,536 queries
 #: × 128-dim float64 ≈ 64 MiB of vectors: comfortably broadcastable,
 #: far past any sane per-job query batch. Larger query sets should be
-#: chunked by the caller, not silently collected.
+#: chunked by the caller, not silently collected. The ADC paths
+#: (PQ/IVFPQ) bound a BIGGER quantity — their per-query lookup tables,
+#: O(|Q|·m·n_centroids) — via :func:`_adc_query_cap` below.
 MAX_QUERY_ROWS = 65_536
+
+#: Driver/broadcast budget for the PQ/IVFPQ ADC tables. 256 MiB of
+#: float64 tables (plus the same again inside the broadcast pickle)
+#: stays comfortable on a multi-GB driver; the vector matrix itself is
+#: far smaller at any cap this yields.
+_ADC_TABLE_BUDGET_BYTES = 256 << 20
+
+
+def _adc_query_cap(m: int, n_centroids: int) -> int:
+    """Query cap sized by the quantity the guard exists to bound: the
+    ADC tables are |Q|·m·n_centroids float64s, so the cap is the
+    budget divided by the per-query table row — NOT the vector width
+    (code-review r05: a 65,536-query set passed the old vector-sized
+    cap and then allocated ~1 GiB of tables anyway, OOMing after the
+    fail-fast check instead of before it)."""
+    return max(1, min(MAX_QUERY_ROWS, _ADC_TABLE_BUDGET_BYTES // (m * n_centroids * 8)))
 
 
 def _bounded_query_rows(unit: DataFrame, query_pred, cap: int = MAX_QUERY_ROWS):
@@ -290,7 +306,9 @@ def cosine_topk_ivf(
     return _ranked_topk(pairs, k)
 
 
-def cosine_topk_arrow(emb: DataFrame, query_pred, k: int = 5) -> DataFrame:
+def cosine_topk_arrow(
+    emb: DataFrame, query_pred, k: int = 5, query_cap: int = MAX_QUERY_ROWS
+) -> DataFrame:
     """Exact cosine top-k via Arrow-batched numpy scoring — the
     high-throughput formulation of ``cosine_topk_bruteforce`` (same
     results, same oracle).
@@ -315,11 +333,10 @@ def cosine_topk_arrow(emb: DataFrame, query_pred, k: int = 5) -> DataFrame:
     import pandas as pd
 
     p = _prepared(emb)
-    q_rows = (
-        p.filter(query_pred)
-        .filter(F.col("nrm") > 0)
-        .select("vec_id", "v", "nrm")
-        .collect()
+    q_rows = _bounded_query_rows(
+        p.filter(F.col("nrm") > 0).select("vec_id", "v", "nrm"),
+        query_pred,
+        query_cap,
     )
     if not q_rows:
         return _ranked_topk(p.limit(0).select(
@@ -425,7 +442,7 @@ def cosine_topk_pq(
     n_centroids: int = 64,
     sample_limit: int = 16384,
     kmeans_iters: int = 10,
-    query_cap: int = MAX_QUERY_ROWS,
+    query_cap: int | None = None,
 ) -> DataFrame:
     """Product-quantization ADC top-k — the memory-bounded ANN tier.
 
@@ -504,15 +521,11 @@ def cosine_topk_pq(
     spark = emb.sparkSession
     bc_books = spark.sparkContext.broadcast(codebooks)
 
-    q_rows = _bounded_query_rows(unit, query_pred, query_cap)
+    q_rows = _bounded_query_rows(
+        unit, query_pred, query_cap if query_cap is not None else _adc_query_cap(m, n_centroids)
+    )
     if not q_rows:
-        empty = unit.limit(0).select(
-            F.col("vec_id").alias("query_id"),
-            F.lit(1).cast("long").alias("rnk"),
-            F.col("vec_id").alias("neighbor"),
-            F.lit(0.0).alias("cosine"),
-        )
-        return empty
+        return _empty_topk(unit)
     q_ids = np.array([r["vec_id"] for r in q_rows])
     q_mat = np.array([r["u"] for r in q_rows], dtype=np.float64)
     # ADC tables: for each query, dot of each subvector with each centroid
@@ -584,7 +597,7 @@ def cosine_topk_ivfpq(
     n_centroids: int = 64,
     sample_limit: int = 16384,
     kmeans_iters: int = 10,
-    query_cap: int = MAX_QUERY_ROWS,
+    query_cap: int | None = None,
 ) -> DataFrame:
     """IVF-PQ composed index (Jégou et al. 2011, "Product Quantization
     for Nearest Neighbor Search" — the IVFADC layout): a KMeans coarse
@@ -669,14 +682,11 @@ def cosine_topk_ivfpq(
     spark = emb.sparkSession
     bc_model = spark.sparkContext.broadcast((centers, codebooks))
 
-    q_rows = _bounded_query_rows(unit, query_pred, query_cap)  # hard-capped
+    q_rows = _bounded_query_rows(
+        unit, query_pred, query_cap if query_cap is not None else _adc_query_cap(m, n_centroids)
+    )
     if not q_rows:
-        return unit.limit(0).select(
-            F.col("vec_id").alias("query_id"),
-            F.lit(1).cast("long").alias("rnk"),
-            F.col("vec_id").alias("neighbor"),
-            F.lit(0.0).alias("cosine"),
-        )
+        return _empty_topk(unit)
     q_ids = np.array([r["vec_id"] for r in q_rows])
     q_mat = np.array([r["u"] for r in q_rows], dtype=np.float64)
     qd2 = ((q_mat[:, None, :] - centers[None, :, :]) ** 2).sum(-1)  # (Q, cells)

@@ -55,6 +55,11 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + length > len(data):
+            # a chunk whose declared length overruns the buffer is a
+            # cut-off transfer: silently decoding the short slice
+            # would return wrong stats (code-review r05 finding)
+            raise ValueError(f"truncated {tag!r} chunk")
         body = data[pos + 8 : pos + 8 + length]
         if tag == b"fmt ":
             if len(body) < 16:
@@ -71,5 +76,7 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if sample_rate is None or raw is None:
         raise ValueError("missing fmt/data chunk")
+    if len(raw) % 2:
+        raise ValueError("odd data chunk length for 16-bit samples")
     samples = list(struct.unpack(f"<{len(raw) // 2}h", raw))
     return (sample_rate, channels, samples)

@@ -225,6 +225,21 @@ def test_wav_codec_roundtrip_and_rejects():
     )
     with pytest.raises(ValueError, match="truncated fmt chunk"):
         decode_wav(short_fmt)
+    # code-review r05: a data chunk whose declared length overruns the
+    # buffer (cut-off transfer) must raise, not silently decode the
+    # short slice; odd data length must raise ValueError, not leak
+    # struct.error
+    good = encode_wav([1, -2, 3], sample_rate=8000)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(good[:-2])
+    odd = (
+        b"RIFF" + _struct.pack("<I", 33) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", 16)
+        + _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data" + _struct.pack("<I", 5) + bytes(5)
+    )
+    with pytest.raises(ValueError, match="odd data chunk"):
+        decode_wav(odd)
 
 
 def test_synthetic_wav_roundtrip_stats_formula(spark):

@@ -139,13 +139,24 @@ def test_ann_query_collect_is_hard_capped(spark):
     )
     from elb_log_etl_enrichment_spark.sources.tables import load_table
 
+    from elb_log_etl_enrichment_spark.operators.similarity import (
+        _adc_query_cap,
+        cosine_topk_arrow,
+    )
+
     e = load_table(spark, SF, "embeddings")
     everything = F.lit(True)
-    for fn in (cosine_topk_pq, cosine_topk_ivfpq):
+    for fn in (cosine_topk_pq, cosine_topk_ivfpq, cosine_topk_arrow):
         with pytest.raises(ValueError, match="query_pred selects more than"):
-            # cap=8 keeps the negative path instant; the default cap
-            # (65,536) is exercised by the green recall tests above.
+            # cap=8 keeps the negative path instant; the default caps
+            # are exercised by the green recall tests above.
             fn(e, everything, k=5, query_cap=8)
+    # the ADC default cap is sized by the LOOKUP TABLES (the quantity
+    # that actually OOMs the driver), not the vector matrix: 256 MiB
+    # budget / (m * n_centroids * 8 B) at the m=32/n_centroids=64
+    # defaults = 16,384 queries
+    assert _adc_query_cap(32, 64) == 16_384
+    assert _adc_query_cap(1, 1) == 65_536  # clamped to MAX_QUERY_ROWS
 
 
 def test_ivf_topk_recall_and_nprobe_monotonicity(spark):
