@@ -508,13 +508,21 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WAP_DIRS: dict[str, str] = {}
 
 
+def _lp(expr: str) -> str:
+    """DuckDB replay of ``_stable_row_digest``'s injective field
+    rendering: length-prefixed value, NULL -> sentinel 'N'."""
+    s = f"CAST({expr} AS VARCHAR)"
+    return f"COALESCE(CAST(length({s}) AS VARCHAR) || ':' || {s}, 'N')"
+
+
 @register(
     "write_audit_publish_stats",
-    sql="""
+    sql=f"""
     WITH h AS (
         SELECT ('0x' || substr(md5(concat_ws('|',
-                   o_orderkey, o_custkey, o_orderpriority,
-                   strftime(o_orderdate, '%Y-%m-%d'))), 1, 15))::UBIGINT
+                   {_lp('o_orderkey')}, {_lp('o_custkey')},
+                   {_lp('o_orderpriority')},
+                   {_lp("strftime(o_orderdate, '%Y-%m-%d')")})), 1, 15))::UBIGINT
                AS rh
         FROM orders WHERE o_orderpriority = '1-URGENT'
     )
@@ -704,10 +712,11 @@ _SWAP_DIRS: dict[str, str] = {}
 
 @register(
     "streaming_wap_publish_stats",
-    sql="""
+    sql=f"""
     WITH h AS (
         SELECT ('0x' || substr(md5(concat_ws('|',
-                   event_id, user_id, event_type, epoch_ms(ts))), 1, 15))
+                   {_lp('event_id')}, {_lp('user_id')},
+                   {_lp('event_type')}, {_lp('epoch_ms(ts)')})), 1, 15))
                    ::UBIGINT AS rh
         FROM events
     )

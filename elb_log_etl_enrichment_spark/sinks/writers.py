@@ -153,6 +153,13 @@ def write_zorder_parquet(
         F.percentile_approx(F.col(col_a).cast("double"), qs, 10_000).alias("ca"),
         F.percentile_approx(F.col(col_b).cast("double"), qs, 10_000).alias("cb"),
     ).collect()[0]
+    if cuts["ca"] is None or cuts["cb"] is None:
+        # empty frame or an all-NULL z-order column: no quantiles
+        # exist, so there is nothing to cluster — write as-is instead
+        # of crashing on `for b in None` (code-review r05 finding;
+        # matches write_sorted_parquet's behavior on the same input)
+        df.write.mode(mode).parquet(path)
+        return
 
     def bucketize(col, boundaries):
         arr = F.array(*[F.lit(float(b)) for b in boundaries])
@@ -248,8 +255,25 @@ def _stable_row_digest(df: DataFrame):
     ``plans/queries_profiling.table_content_digest`` (associative +
     commutative → order- and partitioning-independent). Callers must
     project STABLE columns first (no raw doubles: their text
-    rendering is engine-specific)."""
-    row_str = F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns])
+    rendering is engine-specific).
+
+    Rendering is INJECTIVE per row (code-review r05): each field is
+    length-prefixed (``len:value``) and NULL renders as the sentinel
+    ``N`` (no valid encoding starts with a non-digit), because a bare
+    ``concat_ws('|')`` both SKIPS nulls — ('GET', NULL, '200') and
+    ('GET', '200', NULL) would alias — and lets a '|' inside a value
+    alias a field boundary, so two different tables could digest-equal
+    and a real change publish as a no-op."""
+    rendered = []
+    for c in df.columns:
+        s = F.col(c).cast("string")
+        rendered.append(
+            F.coalesce(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s),
+                F.lit("N"),
+            )
+        )
+    row_str = F.concat_ws("|", *rendered)
     rh = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("decimal(20,0)")
     return df.select(rh.alias("rh")).agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -243,7 +243,13 @@ def corrupt_records(lines: DataFrame, value_col: str = "value") -> DataFrame:
     """The lines the parser rejects (P2 malformed-line accounting —
     the reference logs-and-skips them, elb_logs.py:130-132; at scale,
     route this frame to a quarantine sink and alert on its volume
-    instead of grepping logs)."""
+    instead of grepping logs).
+
+    Accounting invariant: ``parsed_count + corrupt_count == line
+    count``, with NO silent third bucket — blank/whitespace-only lines
+    (a truncated object, whitespace corruption) land HERE too
+    (code-review r05: they used to be excluded, so a corruption flood
+    of empty lines was invisible to the quarantine alert)."""
     rec = F.from_csv(
         F.col(value_col), RAW_DDL, {"sep": " ", "quote": '"', "mode": "PERMISSIVE"}
     )
@@ -252,7 +258,7 @@ def corrupt_records(lines: DataFrame, value_col: str = "value") -> DataFrame:
     out_cols = [F.col(value_col).alias("raw_line")]
     if "log_source_file" in lines.columns:
         out_cols.append(F.col("log_source_file"))
-    return lines.filter(F.trim(F.col(value_col)) != "").filter(bad).select(*out_cols)
+    return lines.filter(bad | (F.trim(F.col(value_col)) == "")).select(*out_cols)
 
 
 def categorize_status(code: Column) -> Column:

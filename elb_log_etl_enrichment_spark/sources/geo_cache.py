@@ -48,15 +48,26 @@ def update_geo_cache(
     spark: SparkSession, new_entries: DataFrame, cache_path: str
 ) -> DataFrame:
     """Merge new lookups into the cache with last-write-wins dedup and
-    overwrite the parquet (reference update_geolocation_cache,
+    replace the parquet (reference update_geolocation_cache,
     elb_logs.py:212-228, S8/J4).
 
-    The union+dedup plan is materialized before the overwrite (the
-    sink would otherwise truncate its own input).
-    """
+    The merged frame is staged to a sibling directory and swapped in,
+    because the sink would otherwise truncate its own input — and
+    staging keeps the merge DISTRIBUTED: the previous driver-collect
+    materialization pulled one row per distinct IP onto the driver,
+    which at web scale (millions of IPs) is a driver OOM on every
+    upsert (code-review r05 finding). A crash between the remove and
+    the rename degrades to a cold cache (refetch), never a corrupt
+    one; on object stores the same staging pattern lands with a
+    manifest swap (see ``sinks.writers.write_audit_publish``)."""
+    import os
+    import shutil
+
     old = load_geo_cache(spark, cache_path)
     merged = upsert_keep_latest(old, new_entries, ["client_ip"], "api_fetch_timestamp")
-    rows = merged.collect()  # cache is tiny: one row per distinct IP
-    out = spark.createDataFrame(rows, GEO_SCHEMA)
-    out.write.mode("overwrite").parquet(cache_path)
+    staging = cache_path.rstrip("/") + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    if os.path.exists(cache_path):
+        shutil.rmtree(cache_path)
+    os.rename(staging, cache_path)
     return spark.read.schema(GEO_SCHEMA).parquet(cache_path)

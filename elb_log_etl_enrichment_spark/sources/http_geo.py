@@ -82,23 +82,36 @@ def http_fetch(ip: str) -> dict:  # pragma: no cover - network edge
 def fetch_geolocations(
     new_ips: DataFrame,
     fetch_fn: Callable[[str], dict] = fake_fetch,
-    rate_limit_s: float = 0.0,
+    rate_limit_s: float | None = None,
     parallelism: int = 1,
 ) -> DataFrame:
     """Distributed, throttled lookup of geolocation rows for a frame of
     distinct ``client_ip`` keys. Returns rows in ``GEO_SCHEMA`` with
-    ``api_fetch_timestamp`` stamped at fetch time.
+    ``api_fetch_timestamp`` stamped at fetch time (naive UTC — the
+    session timezone is pinned to UTC, so a machine-local stamp would
+    shift the cache's last-write-wins ordering across hosts/DST).
+
+    ``rate_limit_s`` defaults to the REFERENCE's 0.6 s inter-call
+    sleep (elb_logs.py:419) whenever the real ip-api transport is in
+    use — callers that forget to throttle must not hammer the free
+    tier into 429s, whose Error sentinel rows the cache would then
+    persist and never refetch (code-review r05 finding). Injected
+    offline transports default to unthrottled.
 
     ``parallelism`` bounds concurrent API clients (free-tier etiquette:
     keep ``parallelism / rate_limit_s`` under the provider cap).
     """
+    if rate_limit_s is None:
+        rate_limit_s = 0.6 if fetch_fn is http_fetch else 0.0
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for ip in pdf["client_ip"]:
                 row = dict(fetch_fn(ip))
-                row["api_fetch_timestamp"] = pd.Timestamp.now()
+                row["api_fetch_timestamp"] = pd.Timestamp.now(
+                    tz="UTC"
+                ).tz_localize(None)
                 rows.append(row)
                 if rate_limit_s:
                     time.sleep(rate_limit_s)

@@ -26,14 +26,24 @@ from pyspark.sql import functions as F
 
 from .tables import load_table
 
-#: fact table → key columns shifted per copy (PK and the FKs that
-#: must move with it to keep joins referentially intact)
-SHIFTED: dict[str, list[str]] = {
-    "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "customer": ["c_custkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
+#: key DOMAIN → every (table, column) that draws from it. Strides are
+#: computed PER DOMAIN (max across all member columns + 1), never per
+#: table: a per-table stride desynchronizes join keys across copies —
+#: e.g. events.user_id joins customer.c_custkey in the enrichment
+#: queries, and with separate strides copy-1 user 3 would point at an
+#: ORIGINAL customer (or, past the key range, at nothing), silently
+#: breaking the docstring's referential-integrity claim
+#: (code-review r05 finding; the old orphan test only passed because
+#: max(o_custkey) happened to equal max(c_custkey) in this data).
+KEY_DOMAINS: dict[str, list[tuple[str, str]]] = {
+    "orderkey": [("lineitem", "l_orderkey"), ("orders", "o_orderkey")],
+    "custkey": [
+        ("orders", "o_custkey"),
+        ("customer", "c_custkey"),
+        ("events", "user_id"),
+    ],
+    "eventkey": [("events", "event_id")],
+    "dockey": [("documents", "doc_id")],
 }
 
 #: copied verbatim (dimensions + the embedding corpus)
@@ -49,14 +59,26 @@ def write_scaled_corpus(
         load_table(spark, src_dir, t).write.mode("overwrite").parquet(
             f"{dest_dir}/{t}.parquet"
         )
-    for t, keys in SHIFTED.items():
-        df = load_table(spark, src_dir, t)
-        mx = {k: (df.agg(F.max(k)).first()[0] or 0) + 1 for k in keys}
+    tables = sorted({t for cols in KEY_DOMAINS.values() for t, _ in cols})
+    dfs = {t: load_table(spark, src_dir, t) for t in tables}
+    stride = {
+        dom: max(
+            (dfs[t].agg(F.max(c)).first()[0] or 0) for t, c in cols
+        )
+        + 1
+        for dom, cols in KEY_DOMAINS.items()
+    }
+    shifted_cols = {
+        t: [(c, stride[dom]) for dom, cols in KEY_DOMAINS.items() for tt, c in cols if tt == t]
+        for t in tables
+    }
+    for t in tables:
+        df = dfs[t]
         parts = []
         for i in range(n):
             p = df
-            for k in keys:
-                p = p.withColumn(k, F.col(k) + F.lit(i * mx[k]))
+            for c, s in shifted_cols[t]:
+                p = p.withColumn(c, F.col(c) + F.lit(i * s))
             parts.append(p)
         out = parts[0]
         for p in parts[1:]:

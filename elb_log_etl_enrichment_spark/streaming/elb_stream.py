@@ -7,8 +7,9 @@ re-read amplification (SURVEY.md §2.8).
 
 The per-batch work runs in ``foreachBatch`` so the full batch engine
 (geo-cache anti-join/upsert, broadcast enrichment, window features,
-partitioned sinks in append mode) applies unchanged to each
-micro-batch.
+partitioned sinks) applies unchanged to each micro-batch; each batch
+lands by idempotent overwrite into its own ``ingest_batch=<id>``
+directory so a foreachBatch replay never duplicates sink rows.
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..plans.pipeline import enrich_and_featurize
 from ..session import ensure_engine_confs
-from ..sinks.writers import CLEANED_PARTITIONS
+from ..sinks.writers import write_cleaned_logs
 from ..sources.elb_logs import parse_elb_lines
 from ..sources.http_geo import fake_fetch
 
@@ -35,9 +36,21 @@ def stream_elb_pipeline(
     checkpoint_dir: str | None = None,
 ) -> None:
     """Drain all unprocessed log files through the full pipeline
-    (Trigger.AvailableNow) and append to the partitioned cleaned-logs
+    (Trigger.AvailableNow) and land each micro-batch in its own
+    ``ingest_batch=<id>`` directory under the partitioned cleaned-logs
     sink. Re-running after new files land processes ONLY the new
     files; re-running with nothing new writes nothing.
+
+    Replay safety (code-review r05): a blind ``append`` would
+    duplicate rows when foreachBatch replays after a mid-commit crash
+    (sink written, checkpoint not). Writing each batch by OVERWRITE
+    into its deterministic ``ingest_batch=<batch_id>`` directory makes
+    the replay idempotent — the second attempt clobbers the first's
+    partial output instead of appending next to it. Readers see
+    ``ingest_batch`` as one more discovered partition column above the
+    reference layout; partition pruning on the original keys still
+    applies. The geo-cache side effect is idempotent by construction
+    (keep-latest merge of identical rows).
     """
     ensure_engine_confs(spark)
     geo_cache_path = geo_cache_path or os.path.join(
@@ -51,15 +64,25 @@ def stream_elb_pipeline(
     )
     parsed = parse_elb_lines(lines)
 
-    def process(batch: DataFrame, _batch_id: int) -> None:
-        if not batch.take(1):
-            return
-        enriched = enrich_and_featurize(spark, batch, geo_cache_path, fetch_fn)
-        (
-            enriched.write.mode("append")
-            .partitionBy(*CLEANED_PARTITIONS)
-            .parquet(os.path.join(output_dir, "cleaned_logs"))
-        )
+    def process(batch: DataFrame, batch_id: int) -> None:
+        # one pass feeds take(1), the geo-cache fetch AND the sink —
+        # unpersisted, each of those re-parsed the batch's files
+        batch = batch.persist()
+        try:
+            if not batch.take(1):
+                return
+            enriched = enrich_and_featurize(
+                spark, batch, geo_cache_path, fetch_fn
+            )
+            write_cleaned_logs(
+                enriched,
+                os.path.join(
+                    output_dir, "cleaned_logs", f"ingest_batch={batch_id}"
+                ),
+                mode="overwrite",
+            )
+        finally:
+            batch.unpersist()
 
     query = (
         parsed.writeStream.foreachBatch(process)

@@ -113,9 +113,11 @@ def test_corrupt_records_accounting(spark):
     df = spark.createDataFrame([Row(value=ln) for ln in lines])
     good = parse_elb_lines(df).count()
     bad = corrupt_records(df).count()
-    nonempty = sum(1 for ln in lines if ln.strip())
-    assert good + bad == nonempty  # every non-blank line lands somewhere
-    assert bad == 2  # 'not a log line' + truncated header line
+    # EVERY line lands somewhere — blank lines are corrupt too
+    # (code-review r05: a flood of empties must trip the quarantine
+    # alert, not vanish into a silent third bucket)
+    assert good + bad == len(lines)
+    assert bad == 3  # blank + 'not a log line' + truncated header line
 
 
 def test_filter_categorize_drops_health_checks_and_flags_waf(spark):

@@ -345,3 +345,26 @@ def test_ignore_corrupt_files_reads_valid_subset(spark, tmp_path):
 
     with _pytest.raises(Exception):
         spark.read.option("ignoreCorruptFiles", "false").parquet(d).count()
+
+
+def test_zorder_writes_empty_and_all_null_frames(spark, tmp_path):
+    """Code-review r05: percentile_approx over zero non-NULL values
+    returns NULL cuts; the writer must degrade to a plain write (like
+    write_sorted_parquet) instead of crashing on `for b in None`."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.sinks.writers import write_zorder_parquet
+
+    empty = spark.range(0).select(
+        F.col("id").alias("a"), F.col("id").alias("b")
+    )
+    out1 = str(tmp_path / "z_empty")
+    write_zorder_parquet(empty, out1, "a", "b")
+    assert spark.read.parquet(out1).count() == 0
+
+    all_null = spark.range(5).select(
+        F.lit(None).cast("double").alias("a"), F.col("id").alias("b")
+    )
+    out2 = str(tmp_path / "z_null")
+    write_zorder_parquet(all_null, out2, "a", "b")
+    assert spark.read.parquet(out2).count() == 5

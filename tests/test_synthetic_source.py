@@ -131,16 +131,43 @@ def test_scaled_corpus_preserves_integrity(spark, tmp_path):
         c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti"
     ).count()
     assert orphans == 0
-    # per-user event volume preserved under each shifted key
-    src_max = load_table(spark, src, "events").agg(F.max("user_id")).first()[0]
-    per_user_src = (
-        load_table(spark, src, "events").groupBy("user_id").count()
+    # per-user event volume preserved under each shifted key; the
+    # user/custkey DOMAIN stride (shared across events.user_id,
+    # c_custkey, o_custkey — code-review r05) is what folds copies back
+    src_e = load_table(spark, src, "events")
+    src_c = load_table(spark, src, "customer")
+    src_o = load_table(spark, src, "orders")
+    stride = (
+        max(
+            src_e.agg(F.max("user_id")).first()[0],
+            src_c.agg(F.max("c_custkey")).first()[0],
+            src_o.agg(F.max("o_custkey")).first()[0],
+        )
+        + 1
     )
+    per_user_src = src_e.groupBy("user_id").count()
     per_user_dst = (
         load_table(spark, dst, "events")
-        .withColumn("user_id", F.col("user_id") % (src_max + 1))
+        .withColumn("user_id", F.col("user_id") % stride)
         .groupBy("user_id")
         .count()
         .withColumn("count", (F.col("count") / 3).cast("long"))
     )
     assert per_user_src.exceptAll(per_user_dst).count() == 0
+    # cross-domain join parity: events.user_id joins customer.c_custkey
+    # in the enrichment queries; with per-TABLE strides copy-k users
+    # pointed at original customers (or nothing) — matched volume must
+    # scale exactly Nx
+    def matched(d):
+        return (
+            load_table(spark, d, "events")
+            .join(
+                load_table(spark, d, "customer").select(
+                    F.col("c_custkey").alias("user_id")
+                ),
+                "user_id",
+            )
+            .count()
+        )
+
+    assert matched(dst) == 3 * matched(src)
