@@ -49,9 +49,15 @@ def bpe_token_count(text: Column) -> Column:
 
 
 def char_class_ratio(text: Column, keep_class: str) -> Column:
-    """Fraction of characters matching a regex class, e.g. '[A-Za-z]'."""
+    """Fraction of characters matching a regex class, e.g. '[A-Za-z]'.
+
+    Total on empty strings: 0.0 (code-review r05 — a bare division
+    raises DIVIDE_BY_ZERO under Spark 4's ANSI default and silently
+    NULLs the composite quality score otherwise; registry call sites
+    filter empties, but the library function must not rely on it)."""
     kept = F.length(F.regexp_replace(text, f"[^{keep_class[1:-1]}]", ""))
-    return kept / F.length(text)
+    n = F.length(text)
+    return F.when(n > 0, kept / n).otherwise(F.lit(0.0))
 
 
 def stopword_hits(text: Column, words: list[str]) -> Column:
@@ -98,5 +104,13 @@ def predict_lang(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """Normalized-content fingerprint: md5 of the text lowered and
     stripped to [a-z0-9] — whitespace/punctuation-insensitive identity
-    for near-exact dedup."""
-    return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+    for near-exact dedup.
+
+    NULL when the normalization leaves nothing (code-review r05):
+    every all-punctuation or non-Latin-script document used to
+    collapse to md5('') — a dedup keyed on the fingerprint would have
+    deleted unrelated CJK/Cyrillic documents as "duplicates" of each
+    other. NULL keys drop out of joins/grouping instead of matching
+    each other, the correct semantics for "no normalized content"."""
+    norm = F.regexp_replace(F.lower(text), "[^a-z0-9]", "")
+    return F.when(F.length(norm) > 0, F.md5(norm))

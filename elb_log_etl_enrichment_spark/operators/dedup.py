@@ -43,8 +43,19 @@ def upsert_keep_latest(
 ) -> DataFrame:
     """Union + keep-latest = the reference's cache upsert
     (elb_logs.py:212-228, S8/J4): ``pd.concat`` → sort desc → drop
-    duplicate keys keeping newest."""
-    return keep_latest(old.unionByName(new, allowMissingColumns=True), keys, order_col)
+    duplicate keys keeping newest.
+
+    Ties on ``order_col`` break toward the NEW side (code-review r05:
+    an unbroken tie made the survivor partitioning-dependent, so a
+    replayed batch — or two fetches stamped the same second — could
+    nondeterministically resurrect the stale row). The reference is
+    itself tie-nondeterministic (an unstable ``sort_values`` before
+    ``keep='first'``, elb_logs.py:222-223); new-wins is the
+    deterministic strengthening consistent with upsert intent."""
+    tagged = old.withColumn("__src", F.lit(0)).unionByName(
+        new.withColumn("__src", F.lit(1)), allowMissingColumns=True
+    )
+    return keep_latest(tagged, keys, order_col, tiebreak=["__src"]).drop("__src")
 
 
 def exact_dedup(
@@ -56,21 +67,43 @@ def exact_dedup(
     minimum id per distinct content (deterministic survivor).
 
     Hashes (xxhash64 + md5 guard against 64-bit collisions at the
-    ~10^10-document scale) so the shuffle carries a 48-byte digest
-    instead of the document body. Hash input is ``to_json`` of a named
-    struct: NULLs and column boundaries stay distinguishable —
-    ``("a", NULL)`` and ``(NULL, "a")`` hash differently (raw
-    xxhash64/concat_ws both silently skip NULLs).
-    """
+    ~10^10-document scale) into a fixed-width digest. Hash input is
+    ``to_json`` of a named struct: NULLs and column boundaries stay
+    distinguishable — ``("a", NULL)`` and ``(NULL, "a")`` hash
+    differently (raw xxhash64/concat_ws both silently skip NULLs).
+
+    Survivor selection is a MIN-STRUCT hash aggregation keyed on the
+    digest (id leads the struct, so struct-min ≡ min-id row), which is
+    map-side combinable: each map task pre-collapses its local
+    duplicates before the exchange, so the shuffle carries at most one
+    candidate row per (digest, task). The previous ``row_number``
+    window shipped EVERY duplicate row — body included — through the
+    exchange and then sorted inside each digest partition (code-review
+    r05: the docstring's scale claim didn't match the plan). Frames
+    with non-orderable column types (maps) fall back to that window
+    path, where only the id is compared."""
     packed = F.to_json(F.struct(*[F.col(c).alias(c) for c in content_cols]))
     digest = F.struct(
         F.xxhash64(packed).alias("h64"),
         F.md5(packed).alias("h128"),
     )
-    w = Window.partitionBy("__digest").orderBy(F.col(id_col).asc())
+    from pyspark.sql.types import MapType
+
+    if any(isinstance(f.dataType, MapType) for f in df.schema.fields):
+        w = Window.partitionBy("__digest").orderBy(F.col(id_col).asc())
+        return (
+            df.withColumn("__digest", digest)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__digest")
+        )
+    rest = [c for c in df.columns if c != id_col]
     return (
-        df.withColumn("__digest", digest)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__digest")
+        df.groupBy(digest.alias("__digest"))
+        .agg(
+            F.min(
+                F.struct(F.col(id_col), *[F.col(c) for c in rest])
+            ).alias("__s")
+        )
+        .select(*[F.col(f"__s.{c}").alias(c) for c in df.columns])
     )

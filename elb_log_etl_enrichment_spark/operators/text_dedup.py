@@ -255,7 +255,21 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 def simhash_block_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     """The pigeonhole block join + Hamming verify over an existing
     (doc_id, simhash) frame — shared by the plain and IDF-weighted
-    signature schemes."""
+    signature schemes.
+
+    ``max_hamming`` is hard-bounded at ``SIMHASH_BLOCKS - 1``: the
+    pigeonhole argument (any pair within distance d shares an
+    untouched block when d < #blocks) is what makes the block join
+    EXACT; past it, pairs whose differing bits span every block are
+    silently missing from the candidates — an under-complete result
+    with no error (code-review r05). Callers needing a wider radius
+    must widen the block count, not the threshold."""
+    if max_hamming > SIMHASH_BLOCKS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole-exact "
+            f"bound of {SIMHASH_BLOCKS - 1} for {SIMHASH_BLOCKS} "
+            "blocks; results would be silently under-complete"
+        )
     block_domain = 1 << SIMHASH_BLOCK_BITS
     probe = sig.select(
         "doc_id",
@@ -380,11 +394,30 @@ def winnowing_fp_sets_arrow(docs: DataFrame) -> DataFrame:
                 mins = sliding_window_view(rhs, w).min(axis=1)
                 out_ids.append(doc_id)
                 out_fps.append(np.unique(mins))
-            yield pd.DataFrame({"doc_id": out_ids, "__fps": out_fps})
+            # explicit object dtype: a batch where EVERY doc is below
+            # min_len yields empty lists, and pandas' default float64
+            # empty columns crash Arrow's list<long> conversion — a
+            # partition of only-short docs killed the whole job
+            # (latent bug surfaced by the r05 HOF/arrow parity test)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype=object),
+                    "__fps": pd.Series(out_fps, dtype=object),
+                }
+            )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        compute, "doc_id long, __fps array<long>"
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    # derive the id type from the input instead of hardcoding bigint —
+    # every sibling operator here is id-type agnostic (code-review r05)
+    id_type = docs.schema["doc_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("doc_id", id_type),
+            StructField("__fps", ArrayType(LongType())),
+        ]
     )
+    return docs.select("doc_id", "text").mapInPandas(compute, out_schema)
 
 
 def winnowing_fingerprints(docs: DataFrame) -> DataFrame:

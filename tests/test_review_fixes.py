@@ -198,3 +198,69 @@ def test_exact_median_iterated_narrowing_bounds_window_input(spark):
     # the residual rank stays a valid index into the bucket
     r = resid.first().k
     assert 1 <= r <= n_bucket
+
+
+def test_winnowing_hof_and_arrow_agree_as_sets(spark):
+    """Code-review r05: the HOF formulation had zero callers and no
+    test pinning it to the Arrow one; the two return the same
+    fingerprint SETS (orders differ: encounter vs np.unique sorted)."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.operators.text_dedup import (
+        winnowing_fp_sets,
+        winnowing_fp_sets_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 3),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "abcabcabcabcabcabcabcabcabcabc"),
+            (4, "short"),  # below k+w-1: both formulations drop it
+        ],
+        "doc_id long, text string",
+    )
+    sort = F.array_sort("__fps").alias("fps")
+    hof = {
+        r["doc_id"]: r["fps"]
+        for r in winnowing_fp_sets(docs).select("doc_id", sort).collect()
+    }
+    arrow = {
+        r["doc_id"]: r["fps"]
+        for r in winnowing_fp_sets_arrow(docs).select("doc_id", sort).collect()
+    }
+    assert hof == arrow
+    assert set(arrow) == {1, 2, 3}
+
+
+def test_winnowing_arrow_schema_follows_doc_id_type(spark):
+    """Code-review r05: the Arrow fingerprinter hardcoded bigint ids;
+    string doc_ids (fine in every sibling operator) must work too."""
+    from elb_log_etl_enrichment_spark.operators.text_dedup import (
+        winnowing_fp_sets_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "the quick brown fox jumps over the lazy dog")],
+        "doc_id string, text string",
+    )
+    out = winnowing_fp_sets_arrow(docs)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    assert out.count() == 1
+
+
+def test_simhash_block_pairs_rejects_unexact_hamming(spark):
+    """Code-review r05: max_hamming past the pigeonhole bound would
+    silently drop pairs whose bits span all blocks — must raise."""
+    import pytest
+
+    from elb_log_etl_enrichment_spark.operators.text_dedup import (
+        SIMHASH_BLOCKS,
+        simhash_near_dup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup(docs, max_hamming=SIMHASH_BLOCKS)
