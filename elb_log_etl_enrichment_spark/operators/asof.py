@@ -30,16 +30,39 @@ def _asof_join(
     """Shared core: union both sides, then fill each left row's payload
     from the nearest qualifying right row via a keyed running window.
     Direction only changes the ordering, the frame, and first-vs-last.
-    """
+
+    NULL semantics match SQL/DuckDB ASOF (code-review r05): a NULL
+    join key or NULL time NEVER matches — NULL-key/NULL-time right
+    rows are excluded, and NULL-key/NULL-time left rows pass through
+    with NULL payload (the window's NULL partition would otherwise
+    pair them). Payload names must not collide with left columns
+    (the old code silently overwrote the left column with NULL and
+    emitted a duplicate name), and the tiebreak rides an internal
+    column so it works without being listed in ``payload_cols``."""
     lcols = list(left.columns)
-    r = right.select(
+    overlap = sorted(set(payload_cols) & set(lcols))
+    if overlap:
+        raise ValueError(
+            f"payload_cols {overlap} already exist in the left frame; "
+            "alias them on the right side first"
+        )
+    if right_tiebreak is not None and right_tiebreak not in right.columns:
+        raise ValueError(
+            f"right_tiebreak {right_tiebreak!r} is not a right-frame column"
+        )
+    r = right.filter(
+        F.col(right_on).isNotNull() & F.col(right_time).isNotNull()
+    ).select(
         F.col(right_on).alias(left_on),
         F.col(right_time).alias("__t"),
+        *([F.col(right_tiebreak).alias("__tb")] if right_tiebreak else []),
         *[F.col(c) for c in payload_cols],
     )
     l2 = left.withColumn("__t", F.col(left_time)).withColumn("__is_left", F.lit(1))
     for c in payload_cols:
         l2 = l2.withColumn(c, F.lit(None).cast(r.schema[c].dataType))
+    if right_tiebreak:
+        l2 = l2.withColumn("__tb", F.lit(None).cast(r.schema["__tb"].dataType))
     r2 = r.withColumn("__is_left", F.lit(0))
     for c in lcols:
         if c not in r2.columns:
@@ -53,9 +76,7 @@ def _asof_join(
         order = [F.col("__t").asc(), F.col("__is_left").desc()]
         frame = (Window.currentRow, Window.unboundedFollowing)
         fill = F.first
-        tiebreak_order = (
-            F.col(right_tiebreak).asc_nulls_last() if right_tiebreak else None
-        )
+        tiebreak_order = F.col("__tb").asc_nulls_last() if right_tiebreak else None
     else:
         # right rows sort before left rows at equal time → inclusive <=;
         # among equal-time right rows the last (max tiebreak, nulls
@@ -63,9 +84,7 @@ def _asof_join(
         order = [F.col("__t").asc(), F.col("__is_left").asc()]
         frame = (Window.unboundedPreceding, Window.currentRow)
         fill = F.last
-        tiebreak_order = (
-            F.col(right_tiebreak).asc_nulls_first() if right_tiebreak else None
-        )
+        tiebreak_order = F.col("__tb").asc_nulls_first() if right_tiebreak else None
     if tiebreak_order is not None:
         order.append(tiebreak_order)
     w = Window.partitionBy(left_on).orderBy(*order).rowsBetween(*frame)
@@ -75,10 +94,16 @@ def _asof_join(
     payload_struct = F.when(
         F.col("__is_left") == 0, F.struct(*[F.col(c) for c in payload_cols])
     )
+    # NULL key / NULL time on the LEFT: no right row can qualify (SQL
+    # comparison with NULL is never true) — force the NULL payload the
+    # window's NULL-first ordering would otherwise leak around
+    no_match = F.col(left_on).isNull() | F.col("__t").isNull()
     filled = u.select(
         *lcols,
         F.col("__is_left"),
-        fill(payload_struct, ignorenulls=True).over(w).alias("__p"),
+        F.when(
+            ~no_match, fill(payload_struct, ignorenulls=True).over(w)
+        ).alias("__p"),
     )
     return filled.filter(F.col("__is_left") == 1).select(
         *lcols, *[F.col("__p").getField(c).alias(c) for c in payload_cols]

@@ -76,8 +76,19 @@ def sessionize(
     # would flip the break decision for gaps within 1s of the
     # threshold vs the reference's float total_seconds() comparison
     # (and vs the epoch_ms oracle SQL).
-    ms = F.unix_millis(F.col(ts)) if dict(df.dtypes)[ts].startswith("timestamp") \
-        else F.col(ts) * 1000
+    ts_type = dict(df.dtypes)[ts]
+    if ts_type.startswith("timestamp"):
+        ms = F.unix_millis(F.col(ts))
+    elif ts_type in ("bigint", "int", "long", "double", "float", "smallint") or ts_type.startswith("decimal"):
+        ms = F.col(ts) * 1000  # epoch SECONDS as a numeric column
+    else:
+        # an unparsed string/date time column would silently cast to
+        # NULL under non-ANSI -> diff 0 -> ONE session per key
+        # (code-review r05); fail loudly instead
+        raise TypeError(
+            f"sessionize: time column {ts!r} has type {ts_type}; expected "
+            "a timestamp or numeric epoch-seconds column — parse it first"
+        )
     diff_ms = F.coalesce(ms - F.lag(ms, 1).over(w), F.lit(0))
     return (
         df.withColumn("time_diff_s", (diff_ms / 1000.0).alias("time_diff_s"))

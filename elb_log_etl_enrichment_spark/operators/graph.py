@@ -66,11 +66,13 @@ def connected_components(
         und = F.broadcast(und)
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
 
-    # Convergence check: labels only ever decrease under min-propagation,
-    # so sum(label) is strictly monotone until the fixed point — one
-    # cheap map-side-combined aggregate per round instead of a
-    # join-and-count of changed rows.
-    prev_sum = None
+    # Convergence check: an exact changed-row probe against the
+    # previous round's (checkpointed, node-sized) labels. The earlier
+    # sum(label) shortcut was numeric-only — string node ids crash the
+    # cast under ANSI and sum to NULL otherwise, making NULL == NULL
+    # exit after ONE round with wrong labels (code-review r05,
+    # reproduced). limit(1) stops the probe at the first change.
+    prev = labels
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels, und["dst"] == labels["id"])
@@ -104,10 +106,20 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
+        changed = (
+            labels.join(
+                prev.select(
+                    F.col("id").alias("__pid"), F.col("label").alias("__plabel")
+                ),
+                labels["id"] == F.col("__pid"),
+            )
+            .filter(F.col("label") != F.col("__plabel"))
+            .limit(1)
+            .count()
+        )
+        if changed == 0:
             break
-        prev_sum = cur_sum
+        prev = labels
     return labels
 
 
@@ -200,22 +212,38 @@ def _pagerank_local(spark, norm: DataFrame, damping: float, iters: int) -> DataF
     """Driver-side power iteration over a dimension-sized normalized
     edge frame (_src, _dst, _p). Same float semantics as the
     distributed path: contributions sum in float64, teleport is
-    (1-damping)/n evaluated as a double division."""
+    (1-damping)/n evaluated as a double division.
+
+    SPARSE accumulation, O(edges) memory (code-review r05: the old
+    dense n×n matrix was quadratic in NODES while the routing gate
+    bounds EDGES — 100k edges over 200k near-unique endpoints would
+    have allocated 320 GB). Output name type mirrors the input (the
+    old hardcoded ``name string`` coerced long ids, so crossing the
+    small-graph threshold between runs changed the output schema)."""
     import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     pdf = norm.toPandas()
     names = sorted(set(pdf["_src"]) | set(pdf["_dst"]))
     idx = {nm: i for i, nm in enumerate(names)}
     n = len(names)
-    mat = np.zeros((n, n))
-    for s_, d_, p_ in pdf.itertuples(index=False):
-        mat[idx[d_], idx[s_]] += p_
+    src_idx = np.array([idx[s] for s in pdf["_src"]], dtype=np.int64)
+    dst_idx = np.array([idx[d] for d in pdf["_dst"]], dtype=np.int64)
+    p = pdf["_p"].to_numpy(dtype=np.float64)
     rank = np.full(n, 1.0 / n)
     teleport = (1.0 - damping) / n
     for _ in range(iters):
-        rank = teleport + damping * (mat @ rank)
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst_idx, p * rank[src_idx])
+        rank = teleport + damping * contrib
+    schema = StructType(
+        [
+            StructField("name", norm.schema["_src"].dataType),
+            StructField("rank", DoubleType()),
+        ]
+    )
     return spark.createDataFrame(
-        [(nm, float(rank[idx[nm]])) for nm in names], "name string, rank double"
+        [(nm, float(rank[idx[nm]])) for nm in names], schema
     )
 
 
@@ -292,8 +320,17 @@ def label_propagation(
 
 def _label_propagation_local(spark, und: DataFrame, iters: int) -> DataFrame:
     """Driver path: exact synchronous LPA by dict counting over the
-    collected (already dimension-sized, checkpointed) edge list."""
+    collected (already dimension-sized, checkpointed) edge list.
+
+    Type-agnostic like the distributed path (code-review r05: the old
+    ``-kv[0]`` tie-break and hardcoded ``node long`` schema crashed on
+    string node ids BELOW the size gate while the same edge list
+    succeeded above it): ties break to the smallest label via ``min``
+    over the max-count labels, and the return schema mirrors the
+    input id type."""
     from collections import defaultdict
+
+    from pyspark.sql.types import StructField, StructType
 
     adj: dict = defaultdict(list)
     for r in und.collect():
@@ -305,9 +342,11 @@ def _label_propagation_local(spark, und: DataFrame, iters: int) -> DataFrame:
             votes: dict = defaultdict(int)
             for m in nbrs:
                 votes[labels[m]] += 1
-            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
-            nxt[n] = best[0]
+            maxc = max(votes.values())
+            nxt[n] = min(lbl for lbl, c in votes.items() if c == maxc)
         labels = nxt
-    return spark.createDataFrame(
-        sorted(labels.items()), "node long, label long"
+    node_t = und.schema["s"].dataType
+    schema = StructType(
+        [StructField("node", node_t), StructField("label", node_t)]
     )
+    return spark.createDataFrame(sorted(labels.items()), schema)

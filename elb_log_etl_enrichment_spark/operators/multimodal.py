@@ -99,12 +99,26 @@ def sniff_header(payload: bytes) -> tuple[str, int, int] | None:
         while i + 9 <= len(payload):
             if payload[i] != 0xFF:
                 break
+            # JPEG allows any number of 0xFF FILL bytes before the
+            # marker byte (code-review r05: treating a fill byte as
+            # the marker desynced the walk — the real marker byte was
+            # read as the length's high byte, skipping garbage)
+            while i + 9 <= len(payload) and payload[i + 1] == 0xFF:
+                i += 1
             marker = payload[i + 1]
-            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
             if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
                 h = int.from_bytes(payload[i + 5 : i + 7], "big")
                 w = int.from_bytes(payload[i + 7 : i + 9], "big")
                 return ("jpeg", w, h)
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                # standalone markers (TEM, RSTn) carry NO length field
+                i += 2
+                continue
+            if marker == 0xD9:  # EOI: no SOF found
+                break
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seg_len < 2:  # malformed length would loop forever
+                break
             i += 2 + seg_len
     return None
 
@@ -516,6 +530,14 @@ def synthetic_wav_frame_features(
     from .wav_codec import decode_wav, encode_wav
 
     n_frames = n_samples // frame_len
+    if n_frames < 1:
+        # a frame longer than the waveform yields zero frames and
+        # max()/index() over an empty list would kill the whole job
+        # inside mapInPandas (code-review r05) — fail at plan time
+        raise ValueError(
+            f"frame_len={frame_len} exceeds n_samples={n_samples}: "
+            "no full frame exists"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -591,6 +613,13 @@ def synthetic_y4m_motion_stats(
     touches Y4M."""
     from .y4m_codec import decode_y4m, encode_y4m
 
+    if n_frames < 2:
+        # motion is defined over consecutive PAIRS; one frame has no
+        # transition and max() over the empty SAD list would kill the
+        # job inside mapInPandas (code-review r05) — fail at plan time
+        raise ValueError(
+            f"n_frames={n_frames}: motion stats need at least 2 frames"
+        )
     plane = side * side
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

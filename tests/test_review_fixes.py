@@ -264,3 +264,159 @@ def test_simhash_block_pairs_rejects_unexact_hamming(spark):
     )
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_dup(docs, max_hamming=SIMHASH_BLOCKS)
+
+
+def test_asof_null_keys_and_times_never_match(spark):
+    """Code-review r05 (reproduced): NULL left keys used to pair with
+    NULL right keys through the window's NULL partition, violating
+    SQL/DuckDB ASOF semantics where NULL never matches."""
+    from elb_log_etl_enrichment_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [(None, 5), (1, 5), (1, None)], "k int, t int"
+    )
+    right = spark.createDataFrame(
+        [(None, 3, 99), (1, 3, 7), (1, None, 55)], "k int, rt int, pay int"
+    )
+    back = {
+        (r["k"], r["t"]): r["pay"]
+        for r in asof_join_backward(
+            left, right, "k", "k", "t", "rt", ["pay"]
+        ).collect()
+    }
+    assert back[(None, 5)] is None  # NULL key: no match
+    assert back[(1, 5)] == 7  # real match unaffected
+    assert back[(1, None)] is None  # NULL time: no match
+    fwd = {
+        (r["k"], r["t"]): r["pay"]
+        for r in asof_join_forward(
+            left, right, "k", "k", "t", "rt", ["pay"]
+        ).collect()
+    }
+    assert fwd[(None, 5)] is None
+    assert fwd[(1, None)] is None
+
+
+def test_asof_rejects_payload_collision_and_bad_tiebreak(spark):
+    """Code-review r05 (reproduced): a payload column sharing a left
+    column name silently NULLed the left column and emitted a
+    duplicate; a right_tiebreak not carried through the union raised
+    UNRESOLVED_COLUMN (or silently no-opped). Both now fail loudly /
+    work without being listed in payload_cols."""
+    import pytest
+
+    from elb_log_etl_enrichment_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([(1, 5, 111)], "k int, t int, pay int")
+    right = spark.createDataFrame([(1, 3, 7, 2)], "k int, rt int, pay int, tb int")
+    with pytest.raises(ValueError, match="already exist in the left frame"):
+        asof_join_backward(left, right, "k", "k", "t", "rt", ["pay"])
+    with pytest.raises(ValueError, match="not a right-frame column"):
+        asof_join_backward(
+            left.drop("pay"), right, "k", "k", "t", "rt", ["pay"],
+            right_tiebreak="nope",
+        )
+    # tiebreak WITHOUT being a payload col: greatest tb wins on ties
+    right2 = spark.createDataFrame(
+        [(1, 3, 7, 2), (1, 3, 8, 9)], "k int, rt int, pay int, tb int"
+    )
+    out = asof_join_backward(
+        left.drop("pay"), right2, "k", "k", "t", "rt", ["pay"],
+        right_tiebreak="tb",
+    ).collect()
+    assert out[0]["pay"] == 8
+
+
+def test_graph_operators_accept_string_node_ids(spark):
+    """Code-review r05 (reproduced): string node ids crashed the CC
+    convergence cast under ANSI / silently exited after one round
+    otherwise, crashed local LPA's -label tie-break, and pagerank's
+    local path coerced the id type."""
+    from elb_log_etl_enrichment_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+        pagerank,
+    )
+
+    # a 4-chain needs >1 min-propagation round: a1-a2-a3-a4
+    edges = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"), ("a3", "a4"), ("z1", "z2")],
+        "u string, v string",
+    )
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    labels = {
+        r["id"]: r["label"]
+        for r in connected_components(
+            nodes, edges, src_col="u", dst_col="v"
+        ).collect()
+    }
+    assert labels["a4"] == "a1" and labels["a1"] == "a1"
+    assert labels["z2"] == "z1"
+    lpa = label_propagation(edges, src_col="u", dst_col="v", iters=3)
+    assert dict(lpa.dtypes) == {"node": "string", "label": "string"}
+    pr = pagerank(
+        edges.withColumn("w", F.lit(1.0)), src="u", dst="v", weight="w"
+    )
+    assert dict(pr.dtypes)["name"] == "string"
+    # long ids keep their type through the LOCAL path too
+    e2 = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, w double")
+    assert dict(pagerank(e2).dtypes)["name"] == "bigint"
+
+
+def test_sessionize_rejects_string_time_column(spark):
+    """Code-review r05: a string time column silently collapsed every
+    key into one session under non-ANSI (NULL diffs coalesced to 0)."""
+    import pytest
+
+    from elb_log_etl_enrichment_spark.operators.features import sessionize
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01T12:00:00Z")], "client_ip string, time string"
+    )
+    with pytest.raises(TypeError, match="parse it first"):
+        sessionize(df)
+
+
+def test_multimodal_degenerate_params_fail_at_plan_time(spark):
+    """Code-review r05: n_frames=1 motion / frame_len > n_samples used
+    to raise ValueError from max() INSIDE mapInPandas, failing the
+    whole job at run time with an opaque executor traceback."""
+    import pytest
+    from pyspark.sql import Row
+
+    from elb_log_etl_enrichment_spark.operators.multimodal import (
+        synthetic_wav_frame_features,
+        synthetic_y4m_motion_stats,
+    )
+
+    ids = spark.createDataFrame([Row(media_id=1)])
+    with pytest.raises(ValueError, match="no full frame"):
+        synthetic_wav_frame_features(ids, n_samples=128, frame_len=256)
+    with pytest.raises(ValueError, match="at least 2 frames"):
+        synthetic_y4m_motion_stats(ids, n_frames=1)
+
+
+def test_jpeg_sniff_handles_fill_bytes_and_standalone_markers():
+    """Code-review r05: legal 0xFF fill bytes before a marker desynced
+    the JPEG segment walk (None or garbage dims for valid files)."""
+    from elb_log_etl_enrichment_spark.operators.multimodal import sniff_header
+
+    def seg(marker, body=b""):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    sof = seg(0xC0, b"\x08" + (480).to_bytes(2, "big") + (640).to_bytes(2, "big") + b"\x03")
+    # SOI + APP0 + fill bytes + SOF
+    jpg = b"\xff\xd8" + seg(0xE0, b"JFIF\x00") + b"\xff\xff\xff" + sof
+    assert sniff_header(jpg) == ("jpeg", 640, 480)
+    # standalone TEM marker (no length field) before the SOF
+    jpg2 = b"\xff\xd8" + b"\xff\x01" + sof
+    assert sniff_header(jpg2) == ("jpeg", 640, 480)
+    # EOI before any SOF: clean None, no garbage walk
+    assert sniff_header(b"\xff\xd8\xff\xd9" + sof) is None
