@@ -110,7 +110,9 @@ def fingerprint(text: Column) -> Column:
     every all-punctuation or non-Latin-script document used to
     collapse to md5('') — a dedup keyed on the fingerprint would have
     deleted unrelated CJK/Cyrillic documents as "duplicates" of each
-    other. NULL keys drop out of joins/grouping instead of matching
-    each other, the correct semantics for "no normalized content"."""
+    other. NULL keys drop out of equi-joins and count_distinct (NOT of
+    groupBy, which collects all NULLs into one group — dedup keyed on
+    this fingerprint must use a join/window over non-NULL rows), the
+    correct semantics for "no normalized content"."""
     norm = F.regexp_replace(F.lower(text), "[^a-z0-9]", "")
     return F.when(F.length(norm) > 0, F.md5(norm))

@@ -78,12 +78,18 @@ _DEVICE_RULES = _compile(DEVICE_PARSERS, "device_replacement")
 
 
 def _first_match(
-    rules: list[tuple[re.Pattern, str | None]], ua: str
+    rules: list[tuple[re.Pattern, str | None]], ua: str, trim: bool = False
 ) -> str:
     """uap-core resolution: first rule whose regex searches true wins;
-    family = replacement (with $1..$9 -> capture groups, uap-core's
-    substitution syntax) or bare group(1). uap-core also strips the
-    whitespace a partially-empty substitution leaves behind."""
+    family = replacement (with $1..$99 -> capture groups, uap-core's
+    substitution syntax) or bare group(1).
+
+    ``trim`` mirrors uap-core exactly (code-review r05): only DEVICE
+    replacements are stripped of the whitespace a partially-empty
+    substitution leaves behind; UA/OS families substitute verbatim.
+    ``$NN`` is bounded to the pattern's group count — ``$10`` against a
+    1-group pattern resolves as ``$1`` followed by a literal ``0``,
+    matching uap-core's longest-valid-group reading."""
     for pat, repl in rules:
         m = pat.search(ua)
         if m is None:
@@ -95,13 +101,19 @@ def _first_match(
         if "$" in repl:
 
             def _grp(mm: re.Match) -> str:
-                i = int(mm.group(1))
+                digits = mm.group(1)
+                while len(digits) > 1 and int(digits) > m.re.groups:
+                    digits = digits[:-1]
+                literal_tail = mm.group(1)[len(digits):]
                 try:
-                    return m.group(i) or ""
+                    return (m.group(int(digits)) or "") + literal_tail
                 except IndexError:
-                    return ""
+                    return literal_tail
 
-            return re.sub(r"\$(\d)", _grp, repl).strip() or "Other"
+            out = re.sub(r"\$(\d{1,2})", _grp, repl)
+            if trim:
+                out = out.strip()
+            return out or "Other"
         return repl
     return "Other"
 
@@ -135,7 +147,7 @@ def classify_device(ua: str | None) -> str:
     ua = ua.strip('"')
     if _ua_parse is not None:  # full-fidelity path when the lib exists
         return _ua_parse(ua).device.family or "Other"
-    return _first_match(_DEVICE_RULES, ua)
+    return _first_match(_DEVICE_RULES, ua, trim=True)
 
 
 @F.pandas_udf(UA_STRUCT)

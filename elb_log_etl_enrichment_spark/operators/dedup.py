@@ -76,26 +76,32 @@ def exact_dedup(
     digest (id leads the struct, so struct-min ≡ min-id row), which is
     map-side combinable: each map task pre-collapses its local
     duplicates before the exchange, so the shuffle carries at most one
-    candidate row per (digest, task). The previous ``row_number``
-    window shipped EVERY duplicate row — body included — through the
-    exchange and then sorted inside each digest partition (code-review
-    r05: the docstring's scale claim didn't match the plan). Frames
-    with non-orderable column types (maps) fall back to that window
-    path, where only the id is compared."""
+    candidate row per (digest, task).
+
+    Frames containing MAP columns (top-level or nested — maps are not
+    orderable, so ``min(struct)`` can't compile) take a ``min_by``
+    twin of the same aggregation: the carried value (the full row) is
+    never compared, only the ordering key ``(id, md5(row_json))`` is —
+    deterministic even when ids collide within a digest. The map-typed
+    buffer compiles to a SortAggregate rather than a HashAggregate,
+    but keeps partial (map-side) combine — at most one candidate row
+    per (digest, task) crosses the exchange; the old
+    ``row_number`` window fallback — which shipped EVERY duplicate
+    body through the exchange — is gone (verdict r05 item 3)."""
     packed = F.to_json(F.struct(*[F.col(c).alias(c) for c in content_cols]))
     digest = F.struct(
         F.xxhash64(packed).alias("h64"),
         F.md5(packed).alias("h128"),
     )
-    from pyspark.sql.types import MapType
-
-    if any(isinstance(f.dataType, MapType) for f in df.schema.fields):
-        w = Window.partitionBy("__digest").orderBy(F.col(id_col).asc())
+    if any(_contains_map(f.dataType) for f in df.schema.fields):
+        row = F.struct(*[F.col(c) for c in df.columns])
+        order = F.struct(
+            F.col(id_col).alias("i"), F.md5(F.to_json(row)).alias("t")
+        )
         return (
-            df.withColumn("__digest", digest)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "__digest")
+            df.groupBy(digest.alias("__digest"))
+            .agg(F.min_by(row, order).alias("__s"))
+            .select(*[F.col(f"__s.{c}").alias(c) for c in df.columns])
         )
     rest = [c for c in df.columns if c != id_col]
     return (
@@ -107,3 +113,18 @@ def exact_dedup(
         )
         .select(*[F.col(f"__s.{c}").alias(c) for c in df.columns])
     )
+
+
+def _contains_map(dt) -> bool:
+    """True when a MapType appears anywhere in the (possibly nested)
+    type — maps nested inside structs/arrays break ``min(struct)``
+    orderability just like top-level ones (code-review r05)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False

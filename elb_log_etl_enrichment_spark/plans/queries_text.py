@@ -179,7 +179,8 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(COUNT(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))
+           CAST(COUNT(DISTINCT md5(NULLIF(
+                    regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), '')))
                 AS BIGINT) AS n_distinct_fp
     FROM documents
     GROUP BY source

@@ -506,6 +506,17 @@ def ingest_dedup_stream(
     ).start().awaitTermination()
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-aware existence probe via the JVM Hadoop FileSystem —
+    works for ``file://``, ``s3a://``, ``hdfs://`` and anything else
+    the cluster's Hadoop conf can resolve. An unresolvable scheme or
+    unreachable store raises (loud), it never reads as "missing"."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def _index_history(
     spark: SparkSession, index_path: str, batch_id: int, empty: DataFrame
 ) -> DataFrame:
@@ -517,8 +528,14 @@ def _index_history(
     an ingest index at all) must fail LOUDLY, because silently treating
     it as empty history would reclassify every historical duplicate as
     newly ingested and re-append its keys (code-review r05 finding:
-    the old blanket ``except Exception`` did exactly that)."""
-    if not os.path.exists(index_path):
+    the old blanket ``except Exception`` did exactly that).
+
+    Existence is probed through the Hadoop FileSystem API, not
+    ``os.path.exists`` (code-review r05): a local-only probe returns
+    False for EVERY ``s3a://``/``hdfs://`` index, silently replaying
+    the exact failure mode above on remote stores. ``getFileSystem``
+    raises loudly for an unresolvable scheme, which is what we want."""
+    if not _hadoop_path_exists(spark, index_path):
         return empty
     idx = spark.read.parquet(index_path)
     if "batch_id" not in idx.columns:

@@ -541,7 +541,8 @@ def test_uap_core_loader_parses_published_yaml_shape(tmp_path):
     assert _first_match(os_rules, "Mozilla (Windows NT 6.1; x64)") == "Windows"
     # multi-group $1 $2 substitution
     assert (
-        _first_match(devices, "SmartWatch ( Sony; SWR50 ; x)") == "Sony SWR50"
+        _first_match(devices, "SmartWatch ( Sony; SWR50 ; x)", trim=True)
+        == "Sony SWR50"
     )
     # regex_flag: 'i' -> case-insensitive match
     assert _first_match(devices, "TV HBBTV/1.1.1") == "HbbTV"

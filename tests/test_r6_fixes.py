@@ -1,0 +1,132 @@
+"""Regression tests for the round-6 fixes (VERDICT r05 next-round
+items + ADVICE r05 findings) — each pins the exact failure scenario."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from elb_log_etl_enrichment_spark.operators.dedup import exact_dedup
+
+
+def test_exact_dedup_map_column_uses_aggregation_not_window(spark):
+    """VERDICT r05 item 3 / ADVICE low: map-typed frames used to fall
+    back to a row_number window that shipped duplicate bodies through
+    the exchange. They must now dedup via the min_by hash aggregation:
+    no Window in the plan, deterministic min-id survivor."""
+    df = spark.createDataFrame(
+        [
+            Row(id=2, text="dup", props={"a": "1"}),
+            Row(id=1, text="dup", props={"a": "2"}),
+            Row(id=3, text="uniq", props={"b": "9"}),
+        ],
+        schema="id long, text string, props map<string,string>",
+    )
+    out = exact_dedup(df, ["text"], "id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # partial_min_by BEFORE the exchange = map-side combine: at most
+    # one candidate row per (digest, task) crosses the shuffle
+    assert "partial_min_by" in plan
+    rows = {r.id: r for r in out.collect()}
+    assert set(rows) == {1, 3}  # min-id survivor per content
+    assert rows[1].props == {"a": "2"}  # full row carried, not torn
+
+
+def test_exact_dedup_nested_map_in_struct(spark):
+    """ADVICE low: a map nested inside a struct used to slip past the
+    top-level-only MapType guard and crash min(struct) at plan time.
+    The recursive detector must route it to the min_by path."""
+    df = spark.createDataFrame(
+        [
+            Row(id=5, text="x", meta=Row(tags={"k": "v"})),
+            Row(id=4, text="x", meta=Row(tags={"k": "w"})),
+        ],
+        schema="id long, text string, meta struct<tags: map<string,string>>",
+    )
+    out = exact_dedup(df, ["text"], "id").collect()
+    assert len(out) == 1 and out[0].id == 4
+
+
+def test_exact_dedup_map_path_null_positions(spark):
+    """The min_by path must keep the to_json struct hashing semantics:
+    ("a", NULL) and (NULL, "a") stay distinct contents."""
+    df = spark.createDataFrame(
+        [Row(id=1, x="a", y=None, m={}), Row(id=2, x=None, y="a", m={})],
+        schema="id long, x string, y string, m map<string,string>",
+    )
+    assert exact_dedup(df, ["x", "y"], "id").count() == 2
+
+
+def test_hadoop_path_exists_local_and_missing(spark, tmp_path):
+    """ADVICE medium: _index_history's existence probe must go through
+    the Hadoop FileSystem API so non-local URIs resolve (or fail
+    loudly) instead of silently reading as missing."""
+    from elb_log_etl_enrichment_spark.streaming.stream import (
+        _hadoop_path_exists,
+    )
+
+    d = tmp_path / "idx"
+    assert not _hadoop_path_exists(spark, str(d))
+    d.mkdir()
+    assert _hadoop_path_exists(spark, str(d))
+    # explicit file:// scheme resolves identically
+    assert _hadoop_path_exists(spark, "file://" + str(d))
+
+
+def test_fingerprint_oracle_parity_on_empty_normalization(spark):
+    """ADVICE medium: a corpus containing an all-punctuation / CJK doc
+    must produce the SAME distinct-fingerprint count in Spark (NULL
+    skipped by count_distinct) and the DuckDB oracle (md5(NULLIF(...))
+    now also NULL)."""
+    import duckdb
+
+    from elb_log_etl_enrichment_spark.functions.text import fingerprint
+
+    docs = [
+        ("s", "hello world"),
+        ("s", "HELLO, world!"),  # same fingerprint as above
+        ("s", "!!!"),  # normalizes to nothing -> NULL fp
+        ("s", "你好世界"),  # non-Latin -> NULL fp
+    ]
+    sdf = spark.createDataFrame(docs, schema="source string, text string")
+    got = (
+        sdf.select("source", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("fp").alias("n_distinct_fp"),
+        )
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        """
+        SELECT CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT md5(NULLIF(
+                   regexp_replace(lower(txt), '[^a-z0-9]', '', 'g'), '')))
+                   AS BIGINT)
+        FROM (VALUES ('hello world'), ('HELLO, world!'), ('!!!'), ('你好世界'))
+             t(txt)
+        """
+    ).fetchone()
+    con.close()
+    assert (got.n_docs, got.n_distinct_fp) == want == (4, 1)
+
+
+def test_ua_device_trim_only_and_multidigit_groups():
+    """ADVICE low: uap-core trims only DEVICE replacements; UA/OS
+    substitute verbatim. $NN binds to the longest valid group."""
+    import re
+
+    from elb_log_etl_enrichment_spark.functions.ua import _first_match
+
+    # partial substitution leaves a trailing space: UA/OS keep it,
+    # device strips it
+    rules = [(re.compile(r"(Foo)(?: (\d+))?"), "$1 $2")]
+    assert _first_match(rules, "Foo") == "Foo "
+    assert _first_match(rules, "Foo", trim=True) == "Foo"
+    assert _first_match(rules, "Foo 9") == "Foo 9"
+    # $10 against a 1-group pattern = $1 then literal '0'
+    rules10 = [(re.compile(r"(Bar)"), "$10")]
+    assert _first_match(rules10, "Bar") == "Bar0"
