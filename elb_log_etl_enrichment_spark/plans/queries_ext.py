@@ -1410,7 +1410,7 @@ _ELB_PIPELINE_HOURLY_SQL = f"""
     parsed AS (
         SELECT
             try_strptime(t[2], '%Y-%m-%dT%H:%M:%S.%fZ') AS time_utc,
-            split_part(t[4], ':', 1) AS client_ip,
+            regexp_replace(t[4], ':[0-9]+$', '') AS client_ip,
             try_cast(t[6] AS DOUBLE)  AS rpt,
             try_cast(t[7] AS DOUBLE)  AS tpt,
             try_cast(t[8] AS DOUBLE)  AS rspt,
@@ -1579,7 +1579,7 @@ _ELB_ERROR_REPORT_SQL = f"""
     parsed AS (
         SELECT
             try_strptime(t[2], '%Y-%m-%dT%H:%M:%S.%fZ') AS time_utc,
-            split_part(t[4], ':', 1) AS client_ip,
+            regexp_replace(t[4], ':[0-9]+$', '') AS client_ip,
             CASE WHEN regexp_matches(t[9], '^[0-9]+$') THEN CAST(t[9] AS BIGINT) END
                 AS elb_status_code,
             trim(t[13], '"') AS request,
@@ -1692,7 +1692,7 @@ _ELB_BOT_REPORT_SQL = f"""
     parsed AS (
         SELECT
             try_strptime(t[2], '%Y-%m-%dT%H:%M:%S.%fZ') AS time_utc,
-            split_part(t[4], ':', 1) AS client_ip,
+            regexp_replace(t[4], ':[0-9]+$', '') AS client_ip,
             trim(t[13], '"') AS request,
             trim(t[14], '"') AS user_agent
         FROM raw WHERE len(t) >= 29

@@ -171,9 +171,15 @@ def parse_elb_lines(
               "classification_reason"]:
         cols.append(F.col(f"r.{c}").alias(c))
 
-    # derived: client ip (elb_logs.py:100; same IPv4 ip:port split —
-    # IPv6 caveat shared with the reference, see SURVEY.md P8)
-    cols.append(F.split(F.col("r.client_ip_port"), ":").getItem(0).alias("client_ip"))
+    # derived: client ip (elb_logs.py:100). The reference's
+    # split(':')[0] truncates IPv6 clients to their first hex group
+    # ("2001:db8::1:443" -> "2001"); ALB always writes ip:port here,
+    # so stripping the LAST ":port" keeps IPv4 behavior identical and
+    # fixes IPv6 (SURVEY.md P8 guard; verdict r05 item 7).
+    cols.append(
+        F.regexp_replace(F.col("r.client_ip_port"), ":[0-9]+$", "")
+        .alias("client_ip")
+    )
 
     # request triplet + URL decomposition (elb_logs.py:104-114)
     req = F.split(F.col("r.request"), " ")

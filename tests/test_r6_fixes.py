@@ -114,6 +114,23 @@ def test_fingerprint_oracle_parity_on_empty_normalization(spark):
     assert (got.n_docs, got.n_distinct_fp) == want == (4, 1)
 
 
+def test_parse_ipv6_client_ip_guard(spark):
+    """VERDICT r05 item 7 (SURVEY P8): the reference's split(':')[0]
+    truncates an IPv6 client to its first hex group; stripping the
+    last ':port' must yield the full address while keeping IPv4
+    behavior byte-identical."""
+    from tests.test_parse import GOLDEN_LINE, _parse
+
+    v6_line = GOLDEN_LINE.replace(
+        "34.217.80.200:44256", "2001:db8:cafe::17:44256"
+    )
+    rows = _parse(spark, [GOLDEN_LINE, v6_line]).orderBy("client_ip").collect()
+    assert [r.client_ip for r in rows] == [
+        "2001:db8:cafe::17",
+        "34.217.80.200",
+    ]
+
+
 def test_ua_device_trim_only_and_multidigit_groups():
     """ADVICE low: uap-core trims only DEVICE replacements; UA/OS
     substitute verbatim. $NN binds to the longest valid group."""
