@@ -1365,9 +1365,23 @@ def approx_aggregates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Custom stateful streaming operator (applyInPandasWithState): per-user
-# running totals in keyed state. Non-SQL-expressible → rows-only.
+# running totals in keyed state. The update-mode sink holds one row per
+# (user, emitting batch) — batch-split-dependent — but each user's
+# FINAL state (max cum_events; the counter is monotone per key) is
+# invariant to how availableNow slices the input, so projecting the
+# final row per user is deterministic and batch-replayable in SQL
+# (verdict r05 item 6: rows-only → oracle-backed).
 # --------------------------------------------------------------------------
-@register("streaming_stateful_user_totals", sql=None, tags=("streaming", "stateful", "udf"))
+@register(
+    "streaming_stateful_user_totals",
+    sql="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS cum_events,
+           ROUND(SUM(value), 2) AS cum_value_r
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "udf"),
+)
 def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stream import (
         read_events_stream,
@@ -1378,8 +1392,18 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     events = read_events_stream(spark, sf_dir)
     totals = stateful_user_totals(events)
     ckpt = _fresh_checkpoint("stateful")
-    return run_available_now(
+    sink = run_available_now(
         totals, spark, "mem_stream_stateful", ckpt, output_mode="update"
+    )
+    final = Window.partitionBy("user_id").orderBy(F.col("cum_events").desc())
+    return (
+        sink.withColumn("__rn", F.row_number().over(final))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "cum_events",
+            F.round("cum_value", 2).alias("cum_value_r"),
+        )
     )
 
 
