@@ -5,7 +5,9 @@ plus the streaming, multimodal and full-ELB-pipeline entries.
 
 from __future__ import annotations
 
+import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
@@ -31,6 +33,21 @@ def _fresh_checkpoint(name: str) -> str:
     new = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     _CKPT_DIRS[name] = new
     return new
+
+
+def _stage_two_batches(first: DataFrame, second: DataFrame, src: str) -> None:
+    """Stage two frames as two parquet files whose modification times
+    force FileStreamSource's processing order (it sorts by mtime), so
+    ONE availableNow run with ``maxFilesPerTrigger=1`` replays them as
+    micro-batch 0 (history) then 1 (the cron tick) — the two-run
+    ingest shape at a single stream-startup cost (verdict r05 item 4).
+    The mtime gap is a full minute; ties are impossible."""
+    first.coalesce(1).write.mode("append").parquet(src)
+    now = time.time()
+    for f in os.listdir(src):
+        if not f.startswith("_"):
+            os.utime(os.path.join(src, f), (now - 60, now - 60))
+    second.coalesce(1).write.mode("append").parquet(src)
 
 
 # --------------------------------------------------------------------------
@@ -2512,12 +2529,11 @@ def mad_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "dedup", "incremental", "foreachBatch", "e2e"),
 )
 def streaming_ingest_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two real streaming runs (shared checkpoint, fresh per call)
-    through ``streaming.stream.ingest_dedup_stream``; the returned
-    frame is the landed per-round stats with rounds normalized by
-    rank (foreachBatch ids are checkpoint-relative)."""
-    import os
-
+    """ONE real streaming run through
+    ``streaming.stream.ingest_dedup_stream`` paced to two
+    micro-batches (see ``_stage_two_batches``): history lands as
+    batch 0, the cron tick as batch 1, classification identical to
+    the former two-run shape at a single stream-startup cost."""
     from ..session import ensure_engine_confs
     from ..streaming.stream import ingest_dedup_stream
 
@@ -2527,14 +2543,17 @@ def streaming_ingest_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = os.path.join(base, "digest_index.parquet")
     ck = os.path.join(base, "ck")
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    d.filter(F.col("doc_id") % 5 != 0).coalesce(1).write.mode("append").parquet(src)
+    _stage_two_batches(
+        d.filter(F.col("doc_id") % 5 != 0), d.filter(F.col("doc_id") % 5 == 0), src
+    )
     schema = "doc_id long, text string"
     ingest_dedup_stream(
-        spark.readStream.schema(schema).parquet(src), spark, index, ck
-    )
-    d.filter(F.col("doc_id") % 5 == 0).coalesce(1).write.mode("append").parquet(src)
-    ingest_dedup_stream(
-        spark.readStream.schema(schema).parquet(src), spark, index, ck
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        spark,
+        index,
+        ck,
     )
     stats = spark.read.parquet(index + "_stats")
     w = Window.orderBy("batch_id")
@@ -2623,12 +2642,15 @@ def _streaming_neardup_sql() -> str:
     tags=("streaming", "dedup", "minhash", "lsh", "incremental", "e2e"),
 )
 def streaming_neardup_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two real streaming runs (shared checkpoint, fresh per call)
-    through ``streaming.stream.neardup_ingest_stream``; the returned
-    frame is the landed per-round stats with rounds normalized by
-    rank (foreachBatch ids are checkpoint-relative)."""
-    import os
-
+    """ONE real streaming run through
+    ``streaming.stream.neardup_ingest_stream`` whose file source is
+    paced to two micro-batches (``maxFilesPerTrigger=1`` over two
+    pre-staged files with forced mtime order — availableNow honors
+    read limits), so history-vs-batch classification is identical to
+    the former two-run shape while paying stream startup ONCE
+    (verdict r05 item 4: 14.7 s steady → single-startup). The replay
+    path itself keeps its dedicated tests (test_streaming), which
+    re-enter the upsert with an explicit batch_id."""
     from ..session import ensure_engine_confs
     from ..streaming.stream import neardup_ingest_stream
 
@@ -2638,14 +2660,17 @@ def streaming_neardup_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFram
     index = os.path.join(base, "band_index.parquet")
     ck = os.path.join(base, "ck")
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    d.filter(F.col("doc_id") % 5 != 0).coalesce(1).write.mode("append").parquet(src)
+    _stage_two_batches(
+        d.filter(F.col("doc_id") % 5 != 0), d.filter(F.col("doc_id") % 5 == 0), src
+    )
     schema = "doc_id long, text string"
     neardup_ingest_stream(
-        spark.readStream.schema(schema).parquet(src), spark, index, ck
-    )
-    d.filter(F.col("doc_id") % 5 == 0).coalesce(1).write.mode("append").parquet(src)
-    neardup_ingest_stream(
-        spark.readStream.schema(schema).parquet(src), spark, index, ck
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        spark,
+        index,
+        ck,
     )
     stats = spark.read.parquet(index + "_stats")
     w = Window.orderBy("batch_id")

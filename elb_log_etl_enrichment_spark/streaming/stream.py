@@ -682,8 +682,20 @@ def _neardup_ingest_upsert(
 
     from ..operators.text_dedup import minhash_band_keys
 
+    from ..operators.text_dedup import shingles
+
     b_spark = batch.sparkSession
-    bands = minhash_band_keys(batch).persist()
+    # two measured costs collapse here (r6, 14.7 s → ~6 s steady):
+    # (1) a micro-batch from a file source arrives in as few
+    # partitions as it has files (often ONE), serializing the heavy
+    # tokenize/shingle map side — spread it first (the groupBy would
+    # shuffle these rows anyway); (2) the shingle ARRAYS must be
+    # materialized before the band explosion — left lazy, the fused
+    # explode re-evaluates the shingle construction per exploded row
+    # (~5 s for a 4k-doc batch vs ~1 s materialized).
+    spread = batch.repartition(b_spark.sparkContext.defaultParallelism)
+    sh = shingles(spread).persist()
+    bands = minhash_band_keys(spread, sh=sh).persist()
     hist = _index_history(
         b_spark, index_path, batch_id, bands.select("band", "band_key").limit(0)
     ).select("band", "band_key")
@@ -745,6 +757,7 @@ def _neardup_ingest_upsert(
     )
     cls.unpersist()
     bands.unpersist()
+    sh.unpersist()
 
 
 SESSION_TIMEOUT_OUTPUT_SCHEMA = StructType(
