@@ -403,23 +403,15 @@ def _clustering_sql() -> str:
     """
 
 
-@register(
-    "knn_clustering_coefficient",
-    sql=_clustering_sql(),
-    tags=("profiling", "graph", "triangles", "knn"),
-)
-def knn_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global transitivity + average local clustering coefficient of
-    the supplier co-occurrence kNN graph (edges from
-    queries_training.knn_edges — degree-bounded, so the per-node
-    triangle join is O(n·k²)).
-
-    Per-node triangle counts come from ONE canonical (u<v<w) triangle
-    enumeration exploded to its 3 corners — not three joins; degrees
-    from the symmetrized edge list. avg_cc averages 2T(v)/(d(v)(d(v)-1))
-    over nodes with d≥2; transitivity is 3·triangles / wedges where
-    wedges = Σ C(d(v),2). Both are pure integer-ratio math until the
-    final division."""
+def knn_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, d, t) over the supplier kNN graph: symmetrized degree
+    plus per-node triangle-corner counts from ONE canonical (u<v<w)
+    triangle enumeration. Shared by ``knn_clustering_coefficient``
+    and the sf1 sampled-oracle differential
+    (``scripts/knn_sf1_sampled_oracle.py`` — the full DuckDB oracle
+    is infeasible at sf1, so a seeded node sample's (d, t) is
+    verified against a neighborhood-bounded oracle instead;
+    verdict r05 item 2)."""
     from .queries_training import knn_edges_cached
 
     edges = knn_edges_cached(spark, sf_dir)
@@ -443,7 +435,27 @@ def knn_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("t"))
     )
-    per_node = deg.join(corners, "node", "left").na.fill({"t": 0})
+    return deg.join(corners, "node", "left").na.fill({"t": 0})
+
+
+@register(
+    "knn_clustering_coefficient",
+    sql=_clustering_sql(),
+    tags=("profiling", "graph", "triangles", "knn"),
+)
+def knn_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity + average local clustering coefficient of
+    the supplier co-occurrence kNN graph (edges from
+    queries_training.knn_edges — degree-bounded, so the per-node
+    triangle join is O(n·k²)).
+
+    Per-node triangle counts come from ONE canonical (u<v<w) triangle
+    enumeration exploded to its 3 corners — not three joins; degrees
+    from the symmetrized edge list. avg_cc averages 2T(v)/(d(v)(d(v)-1))
+    over nodes with d≥2; transitivity is 3·triangles / wedges where
+    wedges = Σ C(d(v),2). Both are pure integer-ratio math until the
+    final division."""
+    per_node = knn_per_node(spark, sf_dir)
     cc = F.when(
         F.col("d") >= 2, 2.0 * F.col("t") / (F.col("d") * (F.col("d") - 1))
     )
