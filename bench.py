@@ -237,6 +237,96 @@ HEADLINE = [
     "streaming_elb_pipeline_hourly",
 ]
 
+#: VERDICT r05 item 8: the headline set had grown to 190 entries —
+#: a smoke test of everything rather than a signal. These entries are
+#: SHAPE-REDUNDANT variants of a kept primary representative (approx
+#: twins, same-family siblings, subsumed codec rungs); they still run
+#: every bench invocation, but in a SECONDARY sweep reported apart so
+#: the primary total stays a pinned ~120-query round-over-round
+#: comparable. Membership is pinned — grow the registry without
+#: growing the primary set unless a NEW family lands.
+SECONDARY_SET = {
+    # TPC-H shape twins (primary keeps pricing_summary, revenue_by_nation,
+    # shipping_priority_topk, profit_by_nation_year, market_share_ratio)
+    "top_orders_by_revenue", "customer_order_distribution",
+    "hourly_event_aggregate", "returned_items_topk",
+    "small_qty_order_revenue", "priority_exists_orders",
+    "local_supplier_volume", "sole_fault_suppliers",
+    "important_parts_value_threshold", "quarterly_growth_by_priority",
+    "large_volume_customers", "disjunctive_bracket_revenue",
+    # approx / builtin twins of kept exact entries
+    "equi_depth_histogram_orders_approx", "iqr_outlier_audit_approx",
+    "vocab_growth_audit_approx", "zscore_outlier_events_builtin",
+    # ANN family (primary keeps bruteforce, lsh, pq, ivfpq)
+    "cosine_topk_arrow", "cosine_topk_ivf",
+    # near-dup signature siblings (primary keeps minhash_lsh, ngram_jaccard,
+    # simhash_block_bias_audit which computes BOTH schemes)
+    "simhash_documents", "simhash_near_dup", "minhash_calibration",
+    # linalg siblings (primary keeps pca_variance, centroid_drift,
+    # quantization_error)
+    "embedding_dim_profile",
+    # function batteries (primary keeps array + regression)
+    "listagg_bitwise_battery", "null_safe_join_battery",
+    "unpivot_order_status_counts",
+    # stats tier (primary keeps welch, cusum, seasonal_naive, mann_whitney,
+    # chi_square, ols, value_drift)
+    "cuped_adjusted_lift", "ewma_control_chart", "pareto_concentration",
+    "multi_horizon_backtest", "kruskal_wallis_value_by_type",
+    "srm_balance_audit", "ab_conversion_ztest",
+    # sampling (primary keeps uniform, stratified, per_nation)
+    "leakproof_customer_split", "weighted_sample_audit",
+    "deterministic_split_counts",
+    # geo (primary keeps cell_density + hotspot_clusters)
+    "nearest_dc_assignment",
+    # privacy (primary keeps k_anonymity, forget_entity, column_encryption)
+    "pii_redaction_audit", "l_diversity_audit",
+    # profiling (primary keeps column_profile, count_min, vocab_growth,
+    # max_concurrent, skew_profile)
+    "referential_integrity_audit", "heavy_hitter_tokens",
+    # time-series (primary keeps ohlc, gapfill, incremental_hourly_rollup,
+    # rolling_distinct)
+    "time_weighted_avg_users", "scd2_user_event_intervals",
+    "seasonal_residual_anomalies",
+    # curation (primary keeps bloom, duplicated_span, padding_waste,
+    # training_export, semdedup, dsir, incremental_ingest)
+    "decontamination_overlap", "chunk_dedup_stats",
+    "unigram_logprob_quality", "token_budget_topp",
+    "leakage_safe_split_audit", "dim_truncation_recall",
+    "sequence_packing_stats", "shard_assignment_stats",
+    "source_mixing_weights", "curation_funnel_by_source",
+    "temporal_embargo_split_audit",
+    # text/quality (primary keeps tfidf, gopher, naive_bayes, pmi,
+    # fuzzy_name, elb_template, token_explode_topk)
+    "text_quality_scores", "token_diversity_flags", "bm25_top_docs",
+    "bigram_repetition_flags", "token_entropy_quality",
+    "readability_scores",
+    # layout (primary keeps zorder, mergeable_histogram, write_audit,
+    # bucketed_join_agg, shard_rebalance)
+    "compaction_binpack_plan", "join_cardinality_estimate",
+    "incremental_join_rollup", "parquet_footer_stats",
+    "partition_backfill_stats", "table_content_digest",
+    "segment_digest_reconcile",
+    # streaming (primary keeps neardup+digest ingest, elb_pipeline,
+    # view_purchase_outer, timeout_sessions)
+    "streaming_wap_publish_stats", "watermark_lateness_profile",
+    "batch_session_window_stats",
+    # multimodal (primary keeps sniff + the three superset rungs:
+    # image_resize, audio_frame, video_motion)
+    "multimodal_pixel_roundtrip_stats", "multimodal_wav_roundtrip_stats",
+    "multimodal_video_frame_sample_stats",
+    # graph (primary keeps pagerank, clustering_coefficient,
+    # label_agreement, recursive_bfs)
+    "lpa_communities", "supplier_knn_triangles",
+    # BPE (primary keeps encode_stats, which replays the merge table)
+    "bpe_merge_table",
+    # sinks (primary keeps jsonl round-trip)
+    "format_matrix_roundtrip",
+    # dedup reporting twins (primary keeps cluster_sizes)
+    "dedup_survivor_stats",
+    # plan-hint surface (cheap no-op shape at scale)
+    "hinted_join_strategies", "schema_drift_union_stats",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -263,22 +353,37 @@ def main() -> None:
         except ValueError:
             pass
 
-    names = [n for n in HEADLINE if n in REGISTRY]
+    primary = [n for n in HEADLINE if n in REGISTRY and n not in SECONDARY_SET]
+    secondary = [n for n in HEADLINE if n in REGISTRY and n in SECONDARY_SET]
     # warm-up: JVM/codegen/parquet-footer caches on the smallest query
     REGISTRY["pricing_summary"].fn(spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        start = time.perf_counter()
-        REGISTRY[name].fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - start, 3)
+    def _sweep(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            start = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).count()
+            out[name] = round(time.perf_counter() - start, 3)
+        return out
+
+    timings = _sweep(primary)
+    sec_timings = _sweep(secondary)
 
     total = round(sum(timings.values()), 3)
+    sec_total = round(sum(sec_timings.values()), 3)
     report = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # shape-redundant variants still run every invocation, but in
+        # a secondary sweep so the pinned primary total stays
+        # round-over-round comparable (VERDICT r05 item 8).
+        # combined_total (= value + secondary_total) is the number
+        # comparable to the r01-r05 190-query totals.
+        "secondary": sec_timings,
+        "secondary_total": sec_total,
+        "combined_total": round(total + sec_total, 3),
         "sf": sf,
     }
     # steal-proof comparisons (VERDICT r04 item 8): attach the solo
@@ -295,7 +400,7 @@ def main() -> None:
         # triage comparing across data sizes (code-review r05 finding)
         steady_book = {
             n: rec for n, rec in steady_book.items()
-            if n in timings and rec.get("sf_dir") == sf_dir
+            if (n in timings or n in sec_timings) and rec.get("sf_dir") == sf_dir
         }
         report["steady"] = {n: rec["steady"] for n, rec in steady_book.items()}
         report["steady_commit"] = {
@@ -313,6 +418,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
+        "secondary_total": sec_total,
+        "n_secondary": len(sec_timings),
+        "combined_total": report["combined_total"],
         "sf": sf,
         "detail": "BENCH.local.json",
     }
