@@ -235,6 +235,8 @@ HEADLINE = [
     "multimodal_video_motion_stats",
     # --- round 5: batch/stream parity on the reference's own workload ---
     "streaming_elb_pipeline_hourly",
+    # --- round 6: min_by dedup path for map-typed frames ---
+    "exact_dedup_map_payload",
 ]
 
 #: VERDICT r05 item 8: the headline set had grown to 190 entries —
@@ -322,7 +324,7 @@ SECONDARY_SET = {
     # sinks (primary keeps jsonl round-trip)
     "format_matrix_roundtrip",
     # dedup reporting twins (primary keeps cluster_sizes)
-    "dedup_survivor_stats",
+    "dedup_survivor_stats", "exact_dedup_map_payload",
     # plan-hint surface (cheap no-op shape at scale)
     "hinted_join_strategies", "schema_drift_union_stats",
 }

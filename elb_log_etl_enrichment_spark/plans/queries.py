@@ -1264,6 +1264,8 @@ _R6_PROMOTED = [
     "streaming_dedup_distinct_users",   # dropDuplicatesWithinWatermark
     "sql_api_region_order_totals",      # spark.sql() API surface
     "multimodal_pipeline_stats",        # composed multimodal pipeline
+    "exact_dedup_map_payload",          # NEW r6: min_by map-dedup path
+                                        # (verdict item 3 driver-facing)
 ]
 _R6_DEMOTED = {
     # banked driver-green r4+r5, shape-covered by a survivor:
@@ -1294,6 +1296,8 @@ _R6_DEMOTED = {
     "cosine_topk_lsh",                  # ANN sends cosine_topk_arrow
     "winnowing_collision_pairs",        # fingerprint tier sends
                                         # doc_fingerprint_summary
+    "duplicated_span_coverage",         # span dedup (banked r5); dedup
+                                        # tier sends exact_dedup_map_payload
     "gopher_quality_battery",           # quality battery (banked r5)
     "rfm_segment_counts",               # banked r5 with the rewrite verified
     "string_function_battery",          # battery tier sends datetime

@@ -222,6 +222,48 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact dedup of a MAP-typed frame (operators/dedup.exact_dedup's
+# min_by path, r6): maps are not orderable, so min(struct) can't
+# carry them — min_by carries the full row (map included) while
+# comparing only the (id, row-digest) ordering key, still map-side
+# combinable. The payload sums prove the survivor's map arrived
+# untorn (content from the same source row as the id).
+# --------------------------------------------------------------------------
+@register(
+    "exact_dedup_map_payload",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_survivors,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY event_id) AS rn
+        FROM events
+    ) s
+    WHERE rn = 1
+    GROUP BY event_type
+    """,
+    tags=("dedup", "exact", "map", "udf-free"),
+)
+def exact_dedup_map_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    typed = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.from_json("props", "map<string,string>").alias("pm"),
+    )
+    survivors = exact_dedup(typed, ["user_id", "event_type"], "event_id")
+    return survivors.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.sum(F.element_at("pm", "k").cast("bigint")).alias("sum_k"),
+    )
+
+
+# --------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs with size-band candidate pruning.
 # --------------------------------------------------------------------------
 @register(
