@@ -1774,7 +1774,12 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_dedup import minhash_band_keys, shingles
 
     d = _t(spark, sf_dir, "documents")
-    sh = shingles(d)
+    # persisted for the same two reasons as minhash_lsh_pairs: the
+    # band gen + both verify joins reuse it, and an UNPERSISTED
+    # shingle column makes the fused explode re-evaluate the shingle
+    # construction per exploded row (the r6 streaming-ingest finding —
+    # ~5x the materialized cost)
+    sh = shingles(d).persist()
     bands = minhash_band_keys(d, sh=sh)
     cand = (
         bands.alias("x")
