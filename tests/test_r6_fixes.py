@@ -191,6 +191,49 @@ def test_vendored_uap_core_snippet_battery():
     assert _first_match(devices, "Googlebot/2.1", trim=True) == "Spider"
 
 
+def test_stage_two_batches_orders_files_by_mtime(spark, tmp_path):
+    """VERDICT r05 item 4: the single paced availableNow run replaces
+    the two-run ingest shape, so FileStreamSource MUST process the
+    staged history file as micro-batch 0 and the tick file as batch 1
+    — _stage_two_batches forces that with a 60 s mtime gap. A flipped
+    order would classify history docs as the incoming batch and break
+    the ingest oracles."""
+    import os
+
+    from pyspark.sql import Row
+
+    from elb_log_etl_enrichment_spark.plans.queries_ext import (
+        _stage_two_batches,
+    )
+
+    src = str(tmp_path / "src")
+    first = spark.createDataFrame([Row(doc_id=1, text="a")])
+    second = spark.createDataFrame([Row(doc_id=2, text="b")])
+    _stage_two_batches(first, second, src)
+    parts = sorted(
+        (os.path.getmtime(os.path.join(src, f)), f)
+        for f in os.listdir(src)
+        if not f.startswith(("_", "."))  # Spark ignores hidden files
+    )
+    assert len(parts) == 2
+    assert parts[1][0] - parts[0][0] >= 30  # forced gap, no mtime tie
+
+    seen: list[tuple[int, list[int]]] = []
+    (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(
+            lambda b, bid: seen.append((bid, [r.doc_id for r in b.collect()]))
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert seen == [(0, [1]), (1, [2])]
+
+
 def test_ua_device_trim_only_and_multidigit_groups():
     """ADVICE low: uap-core trims only DEVICE replacements; UA/OS
     substitute verbatim. $NN binds to the longest valid group."""
