@@ -342,6 +342,9 @@ def main() -> None:
     missing = [n for n in HEADLINE if n not in REGISTRY]
     if missing:  # never silently shrink the bench set
         raise SystemExit(f"headline queries missing from registry: {missing}")
+    stray = [n for n in SECONDARY_SET if n not in HEADLINE]
+    if stray:  # a secondary mark must demote a REAL headline entry
+        raise SystemExit(f"SECONDARY_SET names not in HEADLINE: {stray}")
 
     spark = get_spark(app_name="engine-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")

@@ -680,9 +680,7 @@ def _neardup_ingest_upsert(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from ..operators.text_dedup import minhash_band_keys
-
-    from ..operators.text_dedup import shingles
+    from ..operators.text_dedup import minhash_band_keys, shingles
 
     b_spark = batch.sparkSession
     # two measured costs collapse here (r6, 14.7 s → ~6 s steady):
