@@ -47,10 +47,27 @@ def main() -> None:
     con = duckdb_connection(sf_dir)
     osql = ent.oracle_sql()
     qs = ent.queries()
+    # Oracles infeasible at the LARGEST sweep scale, each covered by a
+    # dedicated bounded differential instead (never silently skipped:
+    # the summary line reports what was skipped and why).
+    infeasible_at_sf1 = {
+        "knn_clustering_coefficient": (
+            "quadratic DuckDB oracle exhausts 24 GB + 77 GB spill at sf1 "
+            "(PERF.md r5); per-node values pinned at sf1 by "
+            "scripts/knn_sf1_sampled_oracle.py instead"
+        ),
+    }
+    skip = infeasible_at_sf1 if os.path.basename(sf_dir.rstrip("/")) == "sf1" else {}
+
     n_checked = n_bad = 0
     t0 = time.time()
+    skipped = []
     for name, fn in qs.items():
         if name not in osql:
+            continue
+        if name in skip:
+            skipped.append(name)
+            print(json.dumps({"query": name, "skipped": skip[name]}), flush=True)
             continue
         n_checked += 1
         try:
@@ -68,6 +85,7 @@ def main() -> None:
                 "sf_dir": sf_dir,
                 "oracle_queries": n_checked,
                 "mismatches": n_bad,
+                "skipped_infeasible": skipped,
                 "wall_s": round(time.time() - t0, 1),
             }
         ),
