@@ -235,8 +235,10 @@ HEADLINE = [
     "multimodal_video_motion_stats",
     # --- round 5: batch/stream parity on the reference's own workload ---
     "streaming_elb_pipeline_hourly",
-    # --- round 6: min_by dedup path for map-typed frames ---
+    # --- round 6: min_by dedup path for map-typed frames; the UA
+    # device axis over the ELB fixture ---
     "exact_dedup_map_payload",
+    "elb_device_report",
 ]
 
 #: VERDICT r05 item 8: the headline set had grown to 190 entries —

@@ -1266,6 +1266,8 @@ _R6_PROMOTED = [
     "multimodal_pipeline_stats",        # composed multimodal pipeline
     "exact_dedup_map_payload",          # NEW r6: min_by map-dedup path
                                         # (verdict item 3 driver-facing)
+    "elb_device_report",                # NEW r6: P11 device axis,
+                                        # table-generated oracle
 ]
 _R6_DEMOTED = {
     # banked driver-green r4+r5, shape-covered by a survivor:
@@ -1299,6 +1301,7 @@ _R6_DEMOTED = {
     "duplicated_span_coverage",         # span dedup (banked r5); dedup
                                         # tier sends exact_dedup_map_payload
     "gopher_quality_battery",           # quality battery (banked r5)
+    "benford_first_digit_audit",        # stats battery (banked r5)
     "rfm_segment_counts",               # banked r5 with the rewrite verified
     "string_function_battery",          # battery tier sends datetime
 }

@@ -2571,6 +2571,85 @@ def streaming_ingest_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Device-family report over the ELB fixture (round 6): the one UA
+# surface (P11's device_parsers axis) without a registry row. The
+# oracle CASE chain is GENERATED from the same vendored
+# ``DEVICE_PARSERS`` table the pandas UDF classifies with
+# (shared-formula hardening, like the fake-geo octet formula):
+# ordered first-match, ``$1`` substitution with uap-core's
+# device-only trim, 'Other' fallback. The curated patterns are
+# RE2-compatible by construction, so DuckDB's regexp_* replays them
+# byte-identically.
+# --------------------------------------------------------------------------
+def _device_case_sql(ua_expr: str) -> str:
+    from ..functions.ua_regexes import DEVICE_PARSERS
+
+    branches = []
+    for rule in DEVICE_PARSERS:
+        rx = rule["regex"].replace("'", "''")
+        repl = rule.get("device_replacement")
+        if repl is None:  # family = bare first capture group
+            out = f"regexp_extract({ua_expr}, '{rx}', 1)"
+        elif "$" in repl:  # curated table only uses '<prefix>$1'
+            prefix = repl.split("$1")[0].replace("'", "''")
+            out = f"trim('{prefix}' || regexp_extract({ua_expr}, '{rx}', 1))"
+        else:
+            out = f"'{repl}'"
+        branches.append(f"WHEN regexp_matches({ua_expr}, '{rx}') THEN {out}")
+    return "CASE " + " ".join(branches) + " ELSE 'Other' END"
+
+
+def _elb_device_report_sql() -> str:
+    return f"""
+    WITH raw AS (
+        SELECT regexp_extract_all(value, '"[^"]*"|\\S+') AS t
+        FROM read_parquet('{_ELB_FIXTURE_PARQUET}')
+    ),
+    parsed AS (
+        SELECT trim(t[14], '"') AS user_agent
+        FROM raw WHERE len(t) >= 29
+    )
+    SELECT {_device_case_sql('user_agent')} AS device_family,
+           CAST(COUNT(*) AS BIGINT) AS n_requests
+    FROM parsed
+    GROUP BY 1
+    ORDER BY 1
+    """
+
+
+@register(
+    "elb_device_report",
+    sql=_elb_device_report_sql(),
+    tags=("elb", "ua", "device", "report", "udf"),
+)
+def elb_device_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Device-family request counts over the extended ELB fixture —
+    the uap-core ``device_parsers`` axis of P11 (reference
+    elb_logs.py:119-121 classifies browser/OS; devices are the same
+    public table's third rule list). Arrow-batched pandas UDF on the
+    Spark side; at 100 TB, classify DISTINCT UA strings and
+    broadcast-join back (the documented UA scale path)."""
+    import os
+
+    from ..functions.ua import device_classify
+    from ..session import ensure_engine_confs
+    from ..sources.alb_fixtures import write_fixture_parquet
+    from ..sources.elb_logs import parse_elb_lines
+
+    ensure_engine_confs(spark)
+    if not os.path.exists(_ELB_FIXTURE_PARQUET):
+        write_fixture_parquet(_ELB_FIXTURE_PARQUET, extended=True)
+    lines = spark.read.parquet(_ELB_FIXTURE_PARQUET)
+    parsed = parse_elb_lines(lines)
+    return (
+        parsed.select(device_classify(F.col("user_agent")).alias("device_family"))
+        .groupBy("device_family")
+        .agg(F.count(F.lit(1)).alias("n_requests"))
+        .orderBy("device_family")
+    )
+
+
+# --------------------------------------------------------------------------
 # Streaming NEAR-dup ingestion (round 4): the MinHash-LSH sibling of
 # the exact-digest ingest filter above. Same two-availableNow-runs
 # replay over one checkpoint, but the persisted index holds the
