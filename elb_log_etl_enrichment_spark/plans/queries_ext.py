@@ -2287,7 +2287,12 @@ def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 # literal emitted at full precision so both engines run identical
 # IEEE arithmetic.
 # --------------------------------------------------------------------------
-def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
+def _pagerank_sql_parts(iters: int = 10, damping: float = 0.85) -> list[str]:
+    """The oracle's CTE parts, each ``<name> AS (<body>)`` — exposed so
+    ``scripts/pagerank_sf1_oracle.py`` can materialize them one-by-one
+    as temp tables (the single-statement WITH-chain re-evaluates the
+    6-way edge join per iteration under DuckDB's CTE handling and
+    exhausts 24 GB at sf1 — r6 finding, same class as the kNN oracle)."""
     teleport = repr(1.0 - damping)
     parts = [
         """edges AS (
@@ -2326,6 +2331,11 @@ def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
         ) s ON n.name = s.name
     )"""
         )
+    return parts
+
+
+def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
+    parts = _pagerank_sql_parts(iters, damping)
     return (
         "WITH "
         + ",\n    ".join(parts)

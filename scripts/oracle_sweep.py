@@ -56,6 +56,12 @@ def main() -> None:
             "(PERF.md r5); per-node values pinned at sf1 by "
             "scripts/knn_sf1_sampled_oracle.py instead"
         ),
+        "nation_trade_pagerank": (
+            "the unrolled WITH-chain re-evaluates the 6-way edge join per "
+            "iteration under DuckDB CTE handling and exhausts 24 GB at sf1 "
+            "(PERF.md r6); identical algebra verified at sf1 by "
+            "scripts/pagerank_sf1_oracle.py (materialized iterations)"
+        ),
     }
     skip = infeasible_at_sf1 if os.path.basename(sf_dir.rstrip("/")) == "sf1" else {}
 
