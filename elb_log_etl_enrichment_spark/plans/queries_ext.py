@@ -2600,7 +2600,15 @@ def _device_case_sql(ua_expr: str) -> str:
         repl = rule.get("device_replacement")
         if repl is None:  # family = bare first capture group
             out = f"regexp_extract({ua_expr}, '{rx}', 1)"
-        elif "$" in repl:  # curated table only uses '<prefix>$1'
+        elif "$" in repl:
+            # the generator replays only the '<prefix>$1' substitution
+            # shape the curated table uses; a future '$2'/interleaved
+            # rule must extend this, not silently drop its tail
+            if not repl.endswith("$1") or repl.count("$") != 1:
+                raise ValueError(
+                    f"device_replacement {repl!r} is not '<prefix>$1' — "
+                    "extend _device_case_sql before adding such rules"
+                )
             prefix = repl.split("$1")[0].replace("'", "''")
             out = f"trim('{prefix}' || regexp_extract({ua_expr}, '{rx}', 1))"
         else:
