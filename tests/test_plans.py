@@ -422,6 +422,9 @@ def test_no_python_stages_outside_documented_extension_points(spark):
         "elb_error_report",             # P11 UA pandas_udf survives here:
                                         # the report PROJECTS ua families
                                         # (hourly agg prunes the UDF away)
+        "elb_device_report",            # P11 device axis: the pandas UDF
+                                        # IS the operator (r6; 100 TB path
+                                        # = distinct-UA broadcast, as UA)
         "cosine_topk_arrow",            # Arrow/BLAS batch scorer
         "cosine_topk_pq",               # PQ-ADC batch scorer
         "cosine_topk_ivfpq",            # IVF-PQ batch scorer
