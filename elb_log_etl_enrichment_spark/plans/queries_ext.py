@@ -2646,7 +2646,13 @@ def elb_device_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     elb_logs.py:119-121 classifies browser/OS; devices are the same
     public table's third rule list). Arrow-batched pandas UDF on the
     Spark side; at 100 TB, classify DISTINCT UA strings and
-    broadcast-join back (the documented UA scale path)."""
+    broadcast-join back (the documented UA scale path).
+
+    The oracle replays the VENDORED table; where the real
+    ``user_agents`` wheel is importable, ``classify_device`` prefers
+    it and families outside the battery-pinned set could diverge from
+    this oracle — the UA battery (tests/test_parse.py) is the parity
+    contract there."""
     import os
 
     from ..functions.ua import device_classify

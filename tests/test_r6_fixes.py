@@ -234,6 +234,26 @@ def test_stage_two_batches_orders_files_by_mtime(spark, tmp_path):
     assert seen == [(0, [1]), (1, [2])]
 
 
+def test_device_case_sql_rejects_unsupported_substitutions():
+    """The device-report oracle generator replays only '<prefix>$1'
+    replacements; anything else must fail loudly at generation time,
+    never silently drop a substitution tail."""
+    import pytest
+
+    from elb_log_etl_enrichment_spark.plans import queries_ext as qe
+    from elb_log_etl_enrichment_spark.functions import ua_regexes as ur
+
+    rules = ur.DEVICE_PARSERS
+    try:
+        ur.DEVICE_PARSERS = rules + [
+            {"regex": "(A) (B)", "device_replacement": "$1 $2"}
+        ]
+        with pytest.raises(ValueError, match="device_replacement"):
+            qe._device_case_sql("ua")
+    finally:
+        ur.DEVICE_PARSERS = rules
+
+
 def test_ua_device_trim_only_and_multidigit_groups():
     """ADVICE low: uap-core trims only DEVICE replacements; UA/OS
     substitute verbatim. $NN binds to the longest valid group."""
