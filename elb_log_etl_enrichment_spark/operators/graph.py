@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def connected_components(
@@ -43,12 +44,23 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 50,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """Label every node with the smallest node id reachable from it.
 
     ``nodes``: one row per node (``id_col``); isolated nodes become
     singleton clusters. ``edges``: undirected pair list (each pair may
     appear in either or both orientations). Returns ``(id, label)``.
+
+    Two execution paths, the ``pagerank``/``label_propagation``
+    aggregate-compressed pattern (r6): when BOTH the materialized edge
+    list and the node count fit ``small_graph_threshold``, components
+    are solved by union-find on the driver — O(E·α(N)) — instead of
+    up to ``max_iter`` distributed join rounds. The geo-hotspot grid
+    (≤648 cells by construction) spent ~3.7 s of pure stage scheduling
+    collapsing a graph the driver solves in microseconds; dedup
+    cluster graphs at 100 TB fail the node gate and keep the
+    distributed min-label loop with pointer jumping.
     """
     und = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -62,7 +74,13 @@ def connected_components(
     # known for free; a small edge set (near-dup graphs are sparse —
     # edges ≪ nodes) gets broadcast so no loop round ever shuffles the
     # node-sized `labels` side. Large graphs keep the shuffle join.
-    if und.count() <= 2_000_000:
+    n_edges = und.count()
+    if (
+        n_edges <= small_graph_threshold
+        and nodes.count() <= small_graph_threshold
+    ):
+        return _cc_local(nodes, und, id_col)
+    if n_edges <= 2_000_000:
         und = F.broadcast(und)
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
 
@@ -121,6 +139,47 @@ def connected_components(
             break
         prev = labels
     return labels
+
+
+def _cc_local(nodes: DataFrame, und: DataFrame, id_col: str) -> DataFrame:
+    """Driver union-find for gate-passing graphs. Labels equal the
+    distributed path's exactly: smallest reachable id per component
+    (Python ``min`` orders longs and ASCII/hex string ids identically
+    to Spark's ``min``)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    ids = [r[0] for r in nodes.select(id_col).collect()]
+    for i in ids:
+        parent.setdefault(i, i)
+    for r in und.collect():
+        a, b = r["src"], r["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for i in parent:
+        root = find(i)
+        cur = comp_min.get(root)
+        comp_min[root] = i if cur is None or i < cur else cur
+    out_schema = StructType(
+        [
+            StructField("id", nodes.schema[id_col].dataType),
+            StructField("label", nodes.schema[id_col].dataType),
+        ]
+    )
+    return nodes.sparkSession.createDataFrame(
+        [(i, comp_min[find(i)]) for i in ids], out_schema
+    )
 
 
 def cluster_sizes(labels: DataFrame) -> DataFrame:

@@ -234,6 +234,36 @@ def test_stage_two_batches_orders_files_by_mtime(spark, tmp_path):
     assert seen == [(0, [1]), (1, [2])]
 
 
+def test_connected_components_paths_agree(spark):
+    """The r6 driver union-find gate must label identically to the
+    distributed min-label loop (forced via small_graph_threshold=0) —
+    chain + singleton + duplicate/reversed edges."""
+    from pyspark.sql import Row
+
+    from elb_log_etl_enrichment_spark.operators.graph import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([Row(id=i) for i in [1, 2, 3, 4, 7, 9]])
+    edges = spark.createDataFrame(
+        [Row(src=2, dst=1), Row(src=2, dst=3), Row(src=3, dst=2),
+         Row(src=4, dst=3), Row(src=9, dst=7)]
+    )
+    local = {
+        (r.id, r.label)
+        for r in connected_components(nodes, edges).collect()
+    }
+    dist = {
+        (r.id, r.label)
+        for r in connected_components(
+            nodes, edges, small_graph_threshold=0
+        ).collect()
+    }
+    assert local == dist == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (9, 7)
+    }
+
+
 def test_device_case_sql_rejects_unsupported_substitutions():
     """The device-report oracle generator replays only '<prefix>$1'
     replacements; anything else must fail loudly at generation time,
