@@ -3272,8 +3272,11 @@ def streaming_view_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     events = read_events_stream(spark, sf_dir)
     joined = view_purchase_join_stream(events, max_gap="30 minutes", how="left_outer")
     ckpt = _fresh_checkpoint("vp_outer_join")
+    # state_partitions sized to state volume (~25 MB peak across both
+    # join sides — r6: 32 stores spent ~5 s/batch on open/commit alone)
     out = run_available_now(
-        joined, spark, "mem_stream_vp_outer", ckpt, output_mode="append"
+        joined, spark, "mem_stream_vp_outer", ckpt, output_mode="append",
+        state_partitions=8,
     )
     bound = _t(spark, sf_dir, "events").agg(
         (F.max("ts") - F.expr("INTERVAL 6 HOURS")).alias("final_cutoff")
@@ -3334,8 +3337,12 @@ def streaming_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     s = timeout_sessionized_stream(events)
     ckpt = _fresh_checkpoint("timeout_sessions")
+    # keyed state is user-count-sized (≤ a few thousand open sessions
+    # at this corpus) — size the store count to it, not to the batch
+    # shuffle width (see run_available_now's state_partitions note)
     out = run_available_now(
-        s, spark, "mem_stream_timeout_sess", ckpt, output_mode="append"
+        s, spark, "mem_stream_timeout_sess", ckpt, output_mode="append",
+        state_partitions=8,
     )
     bound = _t(spark, sf_dir, "events").agg(
         (F.max(F.expr("unix_millis(ts)")) - F.lit(7_200_000)).alias("m_cut")

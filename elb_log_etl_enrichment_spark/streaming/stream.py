@@ -257,21 +257,43 @@ def run_available_now(
     name: str,
     checkpoint_dir: str,
     output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain all available input through a streaming plan into an
     in-memory sink (Trigger.AvailableNow — the reference's cron tick,
-    minus the re-read) and return the materialized table."""
+    minus the re-read) and return the materialized table.
+
+    ``state_partitions`` sizes the STATEFUL-operator partitioning for
+    this stream: Spark pins a streaming query's state partition count
+    to ``spark.sql.shuffle.partitions`` at first start, and every
+    micro-batch then pays per-partition store open/commit/snapshot
+    whether or not a partition holds state. Sizing it to expected
+    state VOLUME (not the session's batch shuffle width) is standard
+    per-job streaming practice — a stream-stream join holding ~25 MB
+    of state across 32 stores spent ~5 s/batch on store management
+    alone (r6 measurement: 7.6 s → 2.7 s at 8 partitions). The conf is
+    set only for the ``start()`` window and restored; a 100 TB
+    deployment passes hundreds here, exactly as it would on a real
+    cluster."""
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    query = (
+    writer = (
         result.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
-        .start()
     )
+    if state_partitions is None:
+        query = writer.start()
+    else:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            query = writer.start()  # stream captures the conf here
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     query.awaitTermination()
     return spark.table(name)
 
