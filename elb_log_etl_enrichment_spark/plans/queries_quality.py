@@ -544,12 +544,23 @@ def naive_bayes_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-trips. prior/dflt stay JVM-side F.log over the same
     # long/double operands, so values are bit-identical to the
     # aggregate formulation.
-    lang_rows = (
-        doc_tok.groupBy("lang")
-        .agg(F.sum("c").alias("tot"), F.count_distinct("doc_id").alias("n_docs"))
+    # ONE rollup pass fuses what were two jobs + two driver
+    # round-trips (per-lang stats AND the global vocab size): the
+    # rollup's grand-total row carries count_distinct(tok) = |V|,
+    # the per-lang rows carry tot/n_docs. grouping() disambiguates
+    # the total row from a (hypothetical) NULL lang group. (r6)
+    stat_rows = (
+        doc_tok.rollup("lang")
+        .agg(
+            F.sum("c").alias("tot"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count_distinct("tok").alias("vocab"),
+            F.grouping("lang").alias("is_total"),
+        )
         .collect()
     )
-    v = doc_tok.select("tok").distinct().count()
+    lang_rows = [r for r in stat_rows if r["is_total"] == 0]
+    v = next(r["vocab"] for r in stat_rows if r["is_total"] == 1)
     nd = sum(r["n_docs"] for r in lang_rows)
     model = doc_tok.groupBy("lang", "tok").agg(F.sum("c").alias("cnt"))
     langs = spark.createDataFrame(
