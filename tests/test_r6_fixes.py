@@ -234,6 +234,39 @@ def test_stage_two_batches_orders_files_by_mtime(spark, tmp_path):
     assert seen == [(0, [1]), (1, [2])]
 
 
+def test_state_partitions_knob_captured_and_restored(spark, tmp_path):
+    """run_available_now(state_partitions=N) must pin the stream's
+    STATE partitioning to N (Spark captures the conf at start()) and
+    restore the session conf afterwards — if a Spark upgrade ever
+    captures lazily instead, the state dir count exposes it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.streaming.stream import (
+        run_available_now,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "v long, k long"
+    ).coalesce(1).write.parquet(src)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    stream = (
+        spark.readStream.schema("v long, k long").parquet(src)
+        .groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    )
+    ck = str(tmp_path / "ck")
+    out = run_available_now(
+        stream, spark, "mem_state_knob", ck,
+        output_mode="complete", state_partitions=3,
+    )
+    assert out.count() == 3
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    state_dirs = os.listdir(os.path.join(ck, "state", "0"))
+    assert sorted(d for d in state_dirs if d.isdigit()) == ["0", "1", "2"]
+
+
 def test_connected_components_paths_agree(spark):
     """The r6 driver union-find gate must label identically to the
     distributed min-label loop (forced via small_graph_threshold=0) —
