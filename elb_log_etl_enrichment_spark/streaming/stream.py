@@ -528,6 +528,36 @@ def ingest_dedup_stream(
     ).start().awaitTermination()
 
 
+def compact_ingest_index(
+    spark: SparkSession, index_path: str, target_files: int = 8
+) -> int:
+    """Rewrite an append-grown ingest index (digest or band index —
+    one small parquet file lands per micro-batch, the classic
+    small-files accretion) into ``target_files`` files, preserving
+    every row INCLUDING ``batch_id`` (replay safety survives
+    compaction: history probes filter on batch_id values, which the
+    rewrite never touches). Returns the compacted row count.
+
+    Staged to a sibling directory and swapped in, like the geo-cache
+    upsert (the sink would otherwise truncate its own input); run it
+    BETWEEN ticks — the cron cadence's idle window — never while a
+    foreachBatch commit is in flight. On object stores the same
+    staging lands with a manifest swap (see
+    ``sinks.writers.write_audit_publish``)."""
+    import shutil
+
+    if not _hadoop_path_exists(spark, index_path):
+        return 0
+    idx = spark.read.parquet(index_path)
+    staging = index_path.rstrip("/") + ".compact"
+    idx.repartition(target_files).write.mode("overwrite").parquet(staging)
+    n = spark.read.parquet(staging).count()
+    if os.path.exists(index_path):
+        shutil.rmtree(index_path)
+    os.rename(staging, index_path)
+    return n
+
+
 def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     """Scheme-aware existence probe via the JVM Hadoop FileSystem —
     works for ``file://``, ``s3a://``, ``hdfs://`` and anything else

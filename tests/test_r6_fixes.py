@@ -267,6 +267,50 @@ def test_state_partitions_knob_captured_and_restored(spark, tmp_path):
     assert sorted(d for d in state_dirs if d.isdigit()) == ["0", "1", "2"]
 
 
+def test_compact_ingest_index_preserves_classification(spark, tmp_path):
+    """Compacting the append-grown ingest index between ticks must not
+    change a later batch's history classification: same stats row with
+    and without compaction, fewer data files after."""
+    import os
+
+    from pyspark.sql import Row
+
+    from elb_log_etl_enrichment_spark.streaming.stream import (
+        _digest_ingest_upsert,
+        compact_ingest_index,
+    )
+
+    def _stats(index):
+        return sorted(
+            (r.batch_id, r.n_batch, r.n_dup_of_history, r.n_ingested)
+            for r in spark.read.parquet(index + "_stats").collect()
+        )
+
+    docs0 = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="delta eps")]
+    )
+    docs1 = spark.createDataFrame(
+        [Row(doc_id=3, text="alpha beta gamma"), Row(doc_id=4, text="zeta")]
+    )
+    results = {}
+    for tag, compact in [("plain", False), ("compacted", True)]:
+        index = str(tmp_path / f"idx_{tag}.parquet")
+        _digest_ingest_upsert(docs0, 0, index)
+        if compact:
+            n = compact_ingest_index(spark, index, target_files=1)
+            assert n == spark.read.parquet(index).count()
+            files = [
+                f for f in os.listdir(index)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
+            assert len(files) == 1
+        _digest_ingest_upsert(docs1, 1, index)
+        results[tag] = _stats(index)
+    assert results["plain"] == results["compacted"]
+    # doc 3 is a history dup of doc 1 in batch 1 either way
+    assert results["plain"][1][2] == 1
+
+
 def test_connected_components_paths_agree(spark):
     """The r6 driver union-find gate must label identically to the
     distributed min-label loop (forced via small_graph_threshold=0) —
