@@ -311,6 +311,37 @@ def test_compact_ingest_index_preserves_classification(spark, tmp_path):
     assert results["plain"][1][2] == 1
 
 
+def test_compact_ingest_index_band_layout(spark, tmp_path):
+    """Same invariance for the MinHash BAND index (the other persisted
+    ingest layout): compaction between ticks leaves near-dup history
+    classification unchanged."""
+    from pyspark.sql import Row
+
+    from elb_log_etl_enrichment_spark.streaming.stream import (
+        _neardup_ingest_upsert,
+        compact_ingest_index,
+    )
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    docs0 = spark.createDataFrame([Row(doc_id=1, text=text_a)])
+    docs1 = spark.createDataFrame(
+        [Row(doc_id=2, text=text_a), Row(doc_id=3, text="totally different words here nothing shared at all today")]
+    )
+    stats = {}
+    for tag, compact in [("plain", False), ("compacted", True)]:
+        index = str(tmp_path / f"band_{tag}.parquet")
+        _neardup_ingest_upsert(docs0, 0, index)
+        if compact:
+            compact_ingest_index(spark, index, target_files=1)
+        _neardup_ingest_upsert(docs1, 1, index)
+        stats[tag] = sorted(
+            (r.batch_id, r.n_batch, r.n_dup_of_history, r.n_ingested)
+            for r in spark.read.parquet(index + "_stats").collect()
+        )
+    assert stats["plain"] == stats["compacted"]
+    assert stats["plain"][1][2] == 1  # doc 2 is a near-dup of history
+
+
 def test_connected_components_paths_agree(spark):
     """The r6 driver union-find gate must label identically to the
     distributed min-label loop (forced via small_graph_threshold=0) —
