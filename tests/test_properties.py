@@ -565,3 +565,38 @@ def test_y4m_roundtrip_arbitrary_planes(w, h, n_frames, rng):
     dw, dh, got = decode_y4m(encode_y4m(frames, w, h))
     assert (dw, dh) == (w, h)
     assert got == frames
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=0, max_size=3),  # content
+            st.dictionaries(
+                st.sampled_from(["k1", "k2"]),
+                st.integers(min_value=0, max_value=3),
+                max_size=2,
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_exact_dedup_map_path_properties(rows):
+    """min_by map-path invariants on random frames (r6): one survivor
+    per distinct content, survivor id is the MINIMUM id for that
+    content, and the carried map payload belongs to that exact row."""
+    from elb_log_etl_enrichment_spark.operators.dedup import exact_dedup
+
+    data = [(i, txt, {k: str(v) for k, v in m.items()}) for i, (txt, m) in enumerate(rows)]
+    df = _spark.createDataFrame(
+        data, "id long, text string, props map<string,string>"
+    )
+    out = {r.id: r for r in exact_dedup(df, ["text"], "id").collect()}
+    expect = {}
+    for i, txt, m in data:
+        if txt not in expect or i < expect[txt][0]:
+            expect[txt] = (i, m)
+    assert sorted(out) == sorted(i for i, _ in expect.values())
+    for txt, (i, m) in expect.items():
+        assert out[i].text == txt and (out[i].props or {}) == m
