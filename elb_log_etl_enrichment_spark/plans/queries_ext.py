@@ -854,7 +854,9 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     sessions = sessionized_stream(events, gap="30 minutes")
     ckpt = _fresh_checkpoint("sessionize")
-    result = run_available_now(sessions, spark, "mem_stream_sessions", ckpt)
+    result = run_available_now(
+        sessions, spark, "mem_stream_sessions", ckpt, state_partitions=8
+    )
     return result.select(
         "user_id",
         F.unix_millis("session_start").alias("session_start_ms"),
@@ -884,7 +886,9 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     hourly = hourly_stream_agg(events)
     ckpt = _fresh_checkpoint("hourly")
-    result = run_available_now(hourly, spark, "mem_stream_hourly", ckpt)
+    result = run_available_now(
+        hourly, spark, "mem_stream_hourly", ckpt, state_partitions=8
+    )
     return result.select(
         F.unix_millis("hour_start").alias("hour_start_ms"),
         "event_type",
@@ -926,7 +930,8 @@ def streaming_dedup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
     )
     ckpt = _fresh_checkpoint("stream_dedup")
     result = run_available_now(
-        dd, spark, "mem_stream_dedup", ckpt, output_mode="append"
+        dd, spark, "mem_stream_dedup", ckpt, output_mode="append",
+        state_partitions=8,
     )
     return result.select("user_id", "event_type")
 
@@ -965,7 +970,8 @@ def streaming_dedup_hourly_active_users(
     out = dedup_then_hourly_users(events)
     ckpt = _fresh_checkpoint("dedup_hourly")
     result = run_available_now(
-        out, spark, "mem_stream_dedup_hourly", ckpt, output_mode="update"
+        out, spark, "mem_stream_dedup_hourly", ckpt, output_mode="update",
+        state_partitions=8,
     )
     # Update mode APPENDS each batch's changed rows to the memory sink:
     # in a multi-batch drain a window emits once per batch it grows in,
@@ -1017,7 +1023,8 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = view_purchase_join_stream(events, max_gap="30 minutes").drop("view_ts")
     ckpt = _fresh_checkpoint("vp_join")
     return run_available_now(
-        joined, spark, "mem_stream_vp_join", ckpt, output_mode="append"
+        joined, spark, "mem_stream_vp_join", ckpt, output_mode="append",
+        state_partitions=8,
     )
 
 
@@ -1838,7 +1845,9 @@ def streaming_static_nation_counts(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
     ckpt = _fresh_checkpoint("static_join")
-    return run_available_now(agg, spark, "mem_stream_static", ckpt)
+    return run_available_now(
+        agg, spark, "mem_stream_static", ckpt, state_partitions=8
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1928,7 +1937,9 @@ def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     ckpt = _fresh_checkpoint("sliding")
-    return run_available_now(agg, spark, "mem_stream_sliding", ckpt)
+    return run_available_now(
+        agg, spark, "mem_stream_sliding", ckpt, state_partitions=8
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2265,7 +2276,9 @@ def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     bars = ohlc_stream(events)
     ckpt = _fresh_checkpoint("ohlc")
-    result = run_available_now(bars, spark, "mem_stream_ohlc", ckpt)
+    result = run_available_now(
+        bars, spark, "mem_stream_ohlc", ckpt, state_partitions=8
+    )
     return result.select(
         "series",
         F.unix_millis("bucket_start").alias("bucket_start_ms"),
