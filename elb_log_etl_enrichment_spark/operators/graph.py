@@ -145,7 +145,12 @@ def _cc_local(nodes: DataFrame, und: DataFrame, id_col: str) -> DataFrame:
     """Driver union-find for gate-passing graphs. Labels equal the
     distributed path's exactly: smallest reachable id per component
     (Python ``min`` orders longs and ASCII/hex string ids identically
-    to Spark's ``min``)."""
+    to Spark's ``min``). Edges touching an id absent from ``nodes``
+    are DROPPED, matching the distributed loop where an unlabeled
+    endpoint joins nothing (code-review r06: the old ``setdefault``
+    on edge endpoints let an edge-only bridge node merge two
+    components — and even become their min label — on this path
+    only, diverging from the large-graph path on the same input)."""
     parent: dict = {}
 
     def find(x):
@@ -157,12 +162,13 @@ def _cc_local(nodes: DataFrame, und: DataFrame, id_col: str) -> DataFrame:
         return root
 
     ids = [r[0] for r in nodes.select(id_col).collect()]
+    known = set(ids)
     for i in ids:
         parent.setdefault(i, i)
     for r in und.collect():
         a, b = r["src"], r["dst"]
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
+        if a not in known or b not in known:
+            continue
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[ra] = rb

@@ -2605,7 +2605,11 @@ def streaming_ingest_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # byte-identically.
 # --------------------------------------------------------------------------
 def _device_case_sql(ua_expr: str) -> str:
-    from ..functions.ua_regexes import DEVICE_PARSERS
+    # the table the CLASSIFIER actually uses (ua.DEVICE_PARSERS is
+    # rebound to the full uap-core table when one is dropped in;
+    # importing ua_regexes' copy here would desync the oracle —
+    # code-review r06)
+    from ..functions.ua import DEVICE_PARSERS
 
     branches = []
     for rule in DEVICE_PARSERS:
@@ -2630,7 +2634,18 @@ def _device_case_sql(ua_expr: str) -> str:
     return "CASE " + " ".join(branches) + " ELSE 'Other' END"
 
 
-def _elb_device_report_sql() -> str:
+def _elb_device_report_sql() -> str | None:
+    # In an environment where classify_device takes a path the table
+    # cannot replay — the real `user_agents` wheel, or a full
+    # uap-core regexes.yaml (whose long-tail patterns are not all
+    # RE2/DuckDB-safe) — registering the curated-table CASE would
+    # oracle a DIFFERENT function than the engine runs (code-review
+    # r06). Fall back to rows-only there; the UA battery remains the
+    # parity contract.
+    from ..functions import ua
+
+    if ua._ua_parse is not None or ua._FULL_UAP is not None:
+        return None
     return f"""
     WITH raw AS (
         SELECT regexp_extract_all(value, '"[^"]*"|\\S+') AS t
@@ -2661,11 +2676,12 @@ def elb_device_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark side; at 100 TB, classify DISTINCT UA strings and
     broadcast-join back (the documented UA scale path).
 
-    The oracle replays the VENDORED table; where the real
-    ``user_agents`` wheel is importable, ``classify_device`` prefers
-    it and families outside the battery-pinned set could diverge from
-    this oracle — the UA battery (tests/test_parse.py) is the parity
-    contract there."""
+    The oracle CASE is generated from the table ``classify_device``
+    actually uses (``ua.DEVICE_PARSERS``, post any full-uap-core
+    rebind); where the engine takes a path the table cannot replay —
+    the real ``user_agents`` wheel, or a dropped-in full regexes.yaml
+    — registration falls back to rows-only (code-review r06) and the
+    UA battery (tests/test_parse.py) is the parity contract."""
     import os
 
     from ..functions.ua import device_classify

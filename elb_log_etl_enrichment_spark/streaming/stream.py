@@ -274,7 +274,20 @@ def run_available_now(
     alone (r6 measurement: 7.6 s → 2.7 s at 8 partitions). The conf is
     set only for the ``start()`` window and restored; a 100 TB
     deployment passes hundreds here, exactly as it would on a real
-    cluster."""
+    cluster.
+
+    CONTRACT (code-review r06): the mutate-start-restore window
+    assumes no OTHER plan compiles on this session concurrently —
+    Spark exposes no per-query state-partition option (state width is
+    pinned to ``spark.sql.shuffle.partitions`` at first start, and
+    ``DataStreamWriter.option`` cannot set SQL confs), so a batch
+    action or second ``start()`` racing this window would compile at
+    ``state_partitions`` wide. Every registry call site runs streams
+    sequentially on a driver thread, satisfying this; a multi-tenant
+    session must serialize calls or use a dedicated session. The
+    synchronous conf capture inside ``start()`` is pinned against
+    version drift by
+    tests/test_r6_fixes.py::test_state_partitions_knob_captured_and_restored."""
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
@@ -541,20 +554,31 @@ def compact_ingest_index(
     Staged to a sibling directory and swapped in, like the geo-cache
     upsert (the sink would otherwise truncate its own input); run it
     BETWEEN ticks — the cron cadence's idle window — never while a
-    foreachBatch commit is in flight. On object stores the same
-    staging lands with a manifest swap (see
-    ``sinks.writers.write_audit_publish``)."""
-    import shutil
-
+    foreachBatch commit is in flight. The delete+rename swap goes
+    through the Hadoop FileSystem API like the existence probe
+    (code-review r06): a local-only ``shutil.rmtree``/``os.rename``
+    would rewrite the staging copy on an ``s3a://``/``hdfs://`` index
+    and then fail the swap, stranding a ``.compact`` sibling with no
+    compaction. Note rename is not atomic on object stores — for an
+    S3 production index prefer the manifest-pointer swap
+    (``sinks.writers.write_audit_publish``)."""
     if not _hadoop_path_exists(spark, index_path):
         return 0
     idx = spark.read.parquet(index_path)
     staging = index_path.rstrip("/") + ".compact"
     idx.repartition(target_files).write.mode("overwrite").parquet(staging)
     n = spark.read.parquet(staging).count()
-    if os.path.exists(index_path):
-        shutil.rmtree(index_path)
-    os.rename(staging, index_path)
+    jvm = spark._jvm
+    jidx = jvm.org.apache.hadoop.fs.Path(index_path)
+    jstage = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = jidx.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jidx):
+        fs.delete(jidx, True)
+    if not fs.rename(jstage, jidx):
+        raise IOError(
+            f"compact_ingest_index: rename {staging} -> {index_path} "
+            "failed; compacted copy left in staging"
+        )
     return n
 
 

@@ -600,3 +600,89 @@ def test_exact_dedup_map_path_properties(rows):
     assert sorted(out) == sorted(i for i, _ in expect.values())
     for txt, (i, m) in expect.items():
         assert out[i].text == txt and (out[i].props or {}) == m
+
+
+# ---------------------------------------------------------------------------
+# r7 (verdict r06 item 8): fuzz the FULL _contains_map decision tree —
+# maps nested inside structs, arrays, and struct/array compositions all
+# must take the min_by path and carry the exact survivor row's payload.
+# ---------------------------------------------------------------------------
+_NESTED_MAP_SHAPES = {
+    "struct_map": (
+        "struct<a:long, m:map<string,string>>",
+        lambda i: (i % 5, {"k": str(i % 3)}),
+        lambda p, i: p.a == i % 5 and dict(p.m or {}) == {"k": str(i % 3)},
+    ),
+    "array_map": (
+        "array<map<string,string>>",
+        lambda i: [{"k": str(i % 3)}, {"j": str(i % 2)}],
+        lambda p, i: [dict(m) for m in (p or [])]
+        == [{"k": str(i % 3)}, {"j": str(i % 2)}],
+    ),
+    "struct_array_map": (
+        "struct<xs:array<map<string,long>>>",
+        lambda i: ([{"k": i % 4}],),
+        lambda p, i: [dict(m) for m in (p.xs or [])] == [{"k": i % 4}],
+    ),
+    "array_struct_map": (
+        "array<struct<m:map<string,long>>>",
+        lambda i: [({"k": i % 4},)],
+        lambda p, i: [dict(s.m) for s in (p or [])] == [{"k": i % 4}],
+    ),
+}
+
+
+@pytest.mark.parametrize("shape", sorted(_NESTED_MAP_SHAPES))
+@given(st.lists(st.text(alphabet="abc", min_size=0, max_size=3), min_size=1, max_size=20))
+@settings(max_examples=6, deadline=None)
+def test_exact_dedup_nested_map_shapes(shape, texts):
+    """Nested-map dedup invariants: one survivor per distinct content,
+    survivor id is the minimum id for that content, and the carried
+    nested payload is the survivor row's own (derived from its id)."""
+    from elb_log_etl_enrichment_spark.operators.dedup import (
+        _contains_map,
+        exact_dedup,
+    )
+
+    ddl, build, check = _NESTED_MAP_SHAPES[shape]
+    df = _spark.createDataFrame(
+        [(i, t, build(i)) for i, t in enumerate(texts)],
+        f"id long, text string, payload {ddl}",
+    )
+    assert any(_contains_map(f.dataType) for f in df.schema.fields)
+    out = {r.id: r for r in exact_dedup(df, ["text"], "id").collect()}
+    expect = {}
+    for i, t in enumerate(texts):
+        if t not in expect or i < expect[t]:
+            expect[t] = i
+    assert sorted(out) == sorted(expect.values())
+    for t, i in expect.items():
+        assert out[i].text == t
+        assert check(out[i].payload, i)
+
+
+def test_contains_map_decision_tree():
+    """Direct unit coverage of every _contains_map recursion branch,
+    including the False leaves (struct/array with no map inside)."""
+    from pyspark.sql.types import _parse_datatype_string as ddl
+
+    from elb_log_etl_enrichment_spark.operators.dedup import _contains_map
+
+    true_cases = [
+        "map<string,string>",
+        "array<map<string,long>>",
+        "struct<m:map<string,long>>",
+        "struct<xs:array<map<string,long>>>",
+        "array<struct<m:map<string,long>>>",
+        "struct<s:struct<xs:array<struct<m:map<string,long>>>>>",
+    ]
+    false_cases = [
+        "string",
+        "array<long>",
+        "struct<a:long, b:array<string>>",
+        "array<struct<xs:array<struct<a:long>>>>",
+    ]
+    for t in true_cases:
+        assert _contains_map(ddl(t)), t
+    for t in false_cases:
+        assert not _contains_map(ddl(t)), t

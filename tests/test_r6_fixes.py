@@ -379,17 +379,19 @@ def test_device_case_sql_rejects_unsupported_substitutions():
     import pytest
 
     from elb_log_etl_enrichment_spark.plans import queries_ext as qe
-    from elb_log_etl_enrichment_spark.functions import ua_regexes as ur
+    from elb_log_etl_enrichment_spark.functions import ua
 
-    rules = ur.DEVICE_PARSERS
+    # the generator reads ua.DEVICE_PARSERS — the table the classifier
+    # actually uses (code-review r06) — so the monkeypatch goes there
+    rules = ua.DEVICE_PARSERS
     try:
-        ur.DEVICE_PARSERS = rules + [
+        ua.DEVICE_PARSERS = rules + [
             {"regex": "(A) (B)", "device_replacement": "$1 $2"}
         ]
         with pytest.raises(ValueError, match="device_replacement"):
             qe._device_case_sql("ua")
     finally:
-        ur.DEVICE_PARSERS = rules
+        ua.DEVICE_PARSERS = rules
 
 
 def test_ua_device_trim_only_and_multidigit_groups():

