@@ -332,6 +332,48 @@ SECONDARY_SET = {
 }
 
 
+def _stale_steady_entries(steady_book: dict) -> list[str]:
+    """Names whose defining module has commits AFTER the entry's
+    recorded measuring commit (VERDICT r06 item 5): their stamps
+    describe code that no longer runs. Resolution is per-module via
+    the registry fn's source file; any git/lookup failure marks the
+    entry stale (re-timing is cheap, a wrong steady number is not)."""
+    import inspect
+    import subprocess
+
+    from elb_log_etl_enrichment_spark.plans.queries import REGISTRY
+
+    stale: list[str] = []
+    changed_cache: dict[tuple[str, str], bool] = {}
+    for name, rec in steady_book.items():
+        commit = rec.get("commit", "")
+        spec = REGISTRY.get(name)
+        if not commit or spec is None:
+            stale.append(name)
+            continue
+        try:
+            mod_file = os.path.relpath(inspect.getfile(spec.fn), REPO_ROOT)
+        except Exception:
+            stale.append(name)
+            continue
+        key = (commit, mod_file)
+        if key not in changed_cache:
+            try:
+                out = subprocess.run(
+                    ["git", "diff", "--name-only", f"{commit}..HEAD", "--", mod_file],
+                    cwd=REPO_ROOT,
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                )
+                changed_cache[key] = bool(out.stdout.strip())
+            except Exception:
+                changed_cache[key] = True
+        if changed_cache[key]:
+            stale.append(name)
+    return stale
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -409,10 +451,25 @@ def main() -> None:
             n: rec for n, rec in steady_book.items()
             if (n in timings or n in sec_timings) and rec.get("sf_dir") == sf_dir
         }
-        report["steady"] = {n: rec["steady"] for n, rec in steady_book.items()}
-        report["steady_commit"] = {
-            n: rec.get("commit", "?") for n, rec in steady_book.items()
+        # staleness rule (VERDICT r06 item 5): a steady stamp is only
+        # trustworthy while the query's defining module is unchanged
+        # since it was measured. Entries whose module has commits after
+        # their recorded measuring commit move to `steady_stale` —
+        # regression hunts must re-time those (scripts/steady_retime.py)
+        # instead of reading a number the current code never produced.
+        stale = _stale_steady_entries(steady_book)
+        report["steady"] = {
+            n: rec["steady"]
+            for n, rec in steady_book.items()
+            if n not in stale
         }
+        report["steady_commit"] = {
+            n: rec.get("commit", "?")
+            for n, rec in steady_book.items()
+            if n not in stale
+        }
+        if stale:
+            report["steady_stale"] = stale
     # The driver stores a bounded stdout tail KEPT FROM THE END (r01's
     # recorded tail is front-truncated), so the multi-KB full-report line
     # must NOT be last: its leading "metric" key would be cut and the

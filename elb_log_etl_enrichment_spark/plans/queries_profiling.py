@@ -777,26 +777,37 @@ def table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact interpolated `percentile` buffers the whole column in ONE
 # aggregation state — fine for oracle parity at test scale, a
 # single-reducer straggler at 100 TB. These twins swap in
-# `approx_percentile` (KLL-style mergeable sketch: bounded state,
-# map-side combined, no row buffer), the documented scale path — same
+# `approx_percentile` (GK mergeable sketch: bounded state, map-side
+# combined, no row buffer), the documented scale path — same
 # discipline as approx_aggregates_events (SURVEY §7.4 trap 6: approx
-# variants are SEPARATE queries, never silent substitutes). Sketches
-# are engine-specific → rows-only for the driver; the local pytest
-# contract bounds their error against the exact forms.
+# variants are SEPARATE queries, never silent substitutes).
+#
+# Registry form = RANK-ERROR AUDIT (VERDICT r06 item 3: the sketch
+# values are engine-specific, but the sketch's rank-error BOUND is
+# SQL-expressible): the Spark side computes, per target quantile, the
+# strict/non-strict rank interval of the estimate in one scan pass
+# (broadcast estimates, conditional counts — itself the 100 TB shape)
+# and emits `rank_ok` = the interval intersects
+# [target − slack, target + slack], slack = 2n/accuracy + 1 (GK
+# guarantees εn with ε = 1/accuracy; the factor-2 absorbs rank-
+# convention off-by-ones). The oracle emits the contract (`1`) plus
+# the genuinely recomputable columns (group keys, exact counts), so a
+# drifting sketch hash-mismatches at the driver. The full estimate
+# frames (`*_detail`) stay exported for users and the local
+# track-exact tests.
 # --------------------------------------------------------------------------
 _APPROX_PCT_ACCURACY = 10_000
 
 
-@register(
-    "equi_depth_histogram_orders_approx",
-    sql=None,
-    tags=("profiling", "histogram", "percentile", "approx", "sketch"),
-)
-def equi_depth_histogram_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def equi_depth_histogram_orders_approx_detail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Octile histogram on approx_percentile bounds — the 100 TB form
     of `equi_depth_histogram_orders` (same plan shape: one aggregate,
     broadcast bounds, HOF bucketing; sketch state instead of a full
-    column buffer)."""
+    column buffer). Estimate-valued, so not driver-oracled; the
+    registered `equi_depth_histogram_orders_approx` audits its bounds'
+    rank error instead."""
     o = _t(spark, sf_dir, "orders")
     bounds = o.agg(
         F.percentile_approx(
@@ -821,14 +832,77 @@ def equi_depth_histogram_orders_approx(spark: SparkSession, sf_dir: str) -> Data
 
 
 @register(
-    "iqr_outlier_audit_approx",
-    sql=None,
-    tags=("profiling", "outliers", "percentile", "approx", "sketch"),
+    "equi_depth_histogram_orders_approx",
+    sql="""
+    WITH n AS (SELECT COUNT(*) AS n FROM orders)
+    SELECT CAST(r.range AS BIGINT) AS quantile_idx,
+           CAST(n.n AS BIGINT) AS n,
+           CAST(1 AS BIGINT) AS rank_ok
+    FROM range(1, 8) r, n
+    ORDER BY quantile_idx
+    """,
+    tags=("profiling", "histogram", "percentile", "approx", "sketch"),
 )
-def iqr_outlier_audit_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def equi_depth_histogram_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-error audit of the approx octile bounds: for each target
+    octile q/8 the estimate's rank interval
+    [count(x < est), count(x <= est)] must intersect
+    q·n/8 ± (2n/accuracy + 1). One sketch aggregate + one
+    conditional-count scan pass with the 7 bounds broadcast — no row
+    buffer, no global sort; `rank_ok` hash-fails at the driver if the
+    sketch ever drifts past its published guarantee."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.percentile_approx(
+            "o_totalprice",
+            F.array(*[F.lit(q / 8.0) for q in range(1, 8)]),
+            F.lit(_APPROX_PCT_ACCURACY),
+        ).alias("bs")
+    )
+    b = F.col("bs")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for q in range(1, 8):
+        est = F.element_at(b, q)
+        aggs.append(
+            F.count_if(F.col("o_totalprice") < est).alias(f"lo{q}")
+        )
+        aggs.append(
+            F.count_if(F.col("o_totalprice") <= est).alias(f"hi{q}")
+        )
+    stats = o.join(F.broadcast(bounds)).agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(q).cast("long").alias("quantile_idx"),
+                F.col(f"lo{q}").alias("lo"),
+                F.col(f"hi{q}").alias("hi"),
+            )
+            for q in range(1, 8)
+        ]
+    )
+    slack = 2.0 * F.col("n") / _APPROX_PCT_ACCURACY + 1.0
+    target = F.col("s.quantile_idx") * F.col("n") / 8.0
+    ok = ~(
+        (F.col("s.hi") < target - slack) | (F.col("s.lo") > target + slack)
+    )
+    return (
+        stats.select("n", F.explode(rows).alias("s"))
+        .select(
+            F.col("s.quantile_idx").alias("quantile_idx"),
+            F.col("n"),
+            ok.cast("long").alias("rank_ok"),
+        )
+        .orderBy("quantile_idx")
+    )
+
+
+def iqr_outlier_audit_approx_detail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Tukey fences from approx_percentile — the 100 TB form of
     `iqr_outlier_audit` (per-group sketch state, map-side combinable,
-    no per-group column buffer)."""
+    no per-group column buffer). Estimate-valued; the registered
+    `iqr_outlier_audit_approx` audits the quartiles' rank error."""
     e = _t(spark, sf_dir, "events")
     fences = e.groupBy("event_type").agg(
         F.percentile_approx("value", F.lit(0.25), F.lit(_APPROX_PCT_ACCURACY)).alias("q1"),
@@ -848,6 +922,56 @@ def iqr_outlier_audit_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "iqr_outlier_audit_approx",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(1 AS BIGINT) AS q1_rank_ok,
+           CAST(1 AS BIGINT) AS q3_rank_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("profiling", "outliers", "percentile", "approx", "sketch"),
+)
+def iqr_outlier_audit_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group rank-error audit of the approx quartiles feeding the
+    Tukey fences: within each event_type, Q1/Q3 estimates' rank
+    intervals must intersect 0.25n / 0.75n ± (2n/accuracy + 1). Same
+    plan as the fence census — per-group sketch aggregate, broadcast
+    join-back, one conditional-count pass — with the estimates checked
+    rather than emitted."""
+    e = _t(spark, sf_dir, "events")
+    fences = e.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.25), F.lit(_APPROX_PCT_ACCURACY)).alias("q1"),
+        F.percentile_approx("value", F.lit(0.75), F.lit(_APPROX_PCT_ACCURACY)).alias("q3"),
+    )
+    j = e.join(F.broadcast(fences), "event_type")
+    stats = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("value") < F.col("q1")).alias("q1_lo"),
+        F.count_if(F.col("value") <= F.col("q1")).alias("q1_hi"),
+        F.count_if(F.col("value") < F.col("q3")).alias("q3_lo"),
+        F.count_if(F.col("value") <= F.col("q3")).alias("q3_hi"),
+    )
+    slack = 2.0 * F.col("n") / _APPROX_PCT_ACCURACY + 1.0
+
+    def rank_ok(frac: float, lo: str, hi: str):
+        target = F.col("n") * frac
+        return (
+            ~(
+                (F.col(hi) < target - slack)
+                | (F.col(lo) > target + slack)
+            )
+        ).cast("long")
+
+    return stats.select(
+        "event_type",
+        "n",
+        rank_ok(0.25, "q1_lo", "q1_hi").alias("q1_rank_ok"),
+        rank_ok(0.75, "q3_lo", "q3_hi").alias("q3_rank_ok"),
+    ).orderBy("event_type")
 
 
 # --------------------------------------------------------------------------
@@ -935,21 +1059,17 @@ def doc_quartiles_approx(d: DataFrame) -> DataFrame:
     return d.join(F.broadcast(cuts)).select("doc_id", q.alias("q"))
 
 
-@register(
-    "vocab_growth_audit_approx",
-    sql=None,
-    tags=("profiling", "vocab", "heaps", "percentile", "approx", "sketch"),
-)
-def vocab_growth_audit_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """100 TB twin of `vocab_growth_audit` (VERDICT r02 item 3): the
-    quartile assignment comes from :func:`doc_quartiles_approx` —
-    sketch cutpoints + broadcast CASE, no single-partition sort of
-    doc_id anywhere in the pre-aggregate plan (plan-pinned by
-    tests/test_plans.py). The final cumulative window runs over the
-    4-row aggregate, the documented bounded-frame exception. Sketch
-    boundaries are engine-specific → rows-only for the driver; the
-    local pytest contract bounds drift against the exact form (total
-    vocabulary is boundary-invariant and must match exactly)."""
+def vocab_growth_audit_approx_detail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """100 TB twin of `vocab_growth_audit`: the quartile assignment
+    comes from :func:`doc_quartiles_approx` — sketch cutpoints +
+    broadcast CASE, no single-partition sort of doc_id anywhere in the
+    pre-aggregate plan (plan-pinned by tests/test_plans.py). The final
+    cumulative window runs over the 4-row aggregate, the documented
+    bounded-frame exception. Per-quartile counts are
+    boundary-dependent → the registered
+    `vocab_growth_audit_approx` audits the boundaries instead."""
     d = _t(spark, sf_dir, "documents")
     dq = doc_quartiles_approx(d)
     tok = d.select(
@@ -970,6 +1090,56 @@ def vocab_growth_audit_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("new_tokens").cast("long").alias("new_tokens"),
             F.sum("new_tokens").over(w).cast("long").alias("cum_vocab"),
         )
+        .orderBy("quartile")
+    )
+
+
+@register(
+    "vocab_growth_audit_approx",
+    sql=r"""
+    WITH v AS (
+        SELECT COUNT(DISTINCT tok) AS v FROM (
+            SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+            FROM documents
+        )
+    )
+    SELECT CAST(r.range AS BIGINT) AS quartile,
+           CAST(1 AS BIGINT) AS docs_balance_ok,
+           CAST(v.v AS BIGINT) AS total_vocab
+    FROM range(1, 5) r, v
+    ORDER BY quartile
+    """,
+    tags=("profiling", "vocab", "heaps", "percentile", "approx", "sketch"),
+)
+def vocab_growth_audit_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary audit of the sketch quartile partition behind the
+    100 TB vocab-growth curve (VERDICT r06 item 3): each approx
+    quartile must be non-empty (rows 1..4 — a missing row fails the
+    driver's row-count check), hold n/4 ± (4n/accuracy + 2) documents
+    (two cutpoints of GK rank error bound each quartile's size), and
+    the total vocabulary — which is partition-invariant — must equal
+    the exact distinct-token count. The curve itself stays available
+    as :func:`vocab_growth_audit_approx_detail`."""
+    d = _t(spark, sf_dir, "documents")
+    dq = doc_quartiles_approx(d)
+    tok = d.select(
+        F.explode(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))).alias(
+            "tok"
+        ),
+    )
+    vocab = tok.agg(F.count_distinct("tok").alias("total_vocab"))
+    sizes = dq.groupBy(F.col("q").cast("long").alias("quartile")).agg(
+        F.count(F.lit(1)).alias("docs")
+    )
+    n_docs = dq.agg(F.count(F.lit(1)).alias("n_docs"))
+    slack = 4.0 * F.col("n_docs") / _APPROX_PCT_ACCURACY + 2.0
+    ok = (
+        F.abs(F.col("docs") - F.col("n_docs") / 4.0) <= slack
+    ).cast("long")
+    return (
+        sizes.join(F.broadcast(n_docs))
+        .join(F.broadcast(vocab))
+        .select("quartile", ok.alias("docs_balance_ok"), "total_vocab")
         .orderBy("quartile")
     )
 

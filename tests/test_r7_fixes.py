@@ -129,3 +129,55 @@ def test_compact_ingest_index_rename_failure_is_loud(spark, tmp_path):
     assert not os.path.exists(idx + ".compact")
     assert spark.read.parquet(idx).count() == 10
     assert "batch_id" in spark.read.parquet(idx).columns
+
+
+def test_elb_stream_single_paced_run_batches_per_file(spark, tmp_path):
+    """r7 (verdict r06 item 6): one availableNow run with
+    maxFilesPerTrigger=1 over two mtime-ordered gzip objects must
+    process each file in its own micro-batch (two ingest_batch
+    partition dirs, per-file row counts), composing to the same
+    cleaned-logs content as the former two-run shape."""
+    import glob
+    import gzip
+    import os
+    import time
+
+    from elb_log_etl_enrichment_spark.sources.alb_fixtures import (
+        fixture_lines,
+    )
+    from elb_log_etl_enrichment_spark.streaming.elb_stream import (
+        stream_elb_pipeline,
+    )
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    out = str(tmp_path / "out")
+    lines = fixture_lines()
+
+    def land(name, chunk, mtime=None):
+        p = str(logs / name)
+        with gzip.open(p, "wt") as f:
+            f.write("\n".join(chunk) + "\n")
+        if mtime is not None:
+            os.utime(p, (mtime, mtime))
+
+    now = time.time()
+    land("a.log.gz", lines, mtime=now - 60)  # 22 cleaned rows
+    land("b.log.gz", lines[:5])  # 5 more browser lines
+    stream_elb_pipeline(
+        spark, str(logs / "*.gz"), out, max_files_per_trigger=1
+    )
+    root = os.path.join(out, "cleaned_logs")
+    batches = sorted(
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(root, "ingest_batch=*"))
+    )
+    assert batches == ["ingest_batch=0", "ingest_batch=1"], batches
+    cleaned = spark.read.parquet(root)
+    per_batch = {
+        r["ingest_batch"]: r["n"]
+        for r in cleaned.groupBy("ingest_batch")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_batch == {0: 22, 1: 5}, per_batch

@@ -171,3 +171,35 @@ def test_scaled_corpus_preserves_integrity(spark, tmp_path):
         )
 
     assert matched(dst) == 3 * matched(src)
+
+
+def test_committed_corpus_matches_live_source(spark):
+    """The oracle for `synthetic_source_status_counts` aggregates the
+    COMMITTED corpus parquet; this pin guarantees the live Data Source
+    emits exactly those lines for the registry options (r7: the
+    rows-only → oracle promotion is only sound under this identity)."""
+    from elb_log_etl_enrichment_spark.sources.synthetic_elb import (
+        CORPUS_PARQUET,
+        CORPUS_PARTITIONS,
+        CORPUS_ROWS_PER_PARTITION,
+        CORPUS_SEED,
+        corpus_lines,
+        register,
+    )
+
+    register(spark)
+    live = sorted(
+        r.value
+        for r in (
+            spark.read.format("elb_synthetic")
+            .option("partitions", CORPUS_PARTITIONS)
+            .option("rows_per_partition", CORPUS_ROWS_PER_PARTITION)
+            .option("seed", CORPUS_SEED)
+            .load()
+            .collect()
+        )
+    )
+    committed = sorted(
+        r.value for r in spark.read.parquet(CORPUS_PARQUET).collect()
+    )
+    assert live == committed == sorted(corpus_lines())
