@@ -1312,6 +1312,120 @@ _head6 = [
 _rest6 = [n for n in CORE_PREFIX if n not in _head6 and n not in _R6_PROMOTED]
 CORE_PREFIX = _head6 + _R6_PROMOTED + _rest6
 
+# Round-7 rebalance (VERDICT r06 item 1: 101/268 queries still have
+# zero driver rows). 32 promotions: the 13-query generalized TPC-H
+# battery block the verdict led with, every other never-sampled
+# standout it named (dedup_cluster_sizes, simhash_documents,
+# winnowing_fingerprints, recursive_knn_bfs_levels,
+# streaming_wap_publish_stats, knn_clustering_coefficient), the two
+# ADVICE-fix-lineage carriers (item 7: incremental_ingest_dedup —
+# the Hadoop-FS existence probe + the r7 FS-API compaction swap —
+# and simhash_weighted_near_dup), the FOUR queries whose oracle is
+# NEW this round (item 3: synthetic_source_status_counts's
+# materialized-corpus oracle and the three approx twins' rank-error
+# audits), and never-sampled representatives of tiers whose head
+# reps are banked (knn triangles, OHLC batch twin, transition
+# matrix, interval-overlap concurrency, token entropy, stratified
+# sampling, watermark-dedup hourly actives). The three streams whose
+# PLANS changed this round (single paced run / batch_shuffle_
+# partitions: streaming_elb_pipeline_hourly,
+# streaming_neardup_ingest_stats, streaming_ingest_dedup_stats) stay
+# in the head unpromoted to RE-verify, as does elb_device_report
+# (oracle now generated from the classifier's live table). Displaced
+# entries are banked driver-green 2-3 rounds, or r6-green with a
+# same-shape survivor staying/promoting; every one keeps its local
+# oracle test.
+_R7_PROMOTED = [
+    # generalized TPC-H battery (verdict-led block, all never-sampled)
+    "filtered_revenue_simple",          # Q6 shape
+    "returned_items_topk",              # Q10 shape
+    "window_value_functions",           # first/last/nth/lead/lag battery
+    "null_safe_join_battery",           # <=> / IS DISTINCT FROM joins
+    "grouping_sets_customer",           # GROUPING SETS + grouping_id
+    "cheapest_part_per_type_size",      # Q2 min-per-group shape
+    "sole_fault_suppliers",             # Q21 multi-exists shape
+    "priority_exists_orders",           # Q4 EXISTS shape
+    "market_share_ratio",               # Q8 conditional-share shape
+    "high_balance_no_orders",           # Q22 anti-join shape
+    "shipping_priority_topk",           # Q3 shape
+    "top_supplier_by_revenue",          # Q15 max-of-aggregate shape
+    "large_volume_customers",           # Q18 having-join-back shape
+    # dedup / fingerprint tier (verdict-named + item 7 lineage)
+    "dedup_cluster_sizes",              # CC cluster rollup (r7 cc fix kin)
+    "simhash_documents",                # per-doc simhash table
+    "winnowing_fingerprints",           # winnowing fingerprint table
+    "simhash_weighted_near_dup",        # item 7: fixed-finding carrier
+    "incremental_ingest_dedup",         # item 7: FS-probe fix lineage
+    # graph / knn tier
+    "recursive_knn_bfs_levels",         # recursive CTE twin (verdict-named)
+    "knn_clustering_coefficient",       # triangle closure (verdict-named)
+    "supplier_knn_triangles",           # knn triangle counts
+    # streaming tier (never-sampled reps)
+    "streaming_wap_publish_stats",      # WAP manifest swap (verdict-named)
+    "streaming_dedup_hourly_active_users",  # chained stateful ops
+    # time-series tier
+    "ohlc_bars_events",                 # batch OHLC twin
+    "event_transition_matrix",          # Markov transition rollup
+    "max_concurrent_shipments",         # interval-overlap sweep
+    # text quality / sampling
+    "token_entropy_quality",            # entropy quality scorer
+    "stratified_sample_counts",         # stratified sampling rep
+    # r7 rows-only -> oracle promotions (item 3)
+    "synthetic_source_status_counts",   # materialized-corpus oracle
+    "equi_depth_histogram_orders_approx",  # rank-error audit oracle
+    "iqr_outlier_audit_approx",         # rank-error audit oracle
+    "vocab_growth_audit_approx",        # boundary audit oracle
+]
+_R7_DEMOTED = {
+    # banked driver-green 2-3 rounds:
+    "elb_bot_report",                   # r4+r5+r6; ELB head keeps the
+                                        # pipeline + device report
+    "bloom_decontamination_audit",      # r5+r6
+    "tfidf_top_terms",                  # r5+r6
+    "padding_waste_audit",              # r5+r6
+    "multimodal_pixel_roundtrip_stats", # r5+r6; tier keeps the
+    "multimodal_wav_roundtrip_stats",   # composed pipeline survivor
+    "multimodal_video_motion_stats",    # r5+r6
+    "udtf_token_spans",                 # r5+r6
+    "grouped_agg_pandas_gmean",         # r5+r6
+    "jsonl_roundtrip_stats",            # r5+r6
+    "naive_bayes_langid_confusion",     # r5+r6
+    "streaming_sliding_window_counts",  # r5+r6
+    "shard_rebalance_audit",            # r5+r6
+    "seasonal_residual_anomalies",      # r5+r6
+    "gini_concentration",               # r5+r6
+    "deterministic_uniform_sample",     # r5+r6; sampling sends the
+                                        # never-sampled stratified rep
+    "geo_cell_density",                 # r5+r6
+    "dynamic_gap_sessions",             # r5+r6
+    "streaming_stateful_user_totals",   # r1+r6 (oracle re-verified r6)
+    "elb_error_report",                 # r3+r4+r6 (IPv6 guard re-green)
+    # banked r6 with a same-shape survivor staying or promoting:
+    "multimodal_sniff_stats",           # sniff is stage 1 of the kept
+                                        # multimodal_pipeline_stats
+    "cube_status_priority",             # grouping-set family sends
+                                        # grouping_sets_customer
+    "asof_next_order_after_event",      # as-of twins both green (r4/r6)
+    "salted_event_mktsegment_join",     # join tier sends the null-safe
+                                        # battery; salting plan-pinned
+    "streaming_ohlc_bars",              # batch OHLC twin promotes
+    "seasonal_naive_backtest",          # ts tier sends transition +
+                                        # concurrency reps
+    "variant_props_stats",              # props surface keeps
+                                        # from_json_props_stats
+    "elb_template_mining",              # ELB head keeps pipeline+device
+    "datetime_function_battery",        # battery family banked r5+r6
+    "sql_api_region_order_totals",      # SQL-API surface banked r6
+    "per_nation_deterministic_sample",  # sampling sends stratified rep
+    "schema_drift_union_stats",         # drift banked r6
+}
+_head7 = [
+    n for n in CORE_PREFIX[:50]
+    if n not in _R7_DEMOTED and n not in _R7_PROMOTED
+]
+_rest7 = [n for n in CORE_PREFIX if n not in _head7 and n not in _R7_PROMOTED]
+CORE_PREFIX = _head7 + _R7_PROMOTED + _rest7
+
 
 def _ordered_specs() -> list[QuerySpec]:
     """CORE_PREFIX first, then remaining oracle-backed queries in

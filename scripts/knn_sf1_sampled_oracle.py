@@ -37,7 +37,10 @@ def _edges_table_sql() -> str:
     exhausted spill even in the sampled oracle (r6 finding)."""
     from elb_log_etl_enrichment_spark.plans.queries_training import _KNN_EDGE_CTE
 
-    return f"CREATE TEMP TABLE knn_edges AS WITH {_KNN_EDGE_CTE} SELECT * FROM edges"
+    return (
+        "CREATE OR REPLACE TEMP TABLE knn_edges AS "
+        f"WITH {_KNN_EDGE_CTE} SELECT * FROM edges"
+    )
 
 
 _SAMPLED_SQL = f"""
@@ -64,13 +67,35 @@ _SAMPLED_SQL = f"""
     """
 
 
+def check(spark, con, sf_dir: str) -> list[str]:
+    """The bounded differential as a callable: engine per-node values
+    vs the materialized-neighborhood oracle on an EXISTING session +
+    DuckDB connection (r7: `scripts/oracle_sweep.py` runs this inline
+    at sf1 instead of printing a skip pointer). Returns compare()
+    issues; idempotent on the connection (OR REPLACE temp table)."""
+    from pyspark.sql import functions as F
+
+    from oracle_harness import compare
+
+    from elb_log_etl_enrichment_spark.plans.queries_profiling import knn_per_node
+
+    engine = (
+        knn_per_node(spark, sf_dir)
+        .filter(F.col("node") % SAMPLE_MOD == 0)
+        .select("node", F.col("d").cast("long").alias("d"),
+                F.col("t").cast("long").alias("t"))
+    )
+    con.execute(_edges_table_sql())
+    oracle = con.execute(_SAMPLED_SQL).fetchdf()
+    return compare(engine, oracle, "knn_clustering_coefficient_sampled_sf1")
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
 
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
-    from oracle_harness import compare, duckdb_connection
+    from oracle_harness import duckdb_connection
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -81,32 +106,14 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from elb_log_etl_enrichment_spark.plans.queries_profiling import knn_per_node
-
     t0 = time.time()
-    engine = (
-        knn_per_node(spark, sf_dir)
-        .filter(F.col("node") % SAMPLE_MOD == 0)
-        .select("node", F.col("d").cast("long").alias("d"),
-                F.col("t").cast("long").alias("t"))
-    )
-    n_engine = engine.count()
-    t_engine = time.time() - t0
-    print(f"engine: {n_engine} sampled nodes in {t_engine:.1f}s")
-
-    t0 = time.time()
-    con = duckdb_connection(sf_dir)
-    con.execute(_edges_table_sql())
-    oracle = con.execute(_SAMPLED_SQL).fetchdf()
-    t_oracle = time.time() - t0
-    print(f"oracle: {len(oracle)} sampled nodes in {t_oracle:.1f}s")
-
-    issues = compare(engine, oracle, "knn_clustering_coefficient_sampled_sf1")
+    issues = check(spark, duckdb_connection(sf_dir), sf_dir)
     if issues:
         for i in issues:
             print("MISMATCH:", i)
         return 1
-    print(f"OK: {n_engine} sampled nodes' (degree, triangles) match at {sf_dir}")
+    print(f"OK: sampled (degree, triangles) match at {sf_dir} "
+          f"in {time.time() - t0:.1f}s")
     return 0
 
 

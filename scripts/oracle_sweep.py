@@ -47,39 +47,47 @@ def main() -> None:
     con = duckdb_connection(sf_dir)
     osql = ent.oracle_sql()
     qs = ent.queries()
-    # Oracles infeasible at the LARGEST sweep scale, each covered by a
-    # dedicated bounded differential instead (never silently skipped:
-    # the summary line reports what was skipped and why).
-    infeasible_at_sf1 = {
-        "knn_clustering_coefficient": (
-            "quadratic DuckDB oracle exhausts 24 GB + 77 GB spill at sf1 "
-            "(PERF.md r5); per-node values pinned at sf1 by "
-            "scripts/knn_sf1_sampled_oracle.py instead"
-        ),
-        "nation_trade_pagerank": (
-            "the unrolled WITH-chain re-evaluates the 6-way edge join per "
-            "iteration under DuckDB CTE handling and exhausts 24 GB at sf1 "
-            "(PERF.md r6); identical algebra verified at sf1 by "
-            "scripts/pagerank_sf1_oracle.py (materialized iterations)"
-        ),
-    }
-    skip = infeasible_at_sf1 if os.path.basename(sf_dir.rstrip("/")) == "sf1" else {}
+    # Two registry oracles are infeasible as single statements at the
+    # LARGEST sweep scale (DuckDB re-evaluates WITH-CTE chains per
+    # reference, PERF.md r5/r6). At sf1 the sweep swaps each to its
+    # equivalent materialized-temp-table differential INLINE (VERDICT
+    # r06 item 4 — one command, zero skips): same algebra, the
+    # expensive CTE body evaluated once.
+    sf1_variant = {}
+    if os.path.basename(sf_dir.rstrip("/")) == "sf1":
+        import knn_sf1_sampled_oracle
+        import pagerank_sf1_oracle
+
+        sf1_variant = {
+            "knn_clustering_coefficient": (
+                "sampled-node materialized-neighborhood differential "
+                "(scripts/knn_sf1_sampled_oracle.check)",
+                knn_sf1_sampled_oracle.check,
+            ),
+            "nation_trade_pagerank": (
+                "materialized-iteration differential "
+                "(scripts/pagerank_sf1_oracle.check)",
+                pagerank_sf1_oracle.check,
+            ),
+        }
 
     n_checked = n_bad = 0
     t0 = time.time()
-    skipped = []
+    variants = []
     for name, fn in qs.items():
         if name not in osql:
             continue
-        if name in skip:
-            skipped.append(name)
-            print(json.dumps({"query": name, "skipped": skip[name]}), flush=True)
-            continue
         n_checked += 1
         try:
-            issues = compare(
-                fn(spark, sf_dir), con.execute(osql[name]).fetchdf(), name
-            )
+            if name in sf1_variant:
+                note, check_fn = sf1_variant[name]
+                variants.append(name)
+                print(json.dumps({"query": name, "variant": note}), flush=True)
+                issues = check_fn(spark, con, sf_dir)
+            else:
+                issues = compare(
+                    fn(spark, sf_dir), con.execute(osql[name]).fetchdf(), name
+                )
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
             issues = [f"error: {exc!r}"[:300]]
         if issues:
@@ -91,7 +99,7 @@ def main() -> None:
                 "sf_dir": sf_dir,
                 "oracle_queries": n_checked,
                 "mismatches": n_bad,
-                "skipped_infeasible": skipped,
+                "sf1_materialized_variants": variants,
                 "wall_s": round(time.time() - t0, 1),
             }
         ),

@@ -29,12 +29,37 @@ sys.path.insert(0, os.path.join(
 ITERS = 10
 
 
+def check(spark, con, sf_dir: str) -> list[str]:
+    """The materialized-iteration differential as a callable on an
+    EXISTING session + DuckDB connection (r7: `scripts/oracle_sweep.py`
+    runs this inline at sf1 instead of printing a skip pointer).
+    Returns compare() issues; idempotent (OR REPLACE temp tables)."""
+    import __spark_entry__ as ent
+    from oracle_harness import compare
+
+    from elb_log_etl_enrichment_spark.plans.queries_ext import (
+        _pagerank_sql_parts,
+    )
+
+    engine = ent.queries()["nation_trade_pagerank"](spark, sf_dir)
+    for part in _pagerank_sql_parts(ITERS):
+        name, body = part.split(" AS ", 1)
+        con.execute(
+            f"CREATE OR REPLACE TEMP TABLE {name.strip()} AS "
+            f"SELECT * FROM {body.strip()}"
+        )
+    oracle = con.execute(
+        f"SELECT name AS nation, ROUND(rank, 6) AS rank FROM pr{ITERS}"
+    ).fetchdf()
+    return compare(engine, oracle, "nation_trade_pagerank_sf1")
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
 
     from pyspark.sql import SparkSession
 
-    from oracle_harness import compare, duckdb_connection
+    from oracle_harness import duckdb_connection
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -45,34 +70,13 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    import __spark_entry__ as ent
-    from elb_log_etl_enrichment_spark.plans.queries_ext import (
-        _pagerank_sql_parts,
-    )
-
     t0 = time.time()
-    engine = ent.queries()["nation_trade_pagerank"](spark, sf_dir)
-    n_engine = engine.count()
-    t_engine = time.time() - t0
-    print(f"engine: {n_engine} nations in {t_engine:.1f}s")
-
-    t0 = time.time()
-    con = duckdb_connection(sf_dir)
-    for part in _pagerank_sql_parts(ITERS):
-        name, body = part.split(" AS ", 1)
-        con.execute(f"CREATE TEMP TABLE {name.strip()} AS SELECT * FROM {body.strip()}")
-    oracle = con.execute(
-        f"SELECT name AS nation, ROUND(rank, 6) AS rank FROM pr{ITERS}"
-    ).fetchdf()
-    t_oracle = time.time() - t0
-    print(f"oracle: {len(oracle)} nations in {t_oracle:.1f}s (materialized)")
-
-    issues = compare(engine, oracle, "nation_trade_pagerank_sf1")
+    issues = check(spark, duckdb_connection(sf_dir), sf_dir)
     if issues:
         for i in issues:
             print("MISMATCH:", i)
         return 1
-    print(f"OK: pagerank ranks match at {sf_dir}")
+    print(f"OK: pagerank ranks match at {sf_dir} in {time.time() - t0:.1f}s")
     return 0
 
 
