@@ -260,10 +260,15 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    # Empty OVER () window = scalar max across the (already tiny) agg.
-    best = revenue.withColumn(
-        "max_revenue", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("max_revenue"))
+    # Scalar max as a 1-row aggregate broadcast back (r7: the empty
+    # OVER() window funneled one row PER SUPPLIER through a single
+    # partition — supplier-dimension-sized at 100 TB; the aggregate
+    # form partial-combines map-side and broadcasts 8 bytes).
+    best_val = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    best = revenue.join(
+        F.broadcast(best_val),
+        F.col("total_revenue") == F.col("max_revenue"),
+    ).drop("max_revenue")
     supp = _t(spark, sf_dir, "supplier")
     return supp.join(
         F.broadcast(best), F.col("s_suppkey") == F.col("supplier_no")
