@@ -101,7 +101,12 @@ def main() -> None:
         with gzip.open(os.path.join(logs, f"t{tick}.log.gz"), "wt") as f:
             f.write("\n".join(lines) + "\n")
         t0 = time.perf_counter()
-        stream_elb_pipeline(spark, os.path.join(logs, "*.gz"), out)
+        # tick-sized batches: the r7 per-batch shuffle sizing knob in
+        # its production (cron-cadence) shape
+        stream_elb_pipeline(
+            spark, os.path.join(logs, "*.gz"), out,
+            batch_shuffle_partitions=4,
+        )
         wall = round(time.perf_counter() - t0, 2)
         n = cleaned_count()
         report.append(
@@ -112,7 +117,9 @@ def main() -> None:
 
     # idle tick: nothing new landed -> exactly-once means zero work
     t0 = time.perf_counter()
-    stream_elb_pipeline(spark, os.path.join(logs, "*.gz"), out)
+    stream_elb_pipeline(
+        spark, os.path.join(logs, "*.gz"), out, batch_shuffle_partitions=4
+    )
     idle = {
         "tick": "idle",
         "new_rows": cleaned_count() - prev,

@@ -181,3 +181,29 @@ def test_elb_stream_single_paced_run_batches_per_file(spark, tmp_path):
         .collect()
     }
     assert per_batch == {0: 22, 1: 5}, per_batch
+
+
+def test_steady_staleness_rule():
+    """bench.py's steady-stamp staleness rule (r7): an entry measured
+    at HEAD (module unchanged since) is fresh; an entry with a bogus
+    or missing commit, or for an unknown query, is stale."""
+    import subprocess
+
+    from elb_log_etl_enrichment_spark.plans.queries import all_queries
+
+    all_queries()
+    import bench
+
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        cwd=bench.REPO_ROOT, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    book = {
+        "pricing_summary": {"commit": head, "steady": 1.0},
+        "no_such_query": {"commit": head, "steady": 1.0},
+        "revenue_by_nation": {"steady": 1.0},  # no commit recorded
+        "sessionize_events": {"commit": "0000000", "steady": 1.0},
+    }
+    stale = set(bench._stale_steady_entries(book))
+    assert "pricing_summary" not in stale
+    assert {"no_such_query", "revenue_by_nation", "sessionize_events"} <= stale
