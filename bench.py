@@ -333,43 +333,42 @@ SECONDARY_SET = {
 
 
 def _stale_steady_entries(steady_book: dict) -> list[str]:
-    """Names whose defining module has commits AFTER the entry's
-    recorded measuring commit (VERDICT r06 item 5): their stamps
-    describe code that no longer runs. Resolution is per-module via
-    the registry fn's source file; any git/lookup failure marks the
-    entry stale (re-timing is cheap, a wrong steady number is not)."""
-    import inspect
+    """Names measured before the last commit that touched ENGINE code
+    (VERDICT r06 item 5): their stamps describe code that may no
+    longer run. Granularity is the whole package — a registry query
+    executes operators/functions/sources/streaming code far beyond its
+    defining plans module (code-review r7: per-module resolution
+    missed exactly that — graph.py changed while the queries stamped
+    against it lived in other files), and a steady re-time is cheap
+    while a wrong steady number is not. Any git/lookup failure marks
+    the entry stale for the same reason."""
     import subprocess
 
     from elb_log_etl_enrichment_spark.plans.queries import REGISTRY
 
     stale: list[str] = []
-    changed_cache: dict[tuple[str, str], bool] = {}
+    changed_cache: dict[str, bool] = {}
     for name, rec in steady_book.items():
         commit = rec.get("commit", "")
-        spec = REGISTRY.get(name)
-        if not commit or spec is None:
+        if not commit or name not in REGISTRY:
             stale.append(name)
             continue
-        try:
-            mod_file = os.path.relpath(inspect.getfile(spec.fn), REPO_ROOT)
-        except Exception:
-            stale.append(name)
-            continue
-        key = (commit, mod_file)
-        if key not in changed_cache:
+        if commit not in changed_cache:
             try:
                 out = subprocess.run(
-                    ["git", "diff", "--name-only", f"{commit}..HEAD", "--", mod_file],
+                    [
+                        "git", "diff", "--name-only", f"{commit}..HEAD",
+                        "--", "elb_log_etl_enrichment_spark",
+                    ],
                     cwd=REPO_ROOT,
                     capture_output=True,
                     text=True,
                     check=True,
                 )
-                changed_cache[key] = bool(out.stdout.strip())
+                changed_cache[commit] = bool(out.stdout.strip())
             except Exception:
-                changed_cache[key] = True
-        if changed_cache[key]:
+                changed_cache[commit] = True
+        if changed_cache[commit]:
             stale.append(name)
     return stale
 

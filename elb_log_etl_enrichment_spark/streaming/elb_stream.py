@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..plans.pipeline import enrich_and_featurize
 from ..session import ensure_engine_confs
+from .stream import sized_shuffle_partitions
 from ..sinks.writers import write_cleaned_logs
 from ..sources.elb_logs import parse_elb_lines
 from ..sources.http_geo import fake_fetch
@@ -115,16 +116,5 @@ def stream_elb_pipeline(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
-    if batch_shuffle_partitions is None:
+    with sized_shuffle_partitions(spark, batch_shuffle_partitions):
         writer.start().awaitTermination()
-        return
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(batch_shuffle_partitions)
-    )
-    try:
-        # the per-batch plans compile inside foreachBatch while the
-        # stream drains, so the conf must hold until awaitTermination
-        writer.start().awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)

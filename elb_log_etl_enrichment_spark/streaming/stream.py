@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 import tempfile
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,6 +39,27 @@ from pyspark.sql.types import (
 )
 
 from ..session import ensure_engine_confs
+
+
+@contextmanager
+def sized_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Mutate ``spark.sql.shuffle.partitions`` for the enclosed block
+    and restore it — the shared seam behind every per-stream sizing
+    knob (``batch_shuffle_partitions`` on the three foreachBatch
+    streams; code-review r7 deduplicated the four inline copies).
+    Single-threaded-session contract: no other plan may compile on
+    this session inside the block (foreachBatch micro-batch plans
+    compile while the stream drains, so callers hold the conf through
+    ``awaitTermination``). ``n=None`` is a no-op."""
+    if n is None:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 #: staging-dir memo for single-file streaming sources (path → tempdir)
 _STAGED_DIRS: dict[str, str] = {}
@@ -298,15 +320,10 @@ def run_available_now(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
-    if state_partitions is None:
-        query = writer.start()
-    else:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-        try:
-            query = writer.start()  # stream captures the conf here
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    with sized_shuffle_partitions(spark, state_partitions):
+        query = writer.start()  # stream captures the conf here; the
+        # stateful plan compiles at start, so (unlike the foreachBatch
+        # streams) the conf window ends before awaitTermination
     query.awaitTermination()
     return spark.table(name)
 
@@ -545,17 +562,8 @@ def ingest_dedup_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
-    if batch_shuffle_partitions is None:
+    with sized_shuffle_partitions(spark, batch_shuffle_partitions):
         writer.start().awaitTermination()
-        return
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(batch_shuffle_partitions)
-    )
-    try:
-        writer.start().awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def compact_ingest_index(
@@ -585,18 +593,28 @@ def compact_ingest_index(
     staging = index_path.rstrip("/") + ".compact"
     idx.repartition(target_files).write.mode("overwrite").parquet(staging)
     n = spark.read.parquet(staging).count()
-    jvm = spark._jvm
-    jidx = jvm.org.apache.hadoop.fs.Path(index_path)
-    jstage = jvm.org.apache.hadoop.fs.Path(staging)
-    fs = jidx.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(jidx):
-        fs.delete(jidx, True)
-    if not fs.rename(jstage, jidx):
-        raise IOError(
-            f"compact_ingest_index: rename {staging} -> {index_path} "
-            "failed; compacted copy left in staging"
-        )
+    _fs_swap(spark, staging, index_path)
     return n
+
+
+def _fs_swap(spark: SparkSession, staging: str, dest: str) -> None:
+    """Replace ``dest`` with ``staging`` through the Hadoop FileSystem
+    API (scheme-aware delete + rename). A failed rename raises —
+    silently leaving the staging copy with ``dest`` already deleted is
+    the data-loss mode the compactor must surface (code-review r06;
+    the raise branch is pinned by test_r7_fixes.py through this
+    seam)."""
+    jvm = spark._jvm
+    jdest = jvm.org.apache.hadoop.fs.Path(dest)
+    jstage = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = jdest.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jdest):
+        fs.delete(jdest, True)
+    if not fs.rename(jstage, jdest):
+        raise IOError(
+            f"rename {staging} -> {dest} failed; "
+            "staged copy left in place"
+        )
 
 
 def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
@@ -769,19 +787,8 @@ def neardup_ingest_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
-    if batch_shuffle_partitions is None:
+    with sized_shuffle_partitions(spark, batch_shuffle_partitions):
         writer.start().awaitTermination()
-        return
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(batch_shuffle_partitions)
-    )
-    try:
-        # per-batch plans compile inside foreachBatch while draining,
-        # so the conf must hold until awaitTermination
-        writer.start().awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _neardup_ingest_upsert(

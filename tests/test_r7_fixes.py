@@ -107,13 +107,9 @@ def test_device_case_sql_reads_ua_module_table(monkeypatch):
     assert "SentinelBot" in case and "'Sentinel'" in case
 
 
-def test_compact_ingest_index_rename_failure_is_loud(spark, tmp_path):
-    """If the Hadoop FS rename cannot land (destination parent
-    missing after delete is impossible locally, so simulate by
-    pre-creating a conflicting destination via a raw fs mkdir race),
-    the compactor must raise, never silently leave the staging copy.
-    Here we exercise the happy path end-to-end through the FS API and
-    assert no .compact remnant survives."""
+def test_compact_ingest_index_swaps_via_fs_api(spark, tmp_path):
+    """Happy path end-to-end through the Hadoop FS API: compaction
+    preserves rows + batch_id and leaves no .compact remnant."""
     import os
 
     from elb_log_etl_enrichment_spark.streaming.stream import (
@@ -129,6 +125,33 @@ def test_compact_ingest_index_rename_failure_is_loud(spark, tmp_path):
     assert not os.path.exists(idx + ".compact")
     assert spark.read.parquet(idx).count() == 10
     assert "batch_id" in spark.read.parquet(idx).columns
+
+
+def test_fs_swap_rename_failure_is_loud(spark, tmp_path):
+    """The swap seam must RAISE when the Hadoop rename reports
+    failure (a false return, e.g. staging vanished), never return
+    as if the index were compacted — the silent-strand mode the r7
+    FS-API rewrite exists to prevent."""
+    import pytest
+
+    from py4j.protocol import Py4JJavaError
+
+    from elb_log_etl_enrichment_spark.streaming.stream import _fs_swap
+
+    staging = tmp_path / "index.parquet.compact"
+    staging.mkdir()
+    (staging / "part-0.parquet").write_bytes(b"x")
+    # an un-renameable destination (parent is a regular FILE): the
+    # local FS surfaces this as a raised ParentNotDirectoryException;
+    # object stores whose rename returns false instead hit _fs_swap's
+    # explicit IOError. Either way the contract is LOUD failure with
+    # the staged copy left intact.
+    parent_file = tmp_path / "not_a_dir"
+    parent_file.write_bytes(b"x")
+    dest = parent_file / "index.parquet"
+    with pytest.raises((IOError, Py4JJavaError), match="rename|Parent"):
+        _fs_swap(spark, str(staging), str(dest))
+    assert staging.exists()  # staged copy left in place, as documented
 
 
 def test_elb_stream_single_paced_run_batches_per_file(spark, tmp_path):
