@@ -1367,14 +1367,15 @@ _R7_PROMOTED = [
     "ohlc_bars_events",                 # batch OHLC twin
     "event_transition_matrix",          # Markov transition rollup
     "max_concurrent_shipments",         # interval-overlap sweep
-    # text quality / sampling
-    "token_entropy_quality",            # entropy quality scorer
-    "stratified_sample_counts",         # stratified sampling rep
-    # r7 rows-only -> oracle promotions (item 3)
+    # r7 rows-only -> oracle promotions (item 3 + the two extra
+    # sketch audits, taking the set 13 -> 7; new oracles gate first —
+    # token_entropy_quality / stratified_sample_counts move to r8)
     "synthetic_source_status_counts",   # materialized-corpus oracle
     "equi_depth_histogram_orders_approx",  # rank-error audit oracle
     "iqr_outlier_audit_approx",         # rank-error audit oracle
     "vocab_growth_audit_approx",        # boundary audit oracle
+    "approx_aggregates_events",         # count-distinct+median audit
+    "hll_sketch_distinct_users",        # HLL union-envelope audit
 ]
 _R7_DEMOTED = {
     # banked driver-green 2-3 rounds:

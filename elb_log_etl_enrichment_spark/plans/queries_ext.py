@@ -1375,16 +1375,73 @@ def cosine_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Approximate aggregates — the documented 100 TB substitutes for exact
 # count-distinct/median (SURVEY §7.4 trap 6). Engine-specific sketches
-# (HLL++/KLL) cannot match DuckDB bit-for-bit → rows-only check.
+# (HLL++/GK) cannot match DuckDB bit-for-bit, so the REGISTERED query
+# is the error-bound AUDIT (r7, same design as the approx-percentile
+# twins): the estimates are checked against their published
+# guarantees in-plan and the flags hash-fail at the driver on drift;
+# the estimate frame stays as `approx_aggregates_events_detail`.
 # --------------------------------------------------------------------------
-@register("approx_aggregates_events", sql=None, tags=("agg", "approx", "sketch"))
-def approx_aggregates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_aggregates_events_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", 0.5).alias("approx_median_value"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "approx_aggregates_events",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(1 AS BIGINT) AS users_est_ok,
+           CAST(1 AS BIGINT) AS median_rank_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def approx_aggregates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-bound audit of the approx aggregates: per event_type,
+    `approx_count_distinct` must land within 5·rsd (default rsd 0.05)
+    of the exact distinct count, and the approx median's rank
+    interval must intersect n/2 ± (2n/accuracy + 1) — both checked in
+    one sketch aggregate + one conditional-count pass (broadcast
+    estimates), the same scalable shape as the percentile-twin
+    audits."""
+    acc = 10_000
+    e = _t(spark, sf_dir, "events")
+    est = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("au"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(acc)).alias("am"),
+        F.count_distinct("user_id").alias("xu"),
+    )
+    j = e.join(F.broadcast(est), "event_type")
+    stats = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("value") < F.col("am")).alias("m_lo"),
+        F.count_if(F.col("value") <= F.col("am")).alias("m_hi"),
+        F.any_value("au").alias("au"),
+        F.any_value("xu").alias("xu"),
+    )
+    users_ok = (
+        F.abs(F.col("au") - F.col("xu"))
+        <= 5 * 0.05 * F.col("xu") + F.lit(1.0)
+    ).cast("long")
+    slack = 2.0 * F.col("n") / acc + 1.0
+    target = F.col("n") / 2.0
+    median_ok = (
+        ~(
+            (F.col("m_hi") < target - slack)
+            | (F.col("m_lo") > target + slack)
+        )
+    ).cast("long")
+    return stats.select(
+        "event_type",
+        "n",
+        users_ok.alias("users_est_ok"),
+        median_ok.alias("median_rank_ok"),
+    ).orderBy("event_type")
 
 
 # --------------------------------------------------------------------------
@@ -2219,17 +2276,15 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Mergeable HLL sketches (Datasketches via hll_sketch_agg /
 # hll_union_agg): per-nation distinct-user sketches that UNION to the
 # global estimate — the property that lets 1000 executors count
-# distincts with fixed-size state and no second shuffle. Rows-only
-# check (DuckDB has no byte-identical HLL); the merge-consistency
-# property itself is pinned by tests/test_streaming.py's sibling in
-# test_review_fixes/test_plans-style unit tests.
+# distincts with fixed-size state and no second shuffle. The
+# REGISTERED query is the error-envelope AUDIT (r7, was rows-only):
+# DuckDB has no byte-identical HLL, but the union estimate's deviation
+# from the exact distinct count IS checkable (default lgConfigK=12 →
+# rsd ≈ 1.04/√4096 ≈ 1.6%; flag allows 5·rsd + 1). The sketch frame
+# stays as `hll_sketch_distinct_users_detail`; merge-consistency is
+# separately pinned in tests/test_plans.py.
 # --------------------------------------------------------------------------
-@register(
-    "hll_sketch_distinct_users",
-    sql=None,  # sketch bytes are engine-specific; driver does rows-only
-    tags=("sketch", "hll", "approx", "agg"),
-)
-def hll_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hll_sketch_distinct_users_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     per_nation = (
@@ -2244,6 +2299,45 @@ def hll_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nations"),
     )
     return merged
+
+
+@register(
+    "hll_sketch_distinct_users",
+    sql="""
+    SELECT CAST(COUNT(DISTINCT e.user_id) AS BIGINT)
+               AS exact_distinct_users,
+           CAST(COUNT(DISTINCT c.c_nationkey) AS BIGINT) AS n_nations,
+           CAST(1 AS BIGINT) AS merged_est_ok
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    tags=("sketch", "hll", "approx", "agg"),
+)
+def hll_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = e.join(F.broadcast(c), e.user_id == c.c_custkey)
+    per_nation = joined.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+    exact = joined.agg(
+        F.count_distinct("user_id").alias("exact_distinct_users")
+    )
+    ok = (
+        F.abs(F.col("est") - F.col("exact_distinct_users"))
+        <= 5 * 0.0163 * F.col("exact_distinct_users") + F.lit(1.0)
+    ).cast("long")
+    return (
+        exact.join(F.broadcast(merged))
+        .select(
+            "exact_distinct_users",
+            "n_nations",
+            ok.alias("merged_est_ok"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

@@ -563,8 +563,14 @@ def test_sketch_queries_track_exact_counts(spark):
     e = load_table(spark, SF, "events")
     c = load_table(spark, SF, "customer").select("c_custkey")
 
-    # hll_sketch_distinct_users: merged estimate vs exact
-    hll = REGISTRY["hll_sketch_distinct_users"].fn(spark, SF).collect()[0]
+    # hll_sketch_distinct_users: merged estimate vs exact (the
+    # estimate frame is the _detail form since the r7 audit promotion)
+    from elb_log_etl_enrichment_spark.plans.queries_ext import (
+        approx_aggregates_events_detail,
+        hll_sketch_distinct_users_detail,
+    )
+
+    hll = hll_sketch_distinct_users_detail(spark, SF).collect()[0]
     exact_users = (
         e.join(F.broadcast(c), e.user_id == c.c_custkey)
         .select("user_id").distinct().count()
@@ -573,11 +579,16 @@ def test_sketch_queries_track_exact_counts(spark):
     assert abs(hll["merged_distinct_users"] - exact_users) <= max(
         5, 0.05 * exact_users
     ), (hll["merged_distinct_users"], exact_users)
+    # the registered audit: flags green, exact column matches
+    audit = REGISTRY["hll_sketch_distinct_users"].fn(spark, SF).collect()[0]
+    assert audit["merged_est_ok"] == 1
+    assert audit["exact_distinct_users"] == exact_users
+    assert audit["n_nations"] == hll["n_nations"]
 
     # approx_aggregates_events vs exact per event_type
     approx = {
         r["event_type"]: r
-        for r in REGISTRY["approx_aggregates_events"].fn(spark, SF).collect()
+        for r in approx_aggregates_events_detail(spark, SF).collect()
     }
     exact = {
         r["event_type"]: r
@@ -600,6 +611,15 @@ def test_sketch_queries_track_exact_counts(spark):
         # approx median lands within the exact p40..p60 rank window
         p40, _, p60 = er["p"]
         assert p40 <= ar["approx_median_value"] <= p60, (et, ar, er)
+    # the registered audit: every flag green, exact n per group
+    audit_rows = {
+        r["event_type"]: r
+        for r in REGISTRY["approx_aggregates_events"].fn(spark, SF).collect()
+    }
+    assert audit_rows.keys() == exact.keys()
+    for et, r in audit_rows.items():
+        assert r["users_est_ok"] == 1 and r["median_rank_ok"] == 1, (et, r)
+        assert r["n"] == exact[et]["n"]
 
 
 def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
