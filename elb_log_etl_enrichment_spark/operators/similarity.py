@@ -201,6 +201,79 @@ def _train_pq(sample, m: int, n_centroids: int, iters: int, rng):
 _IVF_CENTROID_MEMO: dict = {}
 
 
+def _index_artifact_path(input_files, params) -> str | None:
+    """Disk location for a trained index artifact (centroids / PQ
+    codebooks), keyed by the SOURCE fingerprint — local path + size +
+    mtime of every input file — plus the training params (r7, the
+    bucketed-layout discipline applied to ANN training): a production
+    index trains once and serves many sessions, and any corpus
+    regeneration changes the fingerprint so a stale model can never be
+    served. Returns None (train fresh, no persistence) when any input
+    is non-local or unstattable — no safe cross-session identity."""
+    import hashlib
+    import os
+    import tempfile
+
+    if not input_files:
+        return None
+    h = hashlib.md5()
+    for uri in sorted(input_files):
+        if uri.startswith("file:"):
+            path = uri[len("file:"):]
+            while path.startswith("//"):
+                path = path[1:]
+        elif uri.startswith("/"):
+            path = uri
+        else:
+            return None
+        try:
+            st = os.stat(path)
+        except OSError:
+            return None
+        h.update(f"{path}:{st.st_size}:{st.st_mtime_ns}".encode())
+    for p in params:
+        h.update(f":{p}".encode())
+    return os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_index_artifacts",
+        h.hexdigest() + ".npz",
+    )
+
+
+def _index_artifact_load(path, names):
+    """The named arrays from a persisted artifact, or None on any
+    miss/corruption (training is the fallback, never an error)."""
+    import os
+
+    import numpy as np
+
+    if path is None or not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            return [z[n] for n in names]
+    except Exception:
+        return None
+
+
+def _index_artifact_save(path, **arrays) -> None:
+    """Atomically persist named arrays (tmp + rename — a concurrent
+    reader never sees a partial file); best-effort, never raises."""
+    import os
+
+    import numpy as np
+
+    if path is None:
+        return
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     query_pred,
@@ -250,6 +323,13 @@ def cosine_topk_ivf(
         else None
     )
     centers = _IVF_CENTROID_MEMO.get(memo_key) if memo_key else None
+    artifact = _index_artifact_path(
+        input_files, ("ivf", n_cells, sample_limit, kmeans_iters)
+    )
+    if centers is None:
+        disk = _index_artifact_load(artifact, ["centers"])
+        if disk is not None:
+            centers = [list(map(float, c)) for c in disk[0]]
     if centers is None:
         sample = np.array(
             p.select("v").limit(sample_limit).toArrow().column("v").to_pylist(),
@@ -261,8 +341,9 @@ def cosine_topk_ivf(
             sample, n_cells, kmeans_iters, np.random.RandomState(42), pp_init=True
         )
         centers = [list(map(float, c)) for c in cent]
-        if memo_key is not None:
-            _IVF_CENTROID_MEMO[memo_key] = centers
+        _index_artifact_save(artifact, centers=cent)
+    if memo_key is not None:
+        _IVF_CENTROID_MEMO[memo_key] = centers
 
     def _cell_ranking(vcol):
         # squared distance to every centroid, JVM-side; array_sort over
@@ -502,6 +583,13 @@ def cosine_topk_pq(
         # place under the same names; acceptable for a session-scoped memo.)
         memo_key = None
         codebooks = None
+    artifact = _index_artifact_path(
+        input_files, ("pq", m, n_centroids, sample_limit, kmeans_iters)
+    )
+    if codebooks is None:
+        disk = _index_artifact_load(artifact, ["codebooks"])
+        if disk is not None:
+            codebooks = disk[0]
     if codebooks is None:
         # Arrow transfer: a Py4J collect of array<double> rows costs
         # ~2× the Arrow path even at 16k rows (row-at-a-time boxing)
@@ -514,8 +602,9 @@ def cosine_topk_pq(
         codebooks = _train_pq(
             sample, m, n_centroids, kmeans_iters, np.random.RandomState(42)
         )
-        if memo_key is not None:
-            _PQ_CODEBOOK_MEMO[memo_key] = codebooks
+        _index_artifact_save(artifact, codebooks=codebooks)
+    if memo_key is not None:
+        _PQ_CODEBOOK_MEMO[memo_key] = codebooks
     sub_d = codebooks.shape[2]
 
     spark = emb.sparkSession
@@ -657,6 +746,14 @@ def cosine_topk_ivfpq(
         else None
     )
     model = _IVFPQ_MEMO.get(memo_key) if memo_key else None
+    artifact = _index_artifact_path(
+        input_files,
+        ("ivfpq", n_cells, m, n_centroids, sample_limit, kmeans_iters),
+    )
+    if model is None:
+        disk = _index_artifact_load(artifact, ["centers", "codebooks"])
+        if disk is not None:
+            model = (disk[0], disk[1])
     if model is None:
         sample = np.array(
             unit.select("u").limit(sample_limit).toArrow().column("u").to_pylist(),
@@ -674,8 +771,9 @@ def cosine_topk_ivfpq(
             resid, m, n_centroids, kmeans_iters, np.random.RandomState(43)
         )
         model = (centers, codebooks)
-        if memo_key is not None:
-            _IVFPQ_MEMO[memo_key] = model
+        _index_artifact_save(artifact, centers=centers, codebooks=codebooks)
+    if memo_key is not None:
+        _IVFPQ_MEMO[memo_key] = model
     centers, codebooks = model
     sub_d = codebooks.shape[2]
 

@@ -296,3 +296,39 @@ def test_bucketed_layout_persists_and_invalidates(spark, tmp_path):
     _, m3 = bucket_file_mtimes()
     assert m3 != m1, "changed source did not invalidate the layout"
     assert spark.table(t_l).count() == n1
+
+
+def test_ann_index_artifacts_persist_across_sessions(spark, monkeypatch):
+    """r7: trained ANN artifacts (IVF centroids, PQ/IVFPQ codebooks)
+    persist to disk keyed by source fingerprint + params. After a
+    memo clear (= a new session), the loaders must serve the SAME
+    model without retraining — pinned by poisoning the trainers and
+    asserting identical results."""
+    from elb_log_etl_enrichment_spark.operators import similarity as sim
+    from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+
+    def run_all():
+        return {
+            "pq": sorted(map(tuple, sim.cosine_topk_pq(emb, pred, k=3).collect())),
+            "ivf": sorted(map(tuple, sim.cosine_topk_ivf(emb, pred, k=3).collect())),
+            "ivfpq": sorted(
+                map(tuple, sim.cosine_topk_ivfpq(emb, pred, k=3).collect())
+            ),
+        }
+
+    first = run_all()  # trains (or loads a prior artifact) + saves
+
+    sim._PQ_CODEBOOK_MEMO.clear()
+    sim._IVF_CENTROID_MEMO.clear()
+    sim._IVFPQ_MEMO.clear()
+
+    def _poisoned(*a, **k):
+        raise AssertionError("trainer ran — disk artifact not served")
+
+    monkeypatch.setattr(sim, "_train_pq", _poisoned)
+    monkeypatch.setattr(sim, "_lloyd", _poisoned)
+    second = run_all()  # must come entirely from the disk tier
+    assert second == first
