@@ -58,16 +58,32 @@ def update_geo_cache(
     which at web scale (millions of IPs) is a driver OOM on every
     upsert (code-review r05 finding). A crash between the remove and
     the rename degrades to a cold cache (refetch), never a corrupt
-    one; on object stores the same staging pattern lands with a
-    manifest swap (see ``sinks.writers.write_audit_publish``)."""
-    import os
-    import shutil
+    one; the swap goes through the Hadoop FileSystem API (r7, same
+    discipline as ``streaming.stream.compact_ingest_index``) so an
+    ``s3a://``/``hdfs://`` cache path takes the same code path as a
+    local one instead of stranding the staging copy; on object stores
+    prefer the manifest-pointer swap (``sinks.writers
+    .write_audit_publish``) — rename is not atomic there.
+
+    When ``new_entries`` is EMPTY the cache is returned untouched: a
+    cron tick with no unseen IPs (the steady state of a mature
+    deployment) must not rewrite the full cache — at web scale that is
+    a per-tick rewrite of millions of rows that changes nothing. The
+    probe rides the persisted frame the merge would consume anyway, so
+    the non-empty path does no extra work."""
+    from ..hadoop_fs import fs_swap
 
     old = load_geo_cache(spark, cache_path)
-    merged = upsert_keep_latest(old, new_entries, ["client_ip"], "api_fetch_timestamp")
-    staging = cache_path.rstrip("/") + ".staging"
-    merged.write.mode("overwrite").parquet(staging)
-    if os.path.exists(cache_path):
-        shutil.rmtree(cache_path)
-    os.rename(staging, cache_path)
+    new_entries = new_entries.persist()
+    try:
+        if not new_entries.take(1):
+            return old
+        merged = upsert_keep_latest(
+            old, new_entries, ["client_ip"], "api_fetch_timestamp"
+        )
+        staging = cache_path.rstrip("/") + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        fs_swap(spark, staging, cache_path)
+    finally:
+        new_entries.unpersist()
     return spark.read.schema(GEO_SCHEMA).parquet(cache_path)

@@ -38,6 +38,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from ..hadoop_fs import fs_swap, hadoop_path_exists
 from ..session import ensure_engine_confs
 
 
@@ -597,35 +598,10 @@ def compact_ingest_index(
     return n
 
 
-def _fs_swap(spark: SparkSession, staging: str, dest: str) -> None:
-    """Replace ``dest`` with ``staging`` through the Hadoop FileSystem
-    API (scheme-aware delete + rename). A failed rename raises —
-    silently leaving the staging copy with ``dest`` already deleted is
-    the data-loss mode the compactor must surface (code-review r06;
-    the raise branch is pinned by test_r7_fixes.py through this
-    seam)."""
-    jvm = spark._jvm
-    jdest = jvm.org.apache.hadoop.fs.Path(dest)
-    jstage = jvm.org.apache.hadoop.fs.Path(staging)
-    fs = jdest.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(jdest):
-        fs.delete(jdest, True)
-    if not fs.rename(jstage, jdest):
-        raise IOError(
-            f"rename {staging} -> {dest} failed; "
-            "staged copy left in place"
-        )
-
-
-def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
-    """Scheme-aware existence probe via the JVM Hadoop FileSystem —
-    works for ``file://``, ``s3a://``, ``hdfs://`` and anything else
-    the cluster's Hadoop conf can resolve. An unresolvable scheme or
-    unreachable store raises (loud), it never reads as "missing"."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(jpath))
+# Shared scheme-aware primitives (hadoop_fs); the underscored names
+# are the test seams test_r6/r7_fixes.py pin.
+_fs_swap = fs_swap
+_hadoop_path_exists = hadoop_path_exists
 
 
 def _index_history(
