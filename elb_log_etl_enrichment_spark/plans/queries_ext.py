@@ -1332,44 +1332,126 @@ def hierarchical_time_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# IVF approximate nearest neighbors (KMeans cells). Iterative training
-# is not SQL-replayable → rows-only.
+# ANN recall audits (r7: rows-only → oracle, same design as the
+# approx-aggregate twins). The trained indexes (IVF cells / PQ
+# codebooks) are iterative and engine-specific, so the REGISTERED
+# query is the recall contract checked IN-PLAN against the exact
+# Arrow/BLAS top-k on the same query set: the driver hash-fails the
+# moment recall drops below the pinned floor. The neighbor frames
+# stay available as the `*_detail` callables (and the exact
+# neighbors as the oracle-backed `cosine_topk_arrow`); floors are
+# conservative halves of values measured across sf0.001-sf0.1 on
+# random uniform vectors — ANN's worst case (real clustered
+# embedding corpora quantize better).
 # --------------------------------------------------------------------------
-@register("cosine_topk_ivf", sql=None, tags=("similarity", "ann", "ivf", "kmeans"))
-def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+_ANN_QUERY_PRED_SQL = "vec_id % 100 = 0"
+
+
+def _ann_recall_audit_sql(k: int) -> str:
+    return f"""
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(1 AS BIGINT) AS recall_ok
+    FROM embeddings WHERE {_ANN_QUERY_PRED_SQL}
+    """
+
+
+def _ann_recall_audit(
+    spark: SparkSession, sf_dir: str, approx: DataFrame, k: int, floor: float
+) -> DataFrame:
+    """One-row recall@k audit: |approx ∩ exact| / |exact| >= floor.
+
+    The exact side is `cosine_topk_arrow` (oracle-backed elsewhere);
+    the intersection is a broadcast semi-join on (query_id, neighbor)
+    — both sides carry O(|Q|·k) rows, so the audit costs one extra
+    scan of the corpus (the exact pass), never a pairwise blow-up."""
+    from ..operators.similarity import cosine_topk_arrow
+
+    e = _t(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 100 == 0
+    exact = cosine_topk_arrow(e, pred, k=k).select("query_id", "neighbor")
+    # ONE pass over each side: exact streams, the O(|Q|·k) approx set
+    # broadcasts; a second `exact` subtree would re-run the BLAS scan
+    marked = exact.join(
+        F.broadcast(
+            approx.select("query_id", "neighbor").withColumn("hit", F.lit(1))
+        ),
+        ["query_id", "neighbor"],
+        "left",
+    )
+    n_queries = e.filter(pred).agg(F.count(F.lit(1)).alias("n_queries"))
+    counts = marked.agg(
+        F.count(F.lit(1)).alias("n_exact"), F.count("hit").alias("n_hits")
+    )
+    return F.broadcast(n_queries).crossJoin(F.broadcast(counts)).select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_queries").cast("long").alias("n_queries"),
+        (F.col("n_hits") >= F.lit(floor) * F.col("n_exact"))
+        .cast("long")
+        .alias("recall_ok"),
+    )
+
+
+def cosine_topk_ivf_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk_ivf
 
     e = _t(spark, sf_dir, "embeddings")
-    return cosine_topk_ivf(e, F.col("vec_id") % 100 == 0, k=3)
+    return cosine_topk_ivf(e, F.col("vec_id") % 100 == 0, k=3, n_probe=4)
 
 
-# --------------------------------------------------------------------------
-# Product-quantization ADC top-k — the memory-bounded ANN tier (8-byte
-# codes, broadcast codebooks, table-lookup scoring). Iterative Lloyd
-# training → rows-only; recall contract pinned in test_curation.
-# --------------------------------------------------------------------------
-@register("cosine_topk_pq", sql=None, tags=("similarity", "ann", "pq", "adc"))
-def cosine_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register(
+    "cosine_topk_ivf",
+    sql=_ann_recall_audit_sql(3),
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans cells, n_probe=4) recall@3 audit vs exact BLAS
+    top-k. Floor 0.4: measured 0.87/0.93/0.62 at sf0.001/0.01/0.1."""
+    return _ann_recall_audit(
+        spark, sf_dir, cosine_topk_ivf_detail(spark, sf_dir), k=3, floor=0.4
+    )
+
+
+def cosine_topk_pq_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk_pq
 
     e = _t(spark, sf_dir, "embeddings")
     return cosine_topk_pq(e, F.col("vec_id") % 100 == 0, k=5)
 
 
-# --------------------------------------------------------------------------
-# IVF-PQ composed index (Jégou et al. 2011 IVFADC): coarse cells + PQ
-# over cell residuals, one broadcast-everything mapInPandas search
-# pass. Iterative training → rows-only; recall contract pinned in
-# test_training (≥ plain PQ at the same code budget).
-# --------------------------------------------------------------------------
 @register(
-    "cosine_topk_ivfpq", sql=None, tags=("similarity", "ann", "ivf", "pq", "residual")
+    "cosine_topk_pq",
+    sql=_ann_recall_audit_sql(5),
+    tags=("similarity", "ann", "pq", "adc"),
 )
-def cosine_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cosine_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC (8-byte codes, broadcast codebooks) recall@5 audit.
+    Floor 0.5: measured 0.84/0.88/0.78 at sf0.001/0.01/0.1."""
+    return _ann_recall_audit(
+        spark, sf_dir, cosine_topk_pq_detail(spark, sf_dir), k=5, floor=0.5
+    )
+
+
+def cosine_topk_ivfpq_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk_ivfpq
 
     e = _t(spark, sf_dir, "embeddings")
     return cosine_topk_ivfpq(e, F.col("vec_id") % 100 == 0, k=5, n_probe=4)
+
+
+@register(
+    "cosine_topk_ivfpq",
+    sql=_ann_recall_audit_sql(5),
+    tags=("similarity", "ann", "ivf", "pq", "residual"),
+)
+def cosine_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (Jégou et al. 2011 IVFADC; residual codebooks,
+    n_probe=4/16 cells) recall@5 audit. Floor 0.3: measured
+    0.68/0.64/0.55 at sf0.001/0.01/0.1 (residual quantization of
+    RANDOM vectors is the scheme's worst case)."""
+    return _ann_recall_audit(
+        spark, sf_dir, cosine_topk_ivfpq_detail(spark, sf_dir), k=5, floor=0.3
+    )
 
 
 # --------------------------------------------------------------------------
@@ -3441,14 +3523,7 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dim_moments(_t(spark, sf_dir, "embeddings"))
 
 
-@register(
-    "embedding_pca_variance",
-    sql=None,  # eigen-decomposition: not SQL-expressible; spectrum
-    # properties pinned by tests/test_linalg.py (trace == eigensum vs
-    # the oracle-checked dim profile, shares descending, sum to 1)
-    tags=("linalg", "embedding", "pca", "mapInPandas"),
-)
-def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_pca_variance_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-16 PCA eigen-spectrum of the embedding covariance: Gram
     matrix via one BLAS product per Arrow batch (32 KiB crossing the
     wire per batch, never row x d^2), eigh on the 64 x 64 driver-side
@@ -3459,6 +3534,107 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(c, round(ev, 9), round(sh, 9), round(cu, 9)) for c, ev, sh, cu in rows],
         "component long, eigenvalue double, share double, cumulative_share double",
+    )
+
+
+@register(
+    "embedding_pca_variance",
+    # r7 rows-only → oracle: the eigen-decomposition itself is not
+    # SQL-expressible, but the covariance TRACE is (sum of per-dim
+    # population variances, same decimal-quantized sums as the
+    # dim-profile oracle) and linear algebra pins the spectrum to it:
+    # trace(cov) == Σ eigenvalues exactly. The registered query is the
+    # audit — the trace is compared as a VALUE (both engines from
+    # decimal sums), and the spectrum invariants (eigensum == trace,
+    # descending, shares cumulate to ≤1, all non-negative) hash-fail
+    # on drift. Full spectrum frame = embedding_pca_variance_detail.
+    sql="""
+    WITH e AS (SELECT embedding FROM embeddings),
+    idx AS (
+        SELECT unnest(range(0, (SELECT COALESCE(MAX(len(embedding)), 0)
+                                FROM e))) AS dim
+    ),
+    x AS (
+        SELECT idx.dim, e.embedding[idx.dim + 1]::DOUBLE AS x
+        FROM e CROSS JOIN idx
+        WHERE idx.dim < len(e.embedding)
+    ),
+    agg AS (
+        SELECT dim, COUNT(x) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS s2
+        FROM x GROUP BY dim
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           ROUND(SUM((s2 - s1 * s1 / n) / n), 6) AS trace,
+           CAST(1 AS BIGINT) AS eigensum_ok,
+           CAST(1 AS BIGINT) AS spectrum_ok
+    FROM agg
+    """,
+    tags=("linalg", "embedding", "pca", "mapInPandas"),
+)
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA spectrum audit (see the oracle comment above): computes the
+    full eigen-spectrum driver-side from the distributed Gram matrix,
+    the covariance trace from the SAME decimal-sum expression tree as
+    the oracle, and emits trace + invariant flags. eigensum_ok uses a
+    1e-6 relative tolerance (eigh is backward-stable; the residual is
+    float association noise, not a semantic gap)."""
+    import numpy as np
+
+    from ..operators.linalg import pca_spectrum
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = pca_spectrum(emb, top_k=64)
+
+    x = F.col("x").cast("double")
+    per_dim = (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.count("x").alias("n"),
+            F.sum(x.cast("decimal(28,12)")).cast("double").alias("s1"),
+            F.sum((x * x).cast("decimal(28,12)")).cast("double").alias("s2"),
+        )
+    )
+    trace_df = per_dim.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.round(
+            F.sum(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / F.col("n")
+            ),
+            6,
+        ).alias("trace"),
+    )
+    evals = np.array([ev for _c, ev, _sh, _cu in rows], dtype=np.float64)
+    eigensum = float(evals.sum())
+    shares = [sh for _c, _ev, sh, _cu in rows]
+    cums = [cu for _c, _ev, _sh, cu in rows]
+    # vacuous pass on an empty corpus (<2 rows: no spectrum to audit),
+    # mirroring the oracle's unconditional flags over the empty agg
+    spectrum_ok = not rows or bool(
+        all(evals >= 0.0)
+        and all(evals[i] >= evals[i + 1] - 1e-12 for i in range(len(evals) - 1))
+        and all(abs(c - sum(shares[: i + 1])) < 1e-9 for i, c in enumerate(cums))
+        and cums[-1] <= 1.0 + 1e-9
+    )
+    eigensum_ok = F.when(
+        F.col("trace").isNotNull(),
+        (
+            F.abs(F.lit(eigensum) - F.col("trace"))
+            <= 1e-6 * F.greatest(F.lit(1.0), F.abs(F.col("trace")))
+        ).cast("long"),
+    ).otherwise(F.lit(1).cast("long"))
+    return F.broadcast(
+        emb.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    ).crossJoin(F.broadcast(trace_df)).select(
+        "n_rows",
+        "n_dims",
+        "trace",
+        eigensum_ok.alias("eigensum_ok"),
+        F.lit(spectrum_ok).cast("long").alias("spectrum_ok"),
     )
 
 

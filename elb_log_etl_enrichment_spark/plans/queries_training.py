@@ -635,12 +635,7 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bpe_encode_stats",
-    sql=None,  # encodes with the iteratively-TRAINED merge table → rows-only
-    tags=("training", "tokenizer", "bpe", "encode"),
-)
-def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_encode_stats_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the learned BPE merge table — the
     actual "tokenize 100 TB" step. Train (12 merges, vocabulary-
     bounded loop) then encode: the merge chain is applied ONCE per
@@ -681,6 +676,72 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.length("word")) * 1.0 / F.sum("n_bpe_tokens"), 6
             ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "bpe_encode_stats",
+    # r7 rows-only → oracle: the trained merge table is iterative and
+    # engine-specific, but the encode step has SQL-checkable anchors —
+    # the per-source word and character counts of the corpus stream
+    # (oracle-exact), plus two in-plan contracts the driver hash-fails
+    # on: every BPE token count sits in [n_words, n_chars] (each word
+    # → between 1 and len(word) subwords), and every distinct word
+    # DECODES back to itself (concat of its subword symbols), the
+    # lossless-tokenizer property. Inflation detail frame =
+    # bpe_encode_stats_detail; merge-table values pinned vs an
+    # independent Sennrich encoder in test_training.py.
+    sql=rf"""
+    WITH s AS (
+        SELECT source, unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS word
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+           CAST(1 AS BIGINT) AS tokens_in_bounds,
+           CAST(1 AS BIGINT) AS roundtrip_ok
+    FROM s GROUP BY source ORDER BY source
+    """,
+    tags=("training", "tokenizer", "bpe", "encode"),
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode audit (see the oracle comment above): train 12
+    merges, encode the distinct-word vocabulary, broadcast-join the
+    per-word token counts and roundtrip flags back to the corpus
+    stream, and emit per-source counts + contract flags."""
+    from ..operators.bpe import bpe_encode_tokens, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    stream = d.select(
+        "source",
+        F.explode(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))).alias(
+            "word"
+        ),
+    )
+    vocab = (
+        stream.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    )
+    merges = bpe_train(vocab, n_merges=12)
+    enc = bpe_encode_tokens(vocab, merges).select(
+        "word",
+        "n_bpe_tokens",
+        (F.concat_ws("", F.col("bpe_sym")) == F.col("word")).alias("rt_ok"),
+        (
+            (F.col("n_bpe_tokens") >= 1)
+            & (F.col("n_bpe_tokens") <= F.length("word"))
+        ).alias("bounds_ok"),
+    )
+    return (
+        stream.join(F.broadcast(enc), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.min(F.col("bounds_ok").cast("long")).alias("tokens_in_bounds"),
+            F.min(F.col("rt_ok").cast("long")).alias("roundtrip_ok"),
         )
         .orderBy("source")
     )

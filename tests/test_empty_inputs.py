@@ -135,12 +135,25 @@ def test_round2b_operators_on_empty_inputs(spark, tmp_path):
         "incremental_ingest_dedup",
         "bpe_encode_stats",
         "dim_truncation_recall",
-        "cosine_topk_ivf",
-        "cosine_topk_pq",
-        "cosine_topk_ivfpq",
     ):
         out = REGISTRY[name].fn(spark, str(tmp_path))
         assert out.count() == 0, name
+    # the ANN recall audits (r7 oracle promotion) keep their one
+    # summary row on an empty corpus — 0 queries, 0/0 recall passes —
+    # matching their oracle's unconditional aggregate; the neighbor
+    # frames themselves stay empty
+    from elb_log_etl_enrichment_spark.plans import queries_ext as qx
+
+    for name in ("cosine_topk_ivf", "cosine_topk_pq", "cosine_topk_ivfpq"):
+        row = REGISTRY[name].fn(spark, str(tmp_path)).collect()
+        assert len(row) == 1 and row[0].n_queries == 0, name
+        assert row[0].recall_ok == 1, name
+    for detail in (
+        qx.cosine_topk_ivf_detail,
+        qx.cosine_topk_pq_detail,
+        qx.cosine_topk_ivfpq_detail,
+    ):
+        assert detail(spark, str(tmp_path)).count() == 0
 
 
 def test_round2c_operators_on_empty_inputs(spark, tmp_path):
@@ -210,7 +223,10 @@ def test_sampling_privacy_jsonl_on_empty_inputs(spark, tmp_path):
         ("user_survival_curve", 0),
         ("gini_concentration", 0),
         ("embedding_dim_profile", 0),
-        ("embedding_pca_variance", 0),
+        # r7 oracle promotion: the PCA audit keeps its one summary row
+        # (vacuous flags) on an empty corpus, like its oracle's
+        # unconditional aggregate
+        ("embedding_pca_variance", 1),
         ("ols_order_value_regression", 0),
         ("lpa_communities", 0),
         ("value_drift_audit", 0),

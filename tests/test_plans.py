@@ -445,6 +445,8 @@ def test_no_python_stages_outside_documented_extension_points(spark):
         "cosine_topk_arrow",            # Arrow/BLAS batch scorer
         "cosine_topk_pq",               # PQ-ADC batch scorer
         "cosine_topk_ivfpq",            # IVF-PQ batch scorer
+        "cosine_topk_ivf",              # r7 recall audit embeds the
+                                        # Arrow exact scorer in-plan
         "multimodal_decode_stats",      # binary-column decode plumbing
         "multimodal_pipeline_stats",
         "multimodal_sniff_stats",

@@ -330,15 +330,25 @@ def test_bpe_encode_matches_independent_encoder(spark):
 
 
 def test_bpe_encode_stats_query_shape(spark):
-    """Registry query: per-source stats exist, tokens_per_word ≥ 1 is
-    impossible (BPE splits words into ≥1 subwords, so n_bpe_tokens ≥
-    n_words) and chars/token ≥ 1."""
+    """Registry query (r7: the oracle-backed audit): every per-source
+    row passes both in-plan contracts, and the inflation DETAIL frame
+    keeps the invariants the audit summarizes — n_bpe_tokens ≥ n_words
+    (BPE splits words into ≥1 subwords), chars/token ≥ 1."""
     from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+    from elb_log_etl_enrichment_spark.plans.queries_training import (
+        bpe_encode_stats_detail,
+    )
 
     all_queries()
     out = REGISTRY["bpe_encode_stats"].fn(spark, SF).collect()
     assert out
     for r in out:
+        assert r["tokens_in_bounds"] == 1
+        assert r["roundtrip_ok"] == 1
+        assert r["n_chars"] >= r["n_words"]
+    detail = bpe_encode_stats_detail(spark, SF).collect()
+    assert detail
+    for r in detail:
         assert r["n_bpe_tokens"] >= r["n_words"]
         assert r["chars_per_token"] >= 1.0
         assert r["tokens_per_word"] >= 1.0
