@@ -1427,6 +1427,38 @@ _head7 = [
 _rest7 = [n for n in CORE_PREFIX if n not in _head7 and n not in _R7_PROMOTED]
 CORE_PREFIX = _head7 + _R7_PROMOTED + _rest7
 
+# Round-7b: five MORE rows-only → oracle promotions landed mid-round
+# (ANN recall audits embedding the exact Arrow scorer, the PCA
+# trace/invariant audit, the BPE lossless-roundtrip audit — rows-only
+# set now 2). New oracles gate first: swap them into the sampled head
+# for r6-green banked entries whose tier keeps a same-shape survivor —
+# cosine_topk_arrow's exact scorer now runs INSIDE all three ANN
+# audits; cusum/survival leave the stats tier with srm_balance_audit
+# + k_anonymity_audit staying; pmi leaves text with the shingle/
+# simhash/winnowing block staying; the hourly rollup leaves
+# incremental with incremental_ingest_dedup + the WAP/dedup streams
+# staying. Every demoted entry keeps its local oracle test.
+_R7B_PROMOTED = [
+    "cosine_topk_ivf",
+    "cosine_topk_pq",
+    "cosine_topk_ivfpq",
+    "embedding_pca_variance",
+    "bpe_encode_stats",
+]
+_R7B_DEMOTED = {
+    "cosine_topk_arrow",        # r6 green; embedded in the ANN audits
+    "cusum_changepoint",        # r6 green; stats keeps srm + k-anon
+    "user_survival_curve",      # r6 green; stats keeps srm + k-anon
+    "pmi_collocations",         # r6 green; text block stays
+    "incremental_hourly_rollup",  # r6 green; incremental reps stay
+}
+_head7b = [
+    n for n in CORE_PREFIX[:50]
+    if n not in _R7B_DEMOTED and n not in _R7B_PROMOTED
+]
+_rest7b = [n for n in CORE_PREFIX if n not in _head7b and n not in _R7B_PROMOTED]
+CORE_PREFIX = _head7b + _R7B_PROMOTED + _rest7b
+
 
 def _ordered_specs() -> list[QuerySpec]:
     """CORE_PREFIX first, then remaining oracle-backed queries in
