@@ -564,6 +564,76 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 SIMHASH_IDF_CAP = 16
 
 
+def simhash_both(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Both signature schemes from ONE corpus pass: (doc_id,
+    simhash_plain, simhash_weighted). The plain and weighted schemes
+    share the tokenize→md5→nibble pipeline and the per-doc exchange —
+    the bit votes just aggregate twice (weight 1 and the IDF weight)
+    inside the same groupBy — so a scheme-comparison audit costs one
+    signature pass plus the df join, not two full passes (r7: the
+    bias audit was paying 2× scan/explode/hash over identical input;
+    at 100 TB that is a second pass over the whole token stream).
+    Bit-for-bit equal to `simhash` / `simhash_weighted` (pinned by
+    tests)."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    pairs = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok")
+    )
+    dfreq = pairs.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    hashed = (
+        pairs.join(dfreq, "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            F.md5("tok").alias("h"),
+            F.least(
+                F.lit(SIMHASH_IDF_CAP), F.expr("n div df") + F.lit(1)
+            ).alias("w"),
+        )
+    )
+    nibs = hashed.select(
+        "doc_id",
+        "w",
+        *[
+            F.expr(
+                f"instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1"
+            ).alias(f"v{i}")
+            for i in range(SIMHASH_BITS // 4)
+        ],
+    )
+
+    def _vote(j):
+        return (
+            F.shiftright(F.col(f"v{j // 4}"), 3 - j % 4).bitwiseAND(F.lit(1))
+        ) * 2 - 1
+
+    aggs = [F.sum(_vote(j)).alias(f"p{j}") for j in range(SIMHASH_BITS)] + [
+        F.sum(F.col("w") * _vote(j)).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = nibs.groupBy("doc_id").agg(*aggs)
+
+    def _bits(prefix):
+        return sum(
+            (
+                F.when(F.col(f"{prefix}{j}") > 0, F.lit(1 << j)).otherwise(
+                    F.lit(0)
+                )
+                for j in range(SIMHASH_BITS)
+            ),
+            F.lit(0),
+        )
+
+    return per_doc.select(
+        "doc_id",
+        _bits("p").cast("long").alias("simhash_plain"),
+        _bits("s").cast("long").alias("simhash_weighted"),
+    )
+
+
 def simhash_weighted(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -686,3 +686,35 @@ def test_contains_map_decision_tree():
         assert _contains_map(ddl(t)), t
     for t in false_cases:
         assert not _contains_map(ddl(t)), t
+
+
+def test_simhash_both_matches_individual_schemes(spark):
+    """The fused one-pass signature builder (r7: simhash_both) must be
+    bit-for-bit identical to the standalone simhash / simhash_weighted
+    operators — including on documents whose text tokenizes to nothing
+    (they vanish from all three, explode drops them)."""
+    from elb_log_etl_enrichment_spark.operators.text_dedup import (
+        simhash,
+        simhash_both,
+        simhash_weighted,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "alpha beta gamma delta"),
+            (3, "completely different words here"),
+            (4, "alpha"),
+            (5, "   "),  # tokenless: drops out of every scheme
+            (6, "beta beta beta beta beta"),
+        ],
+        "doc_id long, text string",
+    )
+    p = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    w = {r.doc_id: r.simhash for r in simhash_weighted(docs).collect()}
+    b = {
+        r.doc_id: (r.simhash_plain, r.simhash_weighted)
+        for r in simhash_both(docs).collect()
+    }
+    assert set(b) == set(p) == set(w) == {1, 2, 3, 4, 6}
+    assert b == {k: (p[k], w[k]) for k in p}
