@@ -645,7 +645,9 @@ def weighted_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("decimal(20,0)")
+        # long, not decimal(20,0): the 60-bit value casts losslessly
+        # and integer mod stays in codegen (hash_bucket rationale, r7)
+        .cast("long")
         % 1000000
     ).cast("double") / 1000000.0
     return (

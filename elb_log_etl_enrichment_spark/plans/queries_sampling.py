@@ -477,7 +477,9 @@ def _hrw_col(key, n: int):
                 ),
                 16,
                 10,
-            ).cast("decimal(20,0)")
+            # long: lossless for the 60-bit value; max/position compare
+            # identically and integer ops stay in codegen (r7)
+            ).cast("long")
             for s in range(n)
         ]
     )

@@ -1902,14 +1902,17 @@ def feature_hashing_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
         ).alias("token"),
     )
+    # long casts: lossless for the 60-bit conv value, and the per-token
+    # integer mod stays in codegen (hash_bucket rationale, r7) — this
+    # runs twice per exploded token, the hottest hash path in the tier
     bucket = (
         F.conv(F.substring(F.md5(F.concat(F.lit("fh|"), F.col("token"))), 1, 15), 16, 10)
-        .cast("decimal(20,0)")
+        .cast("long")
         % _FH_BUCKETS
-    ).cast("long")
+    )
     sign = F.when(
         F.conv(F.substring(F.md5(F.concat(F.lit("sg|"), F.col("token"))), 1, 15), 16, 10)
-        .cast("decimal(20,0)")
+        .cast("long")
         % 2
         == 0,
         1,

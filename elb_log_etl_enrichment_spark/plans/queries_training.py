@@ -167,11 +167,11 @@ def shard_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sortWithinPartitions`` for deterministic file layout."""
     d = _t(spark, sf_dir, "documents")
     shard = F.pmod(
-        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast(
-            "decimal(20,0)"  # 60-bit value: fits decimal, not long-safe mod
-        ),
+        # long: the 60-bit value (< 2^60 ≤ Long.MAX) casts losslessly
+        # and integer pmod stays in codegen (hash_bucket rationale, r7)
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long"),
         F.lit(N_SHARDS),
-    ).cast("long")
+    )
     return (
         d.select(shard.alias("shard"), "n_chars")
         .groupBy("shard")
@@ -376,10 +376,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "is_target",
             F.pmod(
-                F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("decimal(20,0)"),
+                # long: lossless for the 60-bit value, integer pmod
+                # stays in codegen (hash_bucket rationale, r7)
+                F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long"),
                 F.lit(DSIR_BUCKETS),
             )
-            .cast("long")
             .alias("b"),
         )
         .persist()
