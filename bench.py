@@ -355,9 +355,13 @@ def _stale_steady_entries(steady_book: dict) -> list[str]:
             continue
         if commit not in changed_cache:
             try:
+                # diff against the WORKING TREE, not commit..HEAD:
+                # uncommitted engine edits must also mark stamps stale
+                # — the running code is what matters, not HEAD
+                # (code-review r7)
                 out = subprocess.run(
                     [
-                        "git", "diff", "--name-only", f"{commit}..HEAD",
+                        "git", "diff", "--name-only", commit,
                         "--", "elb_log_etl_enrichment_spark",
                     ],
                     cwd=REPO_ROOT,

@@ -1,0 +1,111 @@
+"""Build-once artifact identity + atomic persistence helpers.
+
+Shared by every cross-session artifact tier (trained ANN index models,
+the co-bucketed join layout): one fingerprint implementation so the
+invalidation rules cannot drift between consumers (code-review r7 —
+two hand-rolled copies had already diverged on error handling), and
+one atomic-save implementation safe under concurrent writers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Iterable
+
+
+def stat_fingerprint(
+    sources: Iterable[str], extra: Iterable = ()
+) -> str | None:
+    """md5 identity of a set of LOCAL source files: path + size +
+    mtime_ns of every file (directories walk recursively), plus any
+    ``extra`` tokens (params, plan hashes). Returns None — meaning
+    "no safe cross-session identity, do not persist/reuse" — when any
+    source is non-local, or vanishes mid-scan (a racing regeneration
+    is exactly the event fingerprinting defends against; treating it
+    as unidentifiable is safe, crashing the query is not)."""
+    entries: list[str] = []
+    for uri in sorted(sources):
+        if uri.startswith("file:"):
+            path = uri[len("file:"):]
+            while path.startswith("//"):
+                path = path[1:]
+        elif uri.startswith("/"):
+            path = uri
+        else:
+            return None
+        try:
+            if os.path.isdir(path):
+                for root, _dirs, files in os.walk(path):
+                    for f in files:
+                        fp = os.path.join(root, f)
+                        st = os.stat(fp)
+                        entries.append(f"{fp}:{st.st_size}:{st.st_mtime_ns}")
+            else:
+                st = os.stat(path)
+                entries.append(f"{path}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            return None
+    h = hashlib.md5()
+    for e in sorted(entries):
+        h.update(e.encode())
+    for x in extra:
+        h.update(f":{x}".encode())
+    return h.hexdigest()
+
+
+def plan_identity(df) -> int:
+    """Semantic hash of the frame's analyzed logical plan — two frames
+    share it iff Catalyst considers them the same computation, so an
+    artifact keyed on (files, params, plan) can never be served to a
+    differently-filtered/transformed frame over the same files
+    (code-review r7: inputFiles alone collides there). Canonicalized
+    plan hashing normalizes expression ids, so the value is stable
+    across sessions for identical code paths; a cross-version drift
+    just retrains (miss, never a wrong hit)."""
+    return int(df._jdf.queryExecution().analyzed().semanticHash())
+
+
+def atomic_save_npz(path: str | None, **arrays) -> None:
+    """Atomically persist named numpy arrays; best-effort, never
+    raises. A UNIQUE temp file per writer (mkstemp) + os.replace:
+    a fixed tmp name would let two concurrent trainers interleave
+    writes into one inode and install a corrupt artifact
+    (code-review r7)."""
+    import tempfile
+
+    import numpy as np
+
+    if path is None:
+        return
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(path), suffix=".tmp.npz"
+        )
+        try:
+            with os.fdopen(fd, "wb") as f:
+                np.savez(f, **arrays)
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+    except Exception:
+        pass
+
+
+def load_npz(path: str | None, names: list[str]):
+    """The named arrays from a persisted artifact, or None on any
+    miss/corruption (training is the fallback, never an error)."""
+    import numpy as np
+
+    if path is None or not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            return [z[n] for n in names]
+    except Exception:
+        return None

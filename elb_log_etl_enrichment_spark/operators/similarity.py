@@ -201,77 +201,56 @@ def _train_pq(sample, m: int, n_centroids: int, iters: int, rng):
 _IVF_CENTROID_MEMO: dict = {}
 
 
+def _plan_hash(emb: DataFrame) -> int | None:
+    """Semantic-plan identity for the artifact/memo keys (code-review
+    r7: files+params alone collide for a filtered/transformed frame
+    over the same files — a mistrained index would be served silently,
+    with recall quietly degraded). None → no safe identity."""
+    from ..artifacts import plan_identity
+
+    try:
+        return plan_identity(emb)
+    except Exception:
+        return None
+
+
 def _index_artifact_path(input_files, params) -> str | None:
     """Disk location for a trained index artifact (centroids / PQ
     codebooks), keyed by the SOURCE fingerprint — local path + size +
-    mtime of every input file — plus the training params (r7, the
-    bucketed-layout discipline applied to ANN training): a production
-    index trains once and serves many sessions, and any corpus
-    regeneration changes the fingerprint so a stale model can never be
-    served. Returns None (train fresh, no persistence) when any input
-    is non-local or unstattable — no safe cross-session identity."""
-    import hashlib
+    mtime of every input file — plus the training params and the
+    frame's semantic plan hash (r7, the bucketed-layout discipline
+    applied to ANN training): a production index trains once and
+    serves many sessions, and any corpus regeneration changes the
+    fingerprint so a stale model can never be served. Returns None
+    (train fresh, no persistence) when any input is non-local or
+    unstattable — no safe cross-session identity."""
     import os
     import tempfile
 
+    from ..artifacts import stat_fingerprint
+
     if not input_files:
         return None
-    h = hashlib.md5()
-    for uri in sorted(input_files):
-        if uri.startswith("file:"):
-            path = uri[len("file:"):]
-            while path.startswith("//"):
-                path = path[1:]
-        elif uri.startswith("/"):
-            path = uri
-        else:
-            return None
-        try:
-            st = os.stat(path)
-        except OSError:
-            return None
-        h.update(f"{path}:{st.st_size}:{st.st_mtime_ns}".encode())
-    for p in params:
-        h.update(f":{p}".encode())
+    fp = stat_fingerprint(input_files, extra=params)
+    if fp is None:
+        return None
     return os.path.join(
         tempfile.gettempdir(),
         "spark_graft_index_artifacts",
-        h.hexdigest() + ".npz",
+        fp + ".npz",
     )
 
 
 def _index_artifact_load(path, names):
-    """The named arrays from a persisted artifact, or None on any
-    miss/corruption (training is the fallback, never an error)."""
-    import os
+    from ..artifacts import load_npz
 
-    import numpy as np
-
-    if path is None or not os.path.exists(path):
-        return None
-    try:
-        with np.load(path) as z:
-            return [z[n] for n in names]
-    except Exception:
-        return None
+    return load_npz(path, names)
 
 
 def _index_artifact_save(path, **arrays) -> None:
-    """Atomically persist named arrays (tmp + rename — a concurrent
-    reader never sees a partial file); best-effort, never raises."""
-    import os
+    from ..artifacts import atomic_save_npz
 
-    import numpy as np
-
-    if path is None:
-        return
-    try:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp.npz"
-        np.savez(tmp, **arrays)
-        os.replace(tmp, path)
-    except Exception:
-        pass
+    atomic_save_npz(path, **arrays)
 
 
 def cosine_topk_ivf(
@@ -311,20 +290,26 @@ def cosine_topk_ivf(
         input_files = emb.inputFiles()
     except Exception:
         input_files = []
+    ph = _plan_hash(emb)
     memo_key = (
         (
             emb.sparkSession.sparkContext.applicationId,
             tuple(sorted(input_files)),
+            ph,
             n_cells,
             sample_limit,
             kmeans_iters,
         )
-        if input_files
+        if input_files and ph is not None
         else None
     )
     centers = _IVF_CENTROID_MEMO.get(memo_key) if memo_key else None
-    artifact = _index_artifact_path(
-        input_files, ("ivf", n_cells, sample_limit, kmeans_iters)
+    artifact = (
+        _index_artifact_path(
+            input_files, ("ivf", ph, n_cells, sample_limit, kmeans_iters)
+        )
+        if ph is not None
+        else None
     )
     if centers is None:
         disk = _index_artifact_load(artifact, ["centers"])
@@ -565,10 +550,12 @@ def cosine_topk_pq(
         input_files = emb.inputFiles()
     except Exception:
         input_files = []
-    if input_files:
+    ph = _plan_hash(emb)
+    if input_files and ph is not None:
         memo_key = (
             emb.sparkSession.sparkContext.applicationId,
             tuple(sorted(input_files)),
+            ph,
             m,
             n_centroids,
             sample_limit,
@@ -583,8 +570,12 @@ def cosine_topk_pq(
         # place under the same names; acceptable for a session-scoped memo.)
         memo_key = None
         codebooks = None
-    artifact = _index_artifact_path(
-        input_files, ("pq", m, n_centroids, sample_limit, kmeans_iters)
+    artifact = (
+        _index_artifact_path(
+            input_files, ("pq", ph, m, n_centroids, sample_limit, kmeans_iters)
+        )
+        if ph is not None
+        else None
     )
     if codebooks is None:
         disk = _index_artifact_load(artifact, ["codebooks"])
@@ -732,23 +723,29 @@ def cosine_topk_ivfpq(
         input_files = emb.inputFiles()
     except Exception:
         input_files = []
+    ph = _plan_hash(emb)
     memo_key = (
         (
             emb.sparkSession.sparkContext.applicationId,
             tuple(sorted(input_files)),
+            ph,
             n_cells,
             m,
             n_centroids,
             sample_limit,
             kmeans_iters,
         )
-        if input_files
+        if input_files and ph is not None
         else None
     )
     model = _IVFPQ_MEMO.get(memo_key) if memo_key else None
-    artifact = _index_artifact_path(
-        input_files,
-        ("ivfpq", n_cells, m, n_centroids, sample_limit, kmeans_iters),
+    artifact = (
+        _index_artifact_path(
+            input_files,
+            ("ivfpq", ph, n_cells, m, n_centroids, sample_limit, kmeans_iters),
+        )
+        if ph is not None
+        else None
     )
     if model is None:
         disk = _index_artifact_load(artifact, ["centers", "codebooks"])

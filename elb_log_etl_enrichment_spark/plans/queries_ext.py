@@ -2408,10 +2408,17 @@ def hll_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = joined.agg(
         F.count_distinct("user_id").alias("exact_distinct_users")
     )
-    ok = (
-        F.abs(F.col("est") - F.col("exact_distinct_users"))
-        <= 5 * 0.0163 * F.col("exact_distinct_users") + F.lit(1.0)
-    ).cast("long")
+    # vacuous pass when the join is empty (est is NULL — no sketches
+    # to merge): the oracle's flag is unconditional, and NULL here
+    # would hash-mismatch on a legal degenerate input (code-review
+    # r7; same convention as the PCA/ANN audits)
+    ok = F.when(
+        F.col("est").isNotNull(),
+        (
+            F.abs(F.col("est") - F.col("exact_distinct_users"))
+            <= 5 * 0.0163 * F.col("exact_distinct_users") + F.lit(1.0)
+        ).cast("long"),
+    ).otherwise(F.lit(1).cast("long"))
     return (
         exact.join(F.broadcast(merged))
         .select(
@@ -3317,32 +3324,25 @@ _BUCKET_DIRS: dict[str, str] = {}
 _BUCKETED_JOIN_N_BUCKETS = 8
 
 
-def _source_fingerprint(sf_dir: str) -> str:
-    """Cheap identity of the bucketing inputs: path + size + mtime of
-    every file under the two source parquets. Any regeneration of the
-    testdata (the driver has changed schemas/columns between rounds)
-    changes the fingerprint and invalidates the persisted layout — a
-    stale bucketed table would otherwise serve WRONG rows that the
-    oracle (which reads the plain parquet) immediately hash-fails."""
-    import hashlib
+def _source_fingerprint(sf_dir: str) -> str | None:
+    """Cheap identity of the bucketing inputs via the shared
+    ``artifacts.stat_fingerprint`` (path + size + mtime of every file
+    under the two source parquets; r7 consolidation — the hand-rolled
+    copy crashed on a file vanishing mid-scan instead of treating the
+    corpus as changed). Any regeneration of the testdata invalidates
+    the persisted layout — a stale bucketed table would otherwise
+    serve WRONG rows that the oracle (which reads the plain parquet)
+    immediately hash-fails. None = no stable identity (rewrite)."""
     import os
 
-    h = hashlib.md5(sf_dir.encode())
-    for tbl in ("orders", "lineitem"):
-        p = os.path.join(sf_dir, f"{tbl}.parquet")
-        entries = []
-        if os.path.isdir(p):
-            for root, _, files in os.walk(p):
-                for f in files:
-                    fp = os.path.join(root, f)
-                    st = os.stat(fp)
-                    entries.append(f"{fp}:{st.st_size}:{st.st_mtime_ns}")
-        elif os.path.exists(p):
-            st = os.stat(p)
-            entries.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
-        for e in sorted(entries):
-            h.update(e.encode())
-    return h.hexdigest()
+    from ..artifacts import stat_fingerprint
+
+    paths = [
+        os.path.join(sf_dir, f"{tbl}.parquet")
+        for tbl in ("orders", "lineitem")
+        if os.path.exists(os.path.join(sf_dir, f"{tbl}.parquet"))
+    ]
+    return stat_fingerprint(paths, extra=(sf_dir,))
 
 
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -3404,7 +3404,9 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                 .mode("overwrite")
                 .saveAsTable(name)
             )
-    if not reuse:
+    if not reuse and fp is not None:
+        # fp None = no stable identity (source raced away mid-scan):
+        # leave no stamp, so the next session rewrites fresh
         with open(stamp, "w", encoding="utf-8") as fh:
             fh.write(fp)
     return t_orders, t_lineitem

@@ -1117,11 +1117,14 @@ def vocab_growth_audit_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boundary audit of the sketch quartile partition behind the
     100 TB vocab-growth curve (VERDICT r06 item 3): each approx
     quartile must be non-empty (rows 1..4 — a missing row fails the
-    driver's row-count check), hold n/4 ± (4n/accuracy + 2) documents
-    (two cutpoints of GK rank error bound each quartile's size), and
-    the total vocabulary — which is partition-invariant — must equal
-    the exact distinct-token count. The curve itself stays available
-    as :func:`vocab_growth_audit_approx_detail`."""
+    driver's row-count check; this INCLUDES an empty/tiny corpus,
+    where the partition genuinely has nothing to audit — deliberate,
+    unlike the vacuous-pass audits whose flags are corpus-independent),
+    hold n/4 ± (4n/accuracy + 2) documents (two cutpoints of GK rank
+    error bound each quartile's size), and the total vocabulary —
+    which is partition-invariant — must equal the exact
+    distinct-token count. The curve itself stays available as
+    :func:`vocab_growth_audit_approx_detail`."""
     d = _t(spark, sf_dir, "documents")
     dq = doc_quartiles_approx(d)
     tok = d.select(

@@ -208,8 +208,11 @@ def test_elb_stream_single_paced_run_batches_per_file(spark, tmp_path):
 
 def test_steady_staleness_rule():
     """bench.py's steady-stamp staleness rule (r7): an entry measured
-    at HEAD (module unchanged since) is fresh; an entry with a bogus
-    or missing commit, or for an unknown query, is stale."""
+    at HEAD is fresh ONLY while the working tree carries no engine
+    edits (the diff runs against the worktree, not commit..HEAD —
+    uncommitted code is still code the stamp can't vouch for,
+    code-review r7); an entry with a bogus or missing commit, or for
+    an unknown query, is always stale."""
     import subprocess
 
     from elb_log_etl_enrichment_spark.plans.queries import all_queries
@@ -221,6 +224,13 @@ def test_steady_staleness_rule():
         ["git", "rev-parse", "--short", "HEAD"],
         cwd=bench.REPO_ROOT, capture_output=True, text=True, check=True,
     ).stdout.strip()
+    dirty = bool(
+        subprocess.run(
+            ["git", "diff", "--name-only", "HEAD", "--",
+             "elb_log_etl_enrichment_spark"],
+            cwd=bench.REPO_ROOT, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    )
     book = {
         "pricing_summary": {"commit": head, "steady": 1.0},
         "no_such_query": {"commit": head, "steady": 1.0},
@@ -228,7 +238,7 @@ def test_steady_staleness_rule():
         "sessionize_events": {"commit": "0000000", "steady": 1.0},
     }
     stale = set(bench._stale_steady_entries(book))
-    assert "pricing_summary" not in stale
+    assert ("pricing_summary" in stale) == dirty
     assert {"no_such_query", "revenue_by_nation", "sessionize_events"} <= stale
 
 
@@ -376,3 +386,36 @@ def test_geo_cache_empty_update_skips_rewrite(spark, tmp_path):
     update_geo_cache(spark, newer, cache_path)
     got = {r.client_ip for r in load_geo_cache(spark, cache_path).collect()}
     assert got == {"1.2.3.4", "5.6.7.8"}
+
+
+def test_ann_artifact_keys_distinguish_transformed_frames(spark):
+    """code-review r7: the artifact/memo key must include the frame's
+    semantic plan identity — a FILTERED frame over the same files must
+    never be served the full-corpus model (or vice versa). Pin by
+    asserting the artifact paths differ, and that the filtered frame's
+    answer comes from centroids trained on the filtered corpus (its
+    neighbor set can never contain an excluded vec_id)."""
+    from pyspark.sql import functions as F
+
+    from elb_log_etl_enrichment_spark.operators import similarity as sim
+    from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+
+    full_key = sim._index_artifact_path(
+        emb.inputFiles(), ("ivf", sim._plan_hash(emb), 16, 16384, 10)
+    )
+    half_key = sim._index_artifact_path(
+        half.inputFiles(), ("ivf", sim._plan_hash(half), 16, 16384, 10)
+    )
+    assert full_key and half_key and full_key != half_key
+
+    pred = F.col("vec_id") % 100 == 0
+    sim.cosine_topk_ivf(emb, pred, k=3).collect()  # trains/persists full
+    got = sim.cosine_topk_ivf(half, pred, k=3).collect()
+    assert got, "filtered corpus produced no neighbors"
+    assert all(r.neighbor % 2 == 0 for r in got), (
+        "filtered frame returned an excluded vec_id — full-corpus "
+        "index leaked through the artifact key"
+    )
