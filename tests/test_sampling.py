@@ -166,3 +166,43 @@ def test_hrw_monotonicity_only_new_shard_winners_move(spark):
     r = REGISTRY["shard_rebalance_audit"].fn(spark, sf).collect()[0]
     assert 1700 <= r.hrw_moved_bp <= 2300   # ~4/20 of keys
     assert 7700 <= r.mod_moved_bp <= 8300   # ~4/5 of keys
+
+
+def test_hash_bucket_matches_duckdb_on_random_keys(spark):
+    """Cross-engine pin of the portable bucket formula itself (r7: the
+    Spark side moved from decimal to long arithmetic — exact only
+    because the 60-bit conv value fits a long; this differential
+    guards the formula against any future 'optimization' that breaks
+    bit-parity). Random printable keys incl. unicode, empty string,
+    and pipe characters (the salt delimiter)."""
+    import random
+
+    import duckdb
+
+    from elb_log_etl_enrichment_spark.plans.queries_sampling import (
+        _sql_bucket,
+        hash_bucket,
+    )
+
+    rng = random.Random(1729)
+    alphabet = "abcXYZ0189 |_éß漢-"
+    keys = [""] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 24)))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r.k: r.b
+        for r in df.select(
+            "k", hash_bucket(F.col("k"), "prop|").alias("b")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
+    want = dict(
+        con.execute(
+            f"SELECT k, CAST({_sql_bucket('k', 'prop|')} AS BIGINT) FROM t"
+        ).fetchall()
+    )
+    assert got == want
