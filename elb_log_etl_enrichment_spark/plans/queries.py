@@ -1459,6 +1459,26 @@ _head7b = [
 _rest7b = [n for n in CORE_PREFIX if n not in _head7b and n not in _R7B_PROMOTED]
 CORE_PREFIX = _head7b + _R7B_PROMOTED + _rest7b
 
+# r8 rotation shortlist (bookkeeping for the next round): after r7's
+# 33 head first-timers land their rows, 68 registry queries will still
+# have zero driver rows. Representative promotions to lead r8 with,
+# one per still-unrowed family: function batteries
+# (array_function_battery, null_handling_battery, regression_battery,
+# listagg_bitwise_battery), text quality (text_quality_scores,
+# langid_confusion, token_entropy_quality, readability_scores),
+# curation (curation_funnel_by_source, dedup_survivor_stats,
+# minhash_calibration, leakage_safe_split_audit), embedding support
+# (dim_truncation_recall, embedding_centroid_drift,
+# embedding_quantization_error, feature_hashing_vectors), stats
+# (ab_conversion_ztest, kruskal_wallis_value_by_type,
+# cuped_adjusted_lift), profiling/layout (column_profile_lineitem,
+# table_content_digest, compaction_binpack_plan,
+# shard_assignment_stats), time-series (time_weighted_avg_users,
+# rolling_distinct_users, activity_bitmap_stats), and the TPC-H
+# long tail (profit_by_nation_year Q9, promo_revenue_ratio Q14,
+# local_supplier_volume Q5, small_qty_order_revenue Q17,
+# disjunctive_bracket_revenue Q19).
+
 
 def _ordered_specs() -> list[QuerySpec]:
     """CORE_PREFIX first, then remaining oracle-backed queries in
