@@ -54,16 +54,25 @@ def stat_fingerprint(
     return h.hexdigest()
 
 
-def plan_identity(df) -> int:
-    """Semantic hash of the frame's analyzed logical plan — two frames
+def plan_identity(df) -> str:
+    """Identity of the frame's CANONICALIZED logical plan — two frames
     share it iff Catalyst considers them the same computation, so an
     artifact keyed on (files, params, plan) can never be served to a
     differently-filtered/transformed frame over the same files
-    (code-review r7: inputFiles alone collides there). Canonicalized
-    plan hashing normalizes expression ids, so the value is stable
-    across sessions for identical code paths; a cross-version drift
-    just retrains (miss, never a wrong hit)."""
-    return int(df._jdf.queryExecution().analyzed().semanticHash())
+    (code-review r7: inputFiles alone collides there).
+
+    md5 of ``canonicalized().toString()``, NOT ``semanticHash()``:
+    the canonicalized pretty-print normalizes expression ids
+    (``none#0L``) and is byte-stable across JVMs (pinned by
+    test_r7_fixes), while semanticHash was measured to vary between
+    identical fresh processes on pyspark 4.1 — which would silently
+    turn every cross-session artifact hit into a retrain. A
+    cross-version print-format drift just retrains (miss, never a
+    wrong hit)."""
+    import hashlib
+
+    s = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    return hashlib.md5(s.encode()).hexdigest()
 
 
 def atomic_save_npz(path: str | None, **arrays) -> None:
