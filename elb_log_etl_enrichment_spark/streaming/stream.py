@@ -51,16 +51,35 @@ def sized_shuffle_partitions(spark: SparkSession, n: int | None):
     Single-threaded-session contract: no other plan may compile on
     this session inside the block (foreachBatch micro-batch plans
     compile while the stream drains, so callers hold the conf through
-    ``awaitTermination``). ``n=None`` is a no-op."""
+    ``awaitTermination``). ``n=None`` is a no-op.
+
+    The contract is ENFORCED, not just documented (ADVICE r06 #4):
+    nesting two sized blocks on one session means a second stream is
+    compiling inside another's conf window — the silent-miscompile
+    case. The guard raises up front instead."""
     if n is None:
         yield
         return
+    key = spark.sparkContext.applicationId
+    if key in _SIZED_SESSIONS:
+        raise RuntimeError(
+            "sized_shuffle_partitions is not re-entrant: another stream "
+            "holds this session's shuffle-partition conf (single-"
+            "threaded-session contract; run streams sequentially or on "
+            "separate sessions)"
+        )
+    _SIZED_SESSIONS.add(key)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _SIZED_SESSIONS.discard(key)
+
+
+#: applicationIds currently inside a sized_shuffle_partitions block
+_SIZED_SESSIONS: set[str] = set()
 
 #: staging-dir memo for single-file streaming sources (path → tempdir)
 _STAGED_DIRS: dict[str, str] = {}

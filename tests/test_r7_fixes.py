@@ -461,3 +461,31 @@ def test_plan_identity_stable_across_jvms():
         return marks[0]
 
     assert run_once() == run_once()
+
+
+def test_sized_shuffle_partitions_rejects_nesting(spark):
+    """The single-threaded-session contract on the per-stream shuffle
+    sizing is enforced (ADVICE r06 #4): a second sized block on the
+    same session — a concurrent stream compiling inside another's conf
+    window — raises instead of silently miscompiling; the conf is
+    restored either way, and n=None blocks don't participate."""
+    import pytest
+
+    from elb_log_etl_enrichment_spark.streaming.stream import (
+        sized_shuffle_partitions,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with sized_shuffle_partitions(spark, 4):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+        with pytest.raises(RuntimeError, match="not re-entrant"):
+            with sized_shuffle_partitions(spark, 8):
+                pass
+        # unaffected by the rejected attempt
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+        with sized_shuffle_partitions(spark, None):  # no-op path nests fine
+            pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    with sized_shuffle_partitions(spark, 4):  # reusable after clean exit
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
