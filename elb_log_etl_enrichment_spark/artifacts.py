@@ -68,7 +68,14 @@ def plan_identity(df) -> str:
     identical fresh processes on pyspark 4.1 — which would silently
     turn every cross-session artifact hit into a retrain. A
     cross-version print-format drift just retrains (miss, never a
-    wrong hit)."""
+    wrong hit).
+
+    CAVEAT: canonicalization also normalizes the scan RELATION — two
+    same-schema tables at DIFFERENT paths print identically (measured
+    r7), so this value identifies the TRANSFORMATION, not the corpus.
+    Always pair it with a file identity (``stat_fingerprint`` /
+    ``inputFiles``) in any cache key, as the artifact tier and the
+    exact-top-k memo both do."""
     import hashlib
 
     s = df._jdf.queryExecution().analyzed().canonicalized().toString()

@@ -1356,22 +1356,65 @@ def _ann_recall_audit_sql(k: int) -> str:
     """
 
 
+#: (applicationId, corpus plan identity, k) → collected exact top-k
+#: pairs. Ground truth is a pure function of (corpus, k) and tiny
+#: (O(|Q|·k) id pairs), so an eval harness computes it ONCE and scores
+#: every index against it — without the memo the pq/ivfpq audits each
+#: re-ran the full exact BLAS corpus scan per call (r7).
+_EXACT_TOPK_MEMO: dict = {}
+
+
+def _exact_topk_pairs(
+    spark: SparkSession, e: DataFrame, pred, k: int
+) -> list | None:
+    from ..artifacts import plan_identity
+    from ..operators.similarity import cosine_topk_arrow
+
+    # BOTH identities: the canonicalized plan string normalizes the
+    # scan RELATION (no path — two sf_dirs print identically, measured
+    # r7), so file identity must come from inputFiles; the plan hash
+    # covers filters/transforms the file list can't see.
+    try:
+        key = (
+            spark.sparkContext.applicationId,
+            tuple(sorted(e.inputFiles())),
+            plan_identity(e),
+            k,
+        )
+        if not key[1]:
+            key = None
+    except Exception:
+        key = None
+    pairs = _EXACT_TOPK_MEMO.get(key) if key else None
+    if pairs is None:
+        pairs = [
+            (r.query_id, r.neighbor)
+            for r in cosine_topk_arrow(e, pred, k=k)
+            .select("query_id", "neighbor")
+            .collect()
+        ]
+        if key:
+            _EXACT_TOPK_MEMO[key] = pairs
+    return pairs
+
+
 def _ann_recall_audit(
     spark: SparkSession, sf_dir: str, approx: DataFrame, k: int, floor: float
 ) -> DataFrame:
     """One-row recall@k audit: |approx ∩ exact| / |exact| >= floor.
 
-    The exact side is `cosine_topk_arrow` (oracle-backed elsewhere);
-    the intersection is a broadcast semi-join on (query_id, neighbor)
-    — both sides carry O(|Q|·k) rows, so the audit costs one extra
-    scan of the corpus (the exact pass), never a pairwise blow-up."""
-    from ..operators.similarity import cosine_topk_arrow
-
+    The exact side is `cosine_topk_arrow` (oracle-backed elsewhere),
+    computed once per (corpus, k) and memoized as collected id pairs
+    (see `_EXACT_TOPK_MEMO`); the intersection is a broadcast join on
+    (query_id, neighbor) — both sides carry O(|Q|·k) rows, so the
+    audit costs at most one extra scan of the corpus per session
+    (the shared exact pass), never a pairwise blow-up."""
     e = _t(spark, sf_dir, "embeddings")
     pred = F.col("vec_id") % 100 == 0
-    exact = cosine_topk_arrow(e, pred, k=k).select("query_id", "neighbor")
-    # ONE pass over each side: exact streams, the O(|Q|·k) approx set
-    # broadcasts; a second `exact` subtree would re-run the BLAS scan
+    pairs = _exact_topk_pairs(spark, e, pred, k)
+    exact = spark.createDataFrame(
+        pairs, "query_id long, neighbor long"
+    )
     marked = exact.join(
         F.broadcast(
             approx.select("query_id", "neighbor").withColumn("hit", F.lit(1))

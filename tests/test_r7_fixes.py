@@ -489,3 +489,27 @@ def test_sized_shuffle_partitions_rejects_nesting(spark):
     with sized_shuffle_partitions(spark, 4):  # reusable after clean exit
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_exact_topk_memo_is_corpus_scoped(spark):
+    """The ground-truth memo behind the ANN recall audits must key on
+    FILE identity as well as plan identity — the canonicalized plan
+    string normalizes the scan relation, so two same-schema corpora
+    at different paths print identically (caught live at r7: sf0.001's
+    exact pairs were served for sf0.01 and every recall flag went 0)."""
+    from elb_log_etl_enrichment_spark.plans import queries_ext as qx
+    from elb_log_etl_enrichment_spark.sources.tables import load_table
+
+    pred = F.col("vec_id") % 100 == 0
+    a = qx._exact_topk_pairs(
+        spark, load_table(spark, "/root/testdata/sf0.001", "embeddings"), pred, 3
+    )
+    b = qx._exact_topk_pairs(
+        spark, load_table(spark, "/root/testdata/sf0.01", "embeddings"), pred, 3
+    )
+    assert a and b and sorted(a) != sorted(b)
+    # and the memo actually serves the second call for the same corpus
+    a2 = qx._exact_topk_pairs(
+        spark, load_table(spark, "/root/testdata/sf0.001", "embeddings"), pred, 3
+    )
+    assert a2 is a  # memo hit, not a recompute
