@@ -81,10 +81,18 @@ def retime(name: str, sf_dir: str, cpus: str, warm: int) -> dict | None:
     for line in proc.stdout.splitlines():
         if line.startswith("STEADY_JSON:"):
             times = json.loads(line[len("STEADY_JSON:"):])
+            try:
+                # measuring conditions: this host shows intermittent
+                # CPU steal that swings identical runs ±40% — a stamp
+                # without its load average can't be triaged later
+                load1 = round(os.getloadavg()[0], 2)
+            except OSError:
+                load1 = None
             return {
                 "cold": times[0],
                 "warm": times[1:],
                 "steady": min(times[1:]),
+                "load1": load1,
             }
     sys.stderr.write(f"{name}: child failed\n{proc.stderr[-2000:]}\n")
     return None
