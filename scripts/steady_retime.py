@@ -71,6 +71,16 @@ def _top_from_bench(n: int) -> list[str]:
 
 
 def retime(name: str, sf_dir: str, cpus: str, warm: int) -> dict | None:
+    # measuring conditions: this host shows intermittent CPU steal
+    # that swings identical runs ±40%, so each entry records the
+    # 1-minute load average SAMPLED BEFORE the child starts — ambient
+    # pressure, not the run's own load (post-run sampling measured
+    # mostly ourselves). Still decayed-inflated for back-to-back
+    # retimes in one invocation; treat as an upper bound on ambient.
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
     proc = subprocess.run(
         [sys.executable, "-c", _CHILD % {"repo": REPO_ROOT},
          name, sf_dir, cpus, str(warm)],
@@ -81,13 +91,6 @@ def retime(name: str, sf_dir: str, cpus: str, warm: int) -> dict | None:
     for line in proc.stdout.splitlines():
         if line.startswith("STEADY_JSON:"):
             times = json.loads(line[len("STEADY_JSON:"):])
-            try:
-                # measuring conditions: this host shows intermittent
-                # CPU steal that swings identical runs ±40% — a stamp
-                # without its load average can't be triaged later
-                load1 = round(os.getloadavg()[0], 2)
-            except OSError:
-                load1 = None
             return {
                 "cold": times[0],
                 "warm": times[1:],
