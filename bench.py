@@ -358,7 +358,10 @@ def _stale_steady_entries(steady_book: dict) -> list[str]:
                 # diff against the WORKING TREE, not commit..HEAD:
                 # uncommitted engine edits must also mark stamps stale
                 # — the running code is what matters, not HEAD
-                # (code-review r7)
+                # (code-review r7). `git diff` misses UNTRACKED files
+                # (a brand-new engine module an existing query
+                # imports), so untracked engine paths count too
+                # (code-review r7b).
                 out = subprocess.run(
                     [
                         "git", "diff", "--name-only", commit,
@@ -369,7 +372,20 @@ def _stale_steady_entries(steady_book: dict) -> list[str]:
                     text=True,
                     check=True,
                 )
-                changed_cache[commit] = bool(out.stdout.strip())
+                untracked = subprocess.run(
+                    [
+                        "git", "ls-files", "--others",
+                        "--exclude-standard",
+                        "elb_log_etl_enrichment_spark",
+                    ],
+                    cwd=REPO_ROOT,
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                )
+                changed_cache[commit] = bool(
+                    out.stdout.strip() or untracked.stdout.strip()
+                )
             except Exception:
                 changed_cache[commit] = True
         if changed_cache[commit]:

@@ -75,10 +75,32 @@ def plan_identity(df) -> str:
     r7), so this value identifies the TRANSFORMATION, not the corpus.
     Always pair it with a file identity (``stat_fingerprint`` /
     ``inputFiles``) in any cache key, as the artifact tier and the
-    exact-top-k memo both do."""
+    exact-top-k memo both do.
+
+    The pretty-print truncates node field lists at
+    ``spark.sql.debug.maxToStringFields`` (default 25) — two plans
+    differing only past the cutoff would print identically and share
+    an identity (code-review r7b: the wrong-artifact-serve hole this
+    key exists to close). The conf is raised around the render and
+    restored; verified untruncated output stays byte-stable across
+    JVMs and identical to the default render for narrow plans (so
+    existing artifact keys survive)."""
     import hashlib
 
-    s = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    sess = df.sparkSession
+    conf_key = "spark.sql.debug.maxToStringFields"
+    try:
+        prev = sess.conf.get(conf_key)
+    except Exception:
+        prev = None
+    sess.conf.set(conf_key, "100000")
+    try:
+        s = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    finally:
+        if prev is None:
+            sess.conf.unset(conf_key)
+        else:
+            sess.conf.set(conf_key, prev)
     return hashlib.md5(s.encode()).hexdigest()
 
 

@@ -201,7 +201,7 @@ def _train_pq(sample, m: int, n_centroids: int, iters: int, rng):
 _IVF_CENTROID_MEMO: dict = {}
 
 
-def _plan_hash(emb: DataFrame) -> int | None:
+def _plan_hash(emb: DataFrame) -> str | None:
     """Semantic-plan identity for the artifact/memo keys (code-review
     r7: files+params alone collide for a filtered/transformed frame
     over the same files — a mistrained index would be served silently,

@@ -1379,6 +1379,11 @@ def _exact_topk_pairs(
             spark.sparkContext.applicationId,
             tuple(sorted(e.inputFiles())),
             plan_identity(e),
+            # the predicate picks the QUERY SET — plan_identity(e)
+            # covers the corpus frame only, so a different pred on the
+            # same corpus/k must not share ground truth (code-review
+            # r7b); str(Column) renders the resolved expression
+            str(pred),
             k,
         )
         if not key[1]:
@@ -3381,11 +3386,15 @@ def _source_fingerprint(sf_dir: str) -> str | None:
     from ..artifacts import stat_fingerprint
 
     paths = [
-        os.path.join(sf_dir, f"{tbl}.parquet")
+        # abspath: stat_fingerprint treats a relative path as
+        # non-local and returns None, which would silently disable
+        # layout reuse for callers passing e.g. "testdata/sf0.1"
+        # (code-review r7b)
+        os.path.abspath(os.path.join(sf_dir, f"{tbl}.parquet"))
         for tbl in ("orders", "lineitem")
         if os.path.exists(os.path.join(sf_dir, f"{tbl}.parquet"))
     ]
-    return stat_fingerprint(paths, extra=(sf_dir,))
+    return stat_fingerprint(paths, extra=(os.path.abspath(sf_dir),))
 
 
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

@@ -55,7 +55,9 @@ def hash_bucket(key: Column, salt: str) -> Column:
     prefix of ``salt || key`` reduced mod BUCKETS. Identical in DuckDB
     as ``('0x' || substr(md5(salt || key), 1, 15))::UBIGINT % 10000``.
     The 60-bit prefix keeps the value exact in both engines' integer
-    types (UBIGINT / decimal(20,0)); mod-10k bias is 2^-47, i.e. none.
+    types (UBIGINT there, LONG here — < 2^60 ≤ Long.MAX, r7);
+    mod-10k bias is 2^-47, i.e. none. Bit-parity on random keys is
+    pinned against DuckDB in test_sampling.
     """
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15),

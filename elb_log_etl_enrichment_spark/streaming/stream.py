@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 from collections.abc import Callable
 from contextlib import contextmanager
 
@@ -54,32 +55,46 @@ def sized_shuffle_partitions(spark: SparkSession, n: int | None):
     ``awaitTermination``). ``n=None`` is a no-op.
 
     The contract is ENFORCED, not just documented (ADVICE r06 #4):
-    nesting two sized blocks on one session means a second stream is
+    nesting two sized blocks on one SESSION means a second stream is
     compiling inside another's conf window — the silent-miscompile
-    case. The guard raises up front instead."""
+    case. The guard raises up front instead. Keyed on the JVM
+    SparkSession identity (conf scope = session scope: `newSession()`
+    clones have independent SQLConfs, so parallel sized blocks on
+    separate sessions are legitimately allowed — code-review r7b),
+    check-and-add under a lock (two threads racing the same session
+    must not both pass), and the key is registered only after the
+    conf snapshot so no failure path can strand it."""
     if n is None:
         yield
         return
-    key = spark.sparkContext.applicationId
-    if key in _SIZED_SESSIONS:
-        raise RuntimeError(
-            "sized_shuffle_partitions is not re-entrant: another stream "
-            "holds this session's shuffle-partition conf (single-"
-            "threaded-session contract; run streams sequentially or on "
-            "separate sessions)"
-        )
-    _SIZED_SESSIONS.add(key)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
-        yield
+        key = spark._jsparkSession.hashCode()
+    except Exception:
+        key = spark.sparkContext.applicationId
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with _SIZED_LOCK:
+        if key in _SIZED_SESSIONS:
+            raise RuntimeError(
+                "sized_shuffle_partitions is not re-entrant: another "
+                "stream holds this session's shuffle-partition conf "
+                "(single-threaded-session contract; run streams "
+                "sequentially or on separate sessions)"
+            )
+        _SIZED_SESSIONS.add(key)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        _SIZED_SESSIONS.discard(key)
+        with _SIZED_LOCK:
+            _SIZED_SESSIONS.discard(key)
 
 
-#: applicationIds currently inside a sized_shuffle_partitions block
-_SIZED_SESSIONS: set[str] = set()
+#: session identities currently inside a sized_shuffle_partitions block
+_SIZED_SESSIONS: set = set()
+_SIZED_LOCK = threading.Lock()
 
 #: staging-dir memo for single-file streaming sources (path → tempdir)
 _STAGED_DIRS: dict[str, str] = {}
