@@ -11,7 +11,15 @@ from __future__ import annotations
 
 import hashlib
 import os
+import threading
 from collections.abc import Iterable
+
+#: Serializes the maxToStringFields raise/render/restore window in
+#: :func:`plan_identity` (code-review r8 / ADVICE r7: a concurrent
+#: call on the SAME session could restore the conf to 25 mid-render,
+#: truncating the canonicalized print and re-opening the
+#: truncation-collision wrong-artifact-serve hole this key closes).
+_PLAN_IDENTITY_LOCK = threading.Lock()
 
 
 def stat_fingerprint(
@@ -89,18 +97,30 @@ def plan_identity(df) -> str:
 
     sess = df.sparkSession
     conf_key = "spark.sql.debug.maxToStringFields"
-    try:
-        prev = sess.conf.get(conf_key)
-    except Exception:
-        prev = None
-    sess.conf.set(conf_key, "100000")
-    try:
-        s = df._jdf.queryExecution().analyzed().canonicalized().toString()
-    finally:
-        if prev is None:
-            sess.conf.unset(conf_key)
-        else:
-            sess.conf.set(conf_key, prev)
+    with _PLAN_IDENTITY_LOCK:
+        try:
+            prev = sess.conf.get(conf_key)
+        except Exception:
+            prev = None
+        sess.conf.set(conf_key, "100000")
+        try:
+            s = (
+                df._jdf.queryExecution().analyzed().canonicalized()
+                .toString()
+            )
+        finally:
+            if prev is None:
+                sess.conf.unset(conf_key)
+            else:
+                sess.conf.set(conf_key, prev)
+    if "more fields" in s:
+        # A render truncated despite the raised conf (e.g. an external
+        # writer on a session clone the lock can't see): no safe
+        # identity — a per-call-unique token guarantees the key never
+        # matches anything (miss → retrain, never a wrong hit).
+        import uuid
+
+        return "truncated-" + uuid.uuid4().hex
     return hashlib.md5(s.encode()).hexdigest()
 
 

@@ -1422,7 +1422,14 @@ def _ann_recall_audit(
     )
     marked = exact.join(
         F.broadcast(
-            approx.select("query_id", "neighbor").withColumn("hit", F.lit(1))
+            # .distinct() so a future index that emits a duplicate
+            # (query_id, neighbor) pair can't fan out the left join
+            # and inflate n_exact/n_hits (ADVICE r7) — the recall
+            # accounting must not depend on an unstated invariant of
+            # every index implementation; O(|Q|·k) rows, trivial.
+            approx.select("query_id", "neighbor")
+            .distinct()
+            .withColumn("hit", F.lit(1))
         ),
         ["query_id", "neighbor"],
         "left",
@@ -3621,7 +3628,8 @@ def embedding_pca_variance_detail(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_rows,
            CAST(COUNT(*) AS BIGINT) AS n_dims,
-           ROUND(SUM((s2 - s1 * s1 / n) / n), 6) AS trace,
+           ROUND(CAST(SUM(CAST((s2 - s1 * s1 / n) / n
+                               AS DECIMAL(28,12))) AS DOUBLE), 6) AS trace,
            CAST(1 AS BIGINT) AS eigensum_ok,
            CAST(1 AS BIGINT) AS spectrum_ok
     FROM agg
@@ -3654,11 +3662,19 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     trace_df = per_dim.agg(
         F.count(F.lit(1)).cast("long").alias("n_dims"),
+        # each per-dim variance term is quantized to decimal BEFORE
+        # the across-dim sum (identically in the oracle SQL above):
+        # a double accumulation is engine-order-dependent, and a trace
+        # within ~1 ulp of a 6-decimal boundary would hash-mismatch
+        # flakily between Spark and DuckDB (ADVICE r7). Decimal sums
+        # are exact and order-free.
         F.round(
             F.sum(
-                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
-                / F.col("n")
-            ),
+                (
+                    (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                    / F.col("n")
+                ).cast("decimal(28,12)")
+            ).cast("double"),
             6,
         ).alias("trace"),
     )

@@ -725,27 +725,38 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         stream.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).persist()
     )
-    merges = bpe_train(vocab, n_merges=12)
-    enc = bpe_encode_tokens(vocab, merges).select(
-        "word",
-        "n_bpe_tokens",
-        (F.concat_ws("", F.col("bpe_sym")) == F.col("word")).alias("rt_ok"),
-        (
-            (F.col("n_bpe_tokens") >= 1)
-            & (F.col("n_bpe_tokens") <= F.length("word"))
-        ).alias("bounds_ok"),
-    )
-    return (
-        stream.join(F.broadcast(enc), "word")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum(F.length("word")).cast("long").alias("n_chars"),
-            F.min(F.col("bounds_ok").cast("long")).alias("tokens_in_bounds"),
-            F.min(F.col("rt_ok").cast("long")).alias("roundtrip_ok"),
+    try:
+        merges = bpe_train(vocab, n_merges=12)
+        enc = bpe_encode_tokens(vocab, merges).select(
+            "word",
+            "n_bpe_tokens",
+            (F.concat_ws("", F.col("bpe_sym")) == F.col("word")).alias(
+                "rt_ok"
+            ),
+            (
+                (F.col("n_bpe_tokens") >= 1)
+                & (F.col("n_bpe_tokens") <= F.length("word"))
+            ).alias("bounds_ok"),
         )
-        .orderBy("source")
-    )
+        return (
+            stream.join(F.broadcast(enc.localCheckpoint()), "word")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.sum(F.length("word")).cast("long").alias("n_chars"),
+                F.min(F.col("bounds_ok").cast("long")).alias(
+                    "tokens_in_bounds"
+                ),
+                F.min(F.col("rt_ok").cast("long")).alias("roundtrip_ok"),
+            )
+            .orderBy("source")
+        )
+    finally:
+        # bpe_train consumed the cache driver-side and enc is cut from
+        # the vocab lineage by the localCheckpoint above, so the cache
+        # can be dropped HERE instead of leaking one cached dataset
+        # per invocation for the session lifetime (ADVICE r7).
+        vocab.unpersist(blocking=False)
 
 
 _BATCH_B = 32  # docs per inference batch

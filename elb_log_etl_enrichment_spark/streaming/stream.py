@@ -70,7 +70,15 @@ def sized_shuffle_partitions(spark: SparkSession, n: int | None):
     try:
         key = spark._jsparkSession.hashCode()
     except Exception:
-        key = spark.sparkContext.applicationId
+        # per-Python-wrapper identity, NOT applicationId: the app id
+        # is shared by every newSession() clone on the context, so the
+        # legitimately-allowed case (parallel sized blocks on separate
+        # cloned sessions) would spuriously raise exactly when the
+        # py4j probe is flaky (ADVICE r7). id(spark) is weaker (two
+        # wrappers of one JVM session differ) but errs toward
+        # allowing, matching the conf's real scope better than an
+        # identity that is strictly coarser.
+        key = ("py-wrapper", id(spark))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     with _SIZED_LOCK:
         if key in _SIZED_SESSIONS:
