@@ -214,7 +214,7 @@ def _plan_hash(emb: DataFrame) -> str | None:
         return None
 
 
-def _index_artifact_path(input_files, params) -> str | None:
+def _index_artifact_path(input_files, params, spark=None) -> str | None:
     """Disk location for a trained index artifact (centroids / PQ
     codebooks), keyed by the SOURCE fingerprint — local path + size +
     mtime of every input file — plus the training params and the
@@ -231,7 +231,7 @@ def _index_artifact_path(input_files, params) -> str | None:
 
     if not input_files:
         return None
-    fp = stat_fingerprint(input_files, extra=params)
+    fp = stat_fingerprint(input_files, extra=params, spark=spark)
     if fp is None:
         return None
     return os.path.join(
@@ -306,7 +306,9 @@ def cosine_topk_ivf(
     centers = _IVF_CENTROID_MEMO.get(memo_key) if memo_key else None
     artifact = (
         _index_artifact_path(
-            input_files, ("ivf", ph, n_cells, sample_limit, kmeans_iters)
+            input_files,
+            ("ivf", ph, n_cells, sample_limit, kmeans_iters),
+            spark=emb.sparkSession,
         )
         if ph is not None
         else None
@@ -572,7 +574,9 @@ def cosine_topk_pq(
         codebooks = None
     artifact = (
         _index_artifact_path(
-            input_files, ("pq", ph, m, n_centroids, sample_limit, kmeans_iters)
+            input_files,
+            ("pq", ph, m, n_centroids, sample_limit, kmeans_iters),
+            spark=emb.sparkSession,
         )
         if ph is not None
         else None
@@ -743,6 +747,7 @@ def cosine_topk_ivfpq(
         _index_artifact_path(
             input_files,
             ("ivfpq", ph, n_cells, m, n_centroids, sample_limit, kmeans_iters),
+            spark=emb.sparkSession,
         )
         if ph is not None
         else None

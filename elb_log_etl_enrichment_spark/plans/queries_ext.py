@@ -3379,7 +3379,7 @@ _BUCKET_DIRS: dict[str, str] = {}
 _BUCKETED_JOIN_N_BUCKETS = 8
 
 
-def _source_fingerprint(sf_dir: str) -> str | None:
+def _source_fingerprint(sf_dir: str, spark=None) -> str | None:
     """Cheap identity of the bucketing inputs via the shared
     ``artifacts.stat_fingerprint`` (path + size + mtime of every file
     under the two source parquets; r7 consolidation — the hand-rolled
@@ -3387,10 +3387,27 @@ def _source_fingerprint(sf_dir: str) -> str | None:
     corpus as changed). Any regeneration of the testdata invalidates
     the persisted layout — a stale bucketed table would otherwise
     serve WRONG rows that the oracle (which reads the plain parquet)
-    immediately hash-fails. None = no stable identity (rewrite)."""
+    immediately hash-fails. None = no stable identity (rewrite).
+
+    r8 (VERDICT r07 item 2): a schemed ``sf_dir`` (s3a://, hdfs://)
+    fingerprints through the Hadoop FS API when ``spark`` is given,
+    so the persisted-layout tier no longer silently retrains every
+    session on exactly the stores a 100 TB deployment uses."""
     import os
 
     from ..artifacts import stat_fingerprint
+    from ..hadoop_fs import hadoop_path_exists
+
+    if "://" in sf_dir and not sf_dir.startswith("file:"):
+        if spark is None:
+            return None
+        sep = "" if sf_dir.endswith("/") else "/"
+        uris = [f"{sf_dir}{sep}{tbl}.parquet" for tbl in ("orders", "lineitem")]
+        try:
+            uris = [u for u in uris if hadoop_path_exists(spark, u)]
+        except Exception:
+            return None
+        return stat_fingerprint(uris, extra=(sf_dir,), spark=spark)
 
     paths = [
         # abspath: stat_fingerprint treats a relative path as
@@ -3422,7 +3439,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     t_orders, t_lineitem = f"bj_orders_{sfx}", f"bj_lineitem_{sfx}"
     if _BUCKET_DIRS.get(sf_dir) and spark.catalog.tableExists(t_orders):
         return t_orders, t_lineitem
-    fp = _source_fingerprint(sf_dir)
+    fp = _source_fingerprint(sf_dir, spark=spark)
     base = os.path.join(
         tempfile.gettempdir(), f"spark_graft_bucketed_{sfx}"
     )

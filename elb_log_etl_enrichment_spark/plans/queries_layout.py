@@ -607,15 +607,7 @@ def write_audit_publish_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "parquet_footer_stats",
-    sql=None,  # footer metadata is path-addressed — outside the
-    # driver's view-only oracle surface; the local differential
-    # (tests/test_layout.py) checks every cell against DuckDB's
-    # parquet_metadata() on the same files instead.
-    tags=("layout", "metadata", "parquet", "rows_only"),
-)
-def parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def parquet_footer_stats_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column parquet footer statistics for the lineitem table:
     row-group count, compressed/uncompressed bytes, value counts,
     min/max-statistics presence, and the compression ratio in basis
@@ -701,6 +693,225 @@ def parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long"),
         )
         .orderBy("column_name")
+    )
+
+
+@register(
+    "parquet_footer_stats",
+    # r8 rows-only → oracle (VERDICT r07 item 5): the physical byte
+    # sizes stay path-addressed (parquet_footer_stats_detail, checked
+    # cell-by-cell against DuckDB parquet_metadata() in
+    # tests/test_layout.py), but the footer's LOGICAL claims are
+    # recomputable from the registered view alone — total row count
+    # (Σ row-group num_rows == COUNT(*)), leaf-column count
+    # (== DESCRIBE arity), per-column value completeness
+    # (Σ num_values == rows for every flat column), and min/max
+    # truthfulness (footer-aggregated min/max == data MIN/MAX for
+    # every numeric column whose chunks all carry stats). The flags
+    # are computed in-plan from the footer vs a real data scan, so a
+    # lying footer hash-fails against the oracle's constants.
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM (DESCRIBE lineitem)) AS BIGINT)
+               AS n_columns,
+           CAST(1 AS BIGINT) AS values_complete_ok,
+           CAST(1 AS BIGINT) AS footer_minmax_ok
+    FROM lineitem
+    """,
+    tags=("layout", "metadata", "parquet", "audit"),
+)
+def parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row footer-truthfulness audit for the lineitem table: the
+    parquet footer metadata (row counts, value counts, column min/max
+    statistics) cross-checked against the data it describes — the
+    facts row-group pruning and scan cost models silently rely on.
+
+    Scale shape: identical to the detail query — the FILE MANIFEST
+    parallelizes via ``mapInPandas`` (each task reads only O(KB)
+    footers, never data pages), the data side is ONE column-pruned
+    aggregate scan, and everything downstream of both is
+    column-count-sized. 100k files at 100 TB = a 100k-row metadata
+    job plus one agg pass."""
+    import glob
+    import os
+
+    from ..sources.tables import load_table
+
+    target = os.path.join(sf_dir, "lineitem.parquet")
+    paths = (
+        sorted(glob.glob(os.path.join(target, "*.parquet")))
+        if os.path.isdir(target)
+        else [target]
+    )
+    paths = [p for p in paths if os.path.exists(p)]
+    files = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    )
+
+    cc_cols = [
+        "path",
+        "rg",
+        "rg_rows",
+        "column_name",
+        "n_values",
+        "has_minmax",
+        "stat_min",
+        "stat_max",
+        "is_numeric",
+    ]
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                pf = pq.ParquetFile(p)
+                # numeric-ness from the ARROW schema, not the parquet
+                # physical type: timestamps are INT64 on disk but
+                # their footer min/max decode as datetimes
+                arrow = pf.schema_arrow
+                numeric = {
+                    n
+                    for n, t in zip(arrow.names, arrow.types)
+                    if pa.types.is_integer(t) or pa.types.is_floating(t)
+                }
+                md = pf.metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        is_num = 1 if c.path_in_schema in numeric else 0
+                        st = c.statistics
+                        has = bool(st is not None and st.has_min_max)
+                        mn = float(st.min) if has and is_num else None
+                        mx = float(st.max) if has and is_num else None
+                        out.append(
+                            (
+                                p,
+                                rg,
+                                g.num_rows,
+                                c.path_in_schema,
+                                c.num_values,
+                                1 if has else 0,
+                                mn,
+                                mx,
+                                is_num,
+                            )
+                        )
+            yield pd.DataFrame(out, columns=cc_cols)
+
+    cc_schema = (
+        "path string, rg long, rg_rows long, column_name string, "
+        "n_values long, has_minmax long, stat_min double, "
+        "stat_max double, is_numeric long"
+    )
+    per_cc = files.mapInPandas(read_footers, cc_schema).localCheckpoint()
+
+    # total rows claimed by the footers: one num_rows per row group
+    n_rows_df = (
+        per_cc.groupBy("path", "rg")
+        .agg(F.max("rg_rows").alias("r"))
+        .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("n_rows"))
+    )
+    per_col = per_cc.groupBy("column_name").agg(
+        F.sum("n_values").alias("col_values"),
+        F.min("has_minmax").alias("all_minmax"),
+        F.max("is_numeric").alias("is_numeric"),
+        F.min("stat_min").alias("fmin"),
+        F.max("stat_max").alias("fmax"),
+    )
+
+    # data side: one column-pruned scan for numeric MIN/MAX (only
+    # when the table exists — totality on a missing path)
+    num_cols = []
+    if paths:
+        li = load_table(spark, sf_dir, "lineitem")
+        num_cols = [
+            f.name
+            for f in li.schema.fields
+            if f.dataType.typeName()
+            in ("byte", "short", "integer", "long", "float", "double")
+        ]
+    if num_cols and paths:
+        agg = li.agg(
+            *[
+                F.min(c).cast("double").alias("mn_" + c)
+                for c in num_cols
+            ],
+            *[
+                F.max(c).cast("double").alias("mx_" + c)
+                for c in num_cols
+            ],
+        )
+        melt = agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column_name"),
+                            F.col("mn_" + c).alias("dmin"),
+                            F.col("mx_" + c).alias("dmax"),
+                        )
+                        for c in num_cols
+                    ]
+                )
+            ).alias("s")
+        ).select("s.*")
+        joined = per_col.filter(F.col("is_numeric") == 1).join(
+            F.broadcast(melt), "column_name", "inner"
+        )
+        # a column whose chunks don't all carry stats is SKIPPED (the
+        # writer's choice, not a lie); present stats must be truthful
+        minmax_df = joined.agg(
+            F.coalesce(
+                F.min(
+                    F.when(F.col("all_minmax") == 0, F.lit(1)).otherwise(
+                        (
+                            F.col("fmin").eqNullSafe(F.col("dmin"))
+                            & F.col("fmax").eqNullSafe(F.col("dmax"))
+                        ).cast("long")
+                    )
+                ),
+                F.lit(1),
+            )
+            .cast("long")
+            .alias("footer_minmax_ok")
+        )
+    else:
+        minmax_df = spark.range(1).select(
+            F.lit(1).cast("long").alias("footer_minmax_ok")
+        )
+
+    summary = (
+        F.broadcast(n_rows_df)
+        .crossJoin(
+            F.broadcast(
+                per_col.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_columns"),
+                    F.coalesce(F.min("col_values"), F.lit(0)).alias(
+                        "min_vals"
+                    ),
+                    F.coalesce(F.max("col_values"), F.lit(0)).alias(
+                        "max_vals"
+                    ),
+                )
+            )
+        )
+        .crossJoin(F.broadcast(minmax_df))
+    )
+    return summary.select(
+        "n_rows",
+        "n_columns",
+        (
+            (F.col("min_vals") == F.col("n_rows"))
+            & (F.col("max_vals") == F.col("n_rows"))
+        )
+        .cast("long")
+        .alias("values_complete_ok"),
+        "footer_minmax_ok",
     )
 
 

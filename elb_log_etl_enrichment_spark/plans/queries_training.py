@@ -600,12 +600,7 @@ def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # BPE tokenizer induction (operators/bpe.py)
 # --------------------------------------------------------------------------
-@register(
-    "bpe_merge_table",
-    sql=None,  # iterative training → rows-only (same class as IVF/PQ)
-    tags=("training", "tokenizer", "bpe", "iterative"),
-)
-def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_merge_table_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first 12 BPE merges from the documents corpus. The
     corpus collapses to DISTINCT (word, count) before any iteration —
     the merge loop runs over the vocabulary, never the corpus — and
@@ -633,6 +628,114 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in merges
         ],
         "rank long, left string, right string, merged string, pair_count long",
+    )
+
+
+@register(
+    "bpe_merge_table",
+    # r8 rows-only → oracle (VERDICT r07 item 5): the iteratively
+    # trained merge TABLE stays pinned against the independent
+    # pure-Python Sennrich reference in test_training.py; the
+    # registered query is the SQL-expressible half of training as an
+    # audit — merge #1 is a plain weighted adjacent-char-pair argmax
+    # (oracle-EXACT, including the (count DESC, left, right)
+    # tie-break), the initial pair vocabulary size and total adjacent
+    # position count are oracle-exact values, n_merges is the merge
+    # count (12 whenever any pair exists: the loop stops early only on
+    # pair exhaustion, which no real-scale documents corpus hits), and
+    # the structural contracts (contiguous 0-based ranks, merged ==
+    # left||right) hash-fail via flags. Full table =
+    # bpe_merge_table_detail.
+    sql=rf"""
+    WITH s AS (
+        SELECT unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS word
+        FROM documents
+    ),
+    w AS (SELECT word, COUNT(*) AS cnt FROM s GROUP BY word),
+    p AS (
+        SELECT substr(word, i::INT, 1) AS l,
+               substr(word, i::INT + 1, 1) AS r,
+               SUM(cnt) AS c
+        FROM w, UNNEST(range(1, length(word)::BIGINT)) AS t(i)
+        GROUP BY l, r
+    ),
+    f AS (SELECT l, r, c FROM p ORDER BY c DESC, l ASC, r ASC LIMIT 1)
+    SELECT CASE WHEN (SELECT COUNT(*) FROM p) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(12 AS BIGINT) END AS n_merges,
+           (SELECT l FROM f) AS first_left,
+           (SELECT r FROM f) AS first_right,
+           CAST((SELECT c FROM f) AS BIGINT) AS first_count,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_initial_pairs,
+           CAST((SELECT COALESCE(SUM(cnt * (length(word) - 1)), 0)
+                 FROM w) AS BIGINT) AS total_adjacent_pairs,
+           CAST(1 AS BIGINT) AS ranks_ok,
+           CAST(1 AS BIGINT) AS merged_concat_ok
+    """,
+    tags=("training", "tokenizer", "bpe", "iterative", "audit"),
+)
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training audit (see the oracle comment above): run the
+    full 12-merge training, then emit the one row the oracle can
+    recompute — the exact first merge, the initial pair-vocabulary
+    stats (both computed IN-PLAN from the same vocabulary frame the
+    trainer consumed), and the structural contract flags."""
+    from ..operators.bpe import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merges = bpe_train(words, n_merges=12)
+
+    pair_stats = (
+        words.filter(F.char_length("word") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, char_length(word) - 1), "
+                    "i -> struct(substring(word, i, 1) AS l, "
+                    "substring(word, i + 1, 1) AS r))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("cnt").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_initial_pairs"))
+    )
+    totals = words.agg(
+        F.coalesce(
+            F.sum(F.col("cnt") * (F.char_length("word") - F.lit(1))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("total_adjacent_pairs")
+    )
+
+    first = merges[0] if merges else None
+    ranks_ok = [m["rank"] for m in merges] == list(range(len(merges)))
+    concat_ok = all(m["merged"] == m["left"] + m["right"] for m in merges)
+    return F.broadcast(pair_stats).crossJoin(F.broadcast(totals)).select(
+        F.lit(len(merges)).cast("long").alias("n_merges"),
+        F.lit(first["left"] if first else None)
+        .cast("string")
+        .alias("first_left"),
+        F.lit(first["right"] if first else None)
+        .cast("string")
+        .alias("first_right"),
+        F.lit(first["pair_count"] if first else None)
+        .cast("long")
+        .alias("first_count"),
+        "n_initial_pairs",
+        "total_adjacent_pairs",
+        F.lit(ranks_ok).cast("long").alias("ranks_ok"),
+        F.lit(concat_ok).cast("long").alias("merged_concat_ok"),
     )
 
 

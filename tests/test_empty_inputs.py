@@ -103,7 +103,11 @@ def test_round2_operators_on_empty_inputs(spark, tmp_path):
     assert len(bloom) == 1 and bloom[0]["probes"] == 0
     assert REGISTRY["count_min_sketch_audit"].fn(spark, str(tmp_path)).count() == 0
     assert REGISTRY["token_entropy_quality"].fn(spark, str(tmp_path)).count() == 0
-    assert REGISTRY["bpe_merge_table"].fn(spark, str(tmp_path)).count() == 0
+    bpe = REGISTRY["bpe_merge_table"].fn(spark, str(tmp_path)).collect()
+    assert len(bpe) == 1 and bpe[0]["n_merges"] == 0
+    assert bpe[0]["first_left"] is None
+    assert bpe[0]["n_initial_pairs"] == 0
+    assert bpe[0]["total_adjacent_pairs"] == 0
 
     words = spark.createDataFrame([], "word string, cnt long")
     assert bpe_train(words, n_merges=3) == []

@@ -322,10 +322,15 @@ def test_round3b_queries_on_empty_inputs(spark, tmp_path):
 
 
 def test_parquet_footer_stats_matches_duckdb_metadata(spark):
-    """Local differential for the rows-only footer query: every cell
+    """Local differential for the path-addressed footer DETAIL frame
+    (the registered query is the view-recomputable audit): every cell
     must equal DuckDB's parquet_metadata() aggregated the same way
     over the same files."""
     import duckdb
+
+    from elb_log_etl_enrichment_spark.plans.queries_layout import (
+        parquet_footer_stats_detail,
+    )
 
     got = {
         r.column_name: (
@@ -335,7 +340,7 @@ def test_parquet_footer_stats_matches_duckdb_metadata(spark):
             r.n_values,
             r.n_minmax,
         )
-        for r in _q(spark, "parquet_footer_stats").collect()
+        for r in parquet_footer_stats_detail(spark, SF).collect()
     }
     exp = {
         row[0]: tuple(int(v) for v in row[1:])
@@ -357,11 +362,33 @@ def test_parquet_footer_stats_matches_duckdb_metadata(spark):
 
 def test_parquet_footer_stats_total_on_missing_table(spark, tmp_path):
     from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+    from elb_log_etl_enrichment_spark.plans.queries_layout import (
+        parquet_footer_stats_detail,
+    )
+
+    detail = parquet_footer_stats_detail(spark, str(tmp_path))
+    assert detail.count() == 0
+    assert "compression_ratio_bp" in detail.columns
 
     all_queries()
-    out = REGISTRY["parquet_footer_stats"].fn(spark, str(tmp_path))
-    assert out.count() == 0
-    assert "compression_ratio_bp" in out.columns
+    row = REGISTRY["parquet_footer_stats"].fn(spark, str(tmp_path)).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_rows == 0 and r.n_columns == 0
+    assert r.values_complete_ok == 1 and r.footer_minmax_ok == 1
+
+
+def test_parquet_footer_audit_flags_on_real_data(spark):
+    """The registered audit must find truthful footers on the real
+    testdata (flags 1, counts matching a direct read)."""
+    import pyarrow.parquet as pq
+
+    r = _q(spark, "parquet_footer_stats").collect()[0]
+    md = pq.ParquetFile(f"{SF}/lineitem.parquet")
+    assert r.n_rows == md.metadata.num_rows
+    assert r.n_columns == len(md.schema_arrow.names)
+    assert r.values_complete_ok == 1
+    assert r.footer_minmax_ok == 1
 
 
 def test_feature_hashing_matches_python_md5(spark, tmp_path):

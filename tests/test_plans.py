@@ -257,7 +257,9 @@ def test_registry_prefix_is_oracle_backed_and_complete(spark):
     assert not missing, missing
     assert names[: len(CORE_PREFIX)] == CORE_PREFIX
     assert all(n in osql for n in names[:50]), [n for n in names[:50] if n not in osql]
-    first_rows_only = next(i for i, n in enumerate(names) if n not in osql)
+    first_rows_only = next(
+        (i for i, n in enumerate(names) if n not in osql), len(names)
+    )
     assert all(n not in osql for n in names[first_rows_only:])
     assert len(names) == len(set(names)) == len(REGISTRY)
 

@@ -221,17 +221,34 @@ def test_bpe_paths_agree_and_match_reference(spark):
 
 def test_bpe_merge_table_registry_query(spark):
     from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
+    from elb_log_etl_enrichment_spark.plans.queries_training import (
+        bpe_merge_table_detail,
+    )
 
-    all_queries()
-    out = REGISTRY["bpe_merge_table"].fn(spark, SF).collect()
+    out = bpe_merge_table_detail(spark, SF).collect()
     assert len(out) == 12
     assert [r["rank"] for r in out] == list(range(12))
     assert all(r["merged"] == r["left"] + r["right"] for r in out)
     # merge priority is non-increasing only within equal-arity rounds is
     # NOT guaranteed (later merges can create heavier pairs); pin
     # determinism instead: re-run yields the identical table
-    out2 = REGISTRY["bpe_merge_table"].fn(spark, SF).collect()
+    out2 = bpe_merge_table_detail(spark, SF).collect()
     assert out == out2
+
+    # the registered audit row mirrors the detail's first merge
+    all_queries()
+    audit = REGISTRY["bpe_merge_table"].fn(spark, SF).collect()
+    assert len(audit) == 1
+    a = audit[0]
+    assert a["n_merges"] == 12
+    assert (a["first_left"], a["first_right"], a["first_count"]) == (
+        out[0]["left"],
+        out[0]["right"],
+        out[0]["pair_count"],
+    )
+    assert a["ranks_ok"] == 1 and a["merged_concat_ok"] == 1
+    assert a["n_initial_pairs"] > 0
+    assert a["total_adjacent_pairs"] >= a["first_count"]
 
 
 def test_ivfpq_recall_probe_tradeoff_and_full_probe_parity(spark):
