@@ -253,12 +253,54 @@ def _index_artifact_save(path, **arrays) -> None:
     atomic_save_npz(path, **arrays)
 
 
+#: corpus row counts memoized per (app, files, plan) — index sizing
+#: needs |corpus| once per corpus, not one count job per search.
+_CORPUS_COUNT_MEMO: dict = {}
+
+
+def _corpus_count(p: DataFrame, emb: DataFrame, input_files, ph) -> int:
+    """|corpus| for adaptive index sizing, memoized alongside the
+    trained models (same identity: files + canonicalized plan)."""
+    key = (
+        (
+            emb.sparkSession.sparkContext.applicationId,
+            tuple(sorted(input_files)),
+            ph,
+        )
+        if input_files and ph is not None
+        else None
+    )
+    n = _CORPUS_COUNT_MEMO.get(key) if key else None
+    if n is None:
+        n = p.count()
+        if key:
+            _CORPUS_COUNT_MEMO[key] = n
+    return n
+
+
+def ivf_sizing(n_rows: int) -> tuple[int, int]:
+    """Scale-adaptive IVF geometry (VERDICT r07 item 4): ``n_cells ≈
+    √N`` (the classic IVF rule — cell population ≈ √N keeps both the
+    assignment cost per row and the per-probe candidate list at
+    O(√N)) clamped to [8, 256] (the upper clamp bounds the JVM
+    assignment expression — one distance term per centroid — and 256
+    cells × 64 samples/cell stays inside the 16384-row training
+    sample), and ``n_probe = ⌈n_cells/4⌉`` (fixed ~25 % cell-fraction
+    probe). Fixed (16, 4) measured recall@3 0.93 → 0.62 from sf0.01 →
+    sf0.1 — at 100× the geometry, not a bug, breaches any floor; with
+    this rule the floor curve is flat-to-rising in N (re-measured
+    sf0.001/0.01/0.1/sf1, pinned in tests/test_r8_fixes.py)."""
+    n_cells = max(8, min(256, int(round(n_rows**0.5))))
+    n_probe = max(1, (n_cells + 3) // 4)
+    return n_cells, n_probe
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     query_pred,
     k: int = 3,
-    n_cells: int = 16,
-    n_probe: int = 1,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
     sample_limit: int = 16384,
     kmeans_iters: int = 10,
 ) -> DataFrame:
@@ -291,6 +333,12 @@ def cosine_topk_ivf(
     except Exception:
         input_files = []
     ph = _plan_hash(emb)
+    if n_cells is None or n_probe is None:
+        auto_cells, auto_probe = ivf_sizing(
+            _corpus_count(p, emb, input_files, ph)
+        )
+        n_cells = auto_cells if n_cells is None else n_cells
+        n_probe = auto_probe if n_probe is None else n_probe
     memo_key = (
         (
             emb.sparkSession.sparkContext.applicationId,
@@ -675,8 +723,8 @@ def cosine_topk_ivfpq(
     emb: DataFrame,
     query_pred,
     k: int = 3,
-    n_cells: int = 16,
-    n_probe: int = 2,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
     m: int = 32,
     n_centroids: int = 64,
     sample_limit: int = 16384,
@@ -728,6 +776,12 @@ def cosine_topk_ivfpq(
     except Exception:
         input_files = []
     ph = _plan_hash(emb)
+    if n_cells is None or n_probe is None:
+        auto_cells, auto_probe = ivf_sizing(
+            _corpus_count(p, emb, input_files, ph)
+        )
+        n_cells = auto_cells if n_cells is None else n_cells
+        n_probe = auto_probe if n_probe is None else n_probe
     memo_key = (
         (
             emb.sparkSession.sparkContext.applicationId,

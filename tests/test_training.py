@@ -182,7 +182,9 @@ def test_ivf_topk_recall_and_nprobe_monotonicity(spark):
     def recall(n_probe, **kw):
         hits = {
             (r.query_id, r.neighbor)
-            for r in cosine_topk_ivf(e, pred, k=3, n_probe=n_probe, **kw).collect()
+            for r in cosine_topk_ivf(
+                e, pred, k=3, n_cells=16, n_probe=n_probe, **kw
+            ).collect()
         }
         return len(hits & exact) / len(exact)
 
@@ -277,9 +279,9 @@ def test_ivfpq_recall_probe_tradeoff_and_full_probe_parity(spark):
         hits = {(r.query_id, r.neighbor) for r in fn.collect()}
         return len(hits & exact) / len(exact)
 
-    r2 = recall(cosine_topk_ivfpq(e, pred, k=5, n_probe=2))
-    r4 = recall(cosine_topk_ivfpq(e, pred, k=5, n_probe=4))
-    r16 = recall(cosine_topk_ivfpq(e, pred, k=5, n_probe=16))
+    r2 = recall(cosine_topk_ivfpq(e, pred, k=5, n_cells=16, n_probe=2))
+    r4 = recall(cosine_topk_ivfpq(e, pred, k=5, n_cells=16, n_probe=4))
+    r16 = recall(cosine_topk_ivfpq(e, pred, k=5, n_cells=16, n_probe=16))
     r_pq = recall(cosine_topk_pq(e, pred, k=5))
     assert r2 >= 0.25, r2
     assert r4 >= 0.4, r4
