@@ -38,20 +38,9 @@ from ..sources.geo_cache import load_geo_cache, update_geo_cache
 from ..sources.http_geo import fake_fetch, fetch_geolocations
 
 
-def enrich_and_featurize(
-    spark: SparkSession,
-    parsed: DataFrame,
-    geo_cache_path: str,
-    fetch_fn: Callable[[str], dict] = fake_fetch,
-) -> DataFrame:
-    """Steps 2-6 of the reference main(): geo lookup/cache/join, then
-    the feature chain. Pure plan construction except the cache upsert
-    (which, as in the reference, is a materialized side effect)."""
-    cache = load_geo_cache(spark, geo_cache_path)
-    new_ips = new_keys(parsed, cache)
-    fetched = fetch_geolocations(new_ips, fetch_fn=fetch_fn)
-    cache = update_geo_cache(spark, fetched, geo_cache_path)
-
+def _feature_chain(parsed: DataFrame, cache: DataFrame) -> DataFrame:
+    """Steps 3-6 as one lazy plan: broadcast geo join, filters, time /
+    processing / session / rolling / path features."""
     enriched = filter_categorize(enrich_with_geo(parsed, cache))
     # reference extracts calendar features from US/Eastern wall-clock
     # (elb_logs.py:83,295-303); windows order by the underlying instant.
@@ -66,6 +55,67 @@ def enrich_and_featurize(
     enriched = add_rolling_features(enriched, key="client_ip", ts="time")
     enriched = add_path_features(enriched)
     return enriched.drop("time_local")
+
+
+def enrich_and_featurize(
+    spark: SparkSession,
+    parsed: DataFrame,
+    geo_cache_path: str,
+    fetch_fn: Callable[[str], dict] = fake_fetch,
+) -> DataFrame:
+    """Steps 2-6 of the reference main(): geo lookup/cache/join, then
+    the feature chain. Pure plan construction except the cache upsert
+    (which, as in the reference, is a materialized side effect)."""
+    cache = load_geo_cache(spark, geo_cache_path)
+    new_ips = new_keys(parsed, cache)
+    fetched = fetch_geolocations(new_ips, fetch_fn=fetch_fn)
+    cache = update_geo_cache(spark, fetched, geo_cache_path)
+    return _feature_chain(parsed, cache)
+
+
+def enrich_and_featurize_deferred(
+    spark: SparkSession,
+    parsed: DataFrame,
+    geo_cache_path: str,
+    fetch_fn: Callable[[str], dict] = fake_fetch,
+) -> tuple[DataFrame, Callable[[], None]]:
+    """The micro-batch variant of :func:`enrich_and_featurize`
+    (VERDICT r07 item 7): returns ``(enriched, finalize)`` where the
+    enrichment joins the upsert-merged cache as a LAZY frame and the
+    cache parquet write is deferred to ``finalize()``.
+
+    Why: the eager form costs a standalone fetch-probe job per call
+    (distinct → anti-join → Arrow fetch, just to learn emptiness)
+    before the sink job runs. Here the fetched frame is persisted and
+    first materialized INSIDE the caller's sink job (the broadcast
+    build of the merged cache), so by the time ``finalize()`` probes
+    it the answer is already cached — one fewer Spark job per
+    micro-batch, worth ~0.3-0.5 s of scheduling at cron-tick batch
+    sizes. Semantics are unchanged: the enrichment sees exactly the
+    merged cache content, an empty fetch still skips the cache
+    rewrite (idle-tick contract), and a crash between sink commit and
+    cache swap degrades to a cold cache (refetch next tick), never a
+    corrupt one — the cache is a cache.
+
+    ``finalize()`` must be called after the enriched frame has been
+    materialized (it unpersists the fetch buffer)."""
+    from ..operators.dedup import upsert_keep_latest
+
+    cache = load_geo_cache(spark, geo_cache_path)
+    new_ips = new_keys(parsed, cache)
+    fetched = fetch_geolocations(new_ips, fetch_fn=fetch_fn).persist()
+    merged = upsert_keep_latest(
+        cache, fetched, ["client_ip"], "api_fetch_timestamp"
+    )
+    enriched = _feature_chain(parsed, merged)
+
+    def finalize() -> None:
+        try:
+            update_geo_cache(spark, fetched, geo_cache_path)
+        finally:
+            fetched.unpersist()
+
+    return enriched, finalize
 
 
 def run_pipeline(

@@ -119,9 +119,13 @@ def fetch_geolocations(
                 rows, columns=["client_ip", *_FIELDS, "api_fetch_timestamp"]
             )
 
-    # repartition, not coalesce: the distinct key set usually arrives
-    # as one small partition, and coalesce can only shrink — it would
-    # silently serialize the whole fan-out into a single task.
-    return new_ips.repartition(max(parallelism, 1)).mapInPandas(
-        fetch_batches, schema=GEO_SCHEMA
+    # parallelism > 1 needs repartition (coalesce can only shrink — it
+    # would silently serialize the fan-out into one task); for the
+    # serial default, coalesce(1) gives the same single task WITHOUT
+    # the shuffle stage the repartition costs every micro-batch (r8).
+    keys = (
+        new_ips.coalesce(1)
+        if parallelism <= 1
+        else new_ips.repartition(parallelism)
     )
+    return keys.mapInPandas(fetch_batches, schema=GEO_SCHEMA)

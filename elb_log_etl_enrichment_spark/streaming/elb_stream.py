@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.pipeline import enrich_and_featurize
+from ..plans.pipeline import enrich_and_featurize_deferred
 from ..session import ensure_engine_confs
 from .stream import sized_shuffle_partitions
 from ..sinks.writers import write_cleaned_logs
@@ -97,8 +97,13 @@ def stream_elb_pipeline(
         batch = batch.persist()
         try:
             if not batch.take(1):
+                # zero rows -> zero new partitions: skip BOTH commits
+                # (no empty ingest_batch dir, no cache touch)
                 return
-            enriched = enrich_and_featurize(
+            # deferred variant (r8): the geo fetch materializes inside
+            # the sink job's broadcast build instead of a standalone
+            # probe job, and the cache write runs after the sink commit
+            enriched, finalize = enrich_and_featurize_deferred(
                 spark, batch, geo_cache_path, fetch_fn
             )
             write_cleaned_logs(
@@ -108,6 +113,7 @@ def stream_elb_pipeline(
                 ),
                 mode="overwrite",
             )
+            finalize()
         finally:
             batch.unpersist()
 

@@ -63,7 +63,14 @@ def sized_shuffle_partitions(spark: SparkSession, n: int | None):
     separate sessions are legitimately allowed — code-review r7b),
     check-and-add under a lock (two threads racing the same session
     must not both pass), and the key is registered only after the
-    conf snapshot so no failure path can strand it."""
+    conf snapshot so no failure path can strand it.
+
+    r8: the block also disables AQE. Passing a fixed small width IS
+    the assertion that every shuffle inside is cron-tick-sized;
+    adaptive re-planning of an already-right-sized tiny exchange
+    contributes only per-stage re-optimization latency (~0.2-0.5 s
+    per micro-batch measured on the composed ELB stream, VERDICT r07
+    item 7). Unsized streams (big batches) keep AQE."""
     if n is None:
         yield
         return
@@ -80,6 +87,10 @@ def sized_shuffle_partitions(spark: SparkSession, n: int | None):
         # identity that is strictly coarser.
         key = ("py-wrapper", id(spark))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    except Exception:
+        prev_aqe = "true"
     with _SIZED_LOCK:
         if key in _SIZED_SESSIONS:
             raise RuntimeError(
@@ -91,10 +102,12 @@ def sized_shuffle_partitions(spark: SparkSession, n: int | None):
         _SIZED_SESSIONS.add(key)
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
             yield
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     finally:
         with _SIZED_LOCK:
             _SIZED_SESSIONS.discard(key)
