@@ -1479,6 +1479,125 @@ CORE_PREFIX = _head7b + _R7B_PROMOTED + _rest7b
 # local_supplier_volume Q5, small_qty_order_revenue Q17,
 # disjunctive_bracket_revenue Q19).
 
+# Round-8 rebalance (VERDICT r07 item 1: 68/268 queries still have
+# zero driver rows — the shortlist above, executed). 34 promotions,
+# every one a FIRST-EVER driver row: the full remaining TPC-H long
+# tail (12), the never-sampled function batteries (6), the LLM
+# curation/quality tier the verdict named (pii redaction, quality
+# scores, token entropy, chunking, minhash calibration, stratified
+# sampling, langid confusion), the train/test-contamination audits
+# (item 6: leakage_safe_split_audit — now also property-tested with a
+# planted leak in test_r8_fixes.py — and temporal_embargo_split_audit)
+# plus curation funnel/survivor reps, the session/time tier, and the
+# two r8 rows-only → oracle promotions (item 5: parquet_footer_stats'
+# footer-truthfulness audit, bpe_merge_table's training audit — new
+# oracles gate first). Staying UNPROMOTED to RE-verify are the nine
+# queries whose plans changed this round: the batch + three sized
+# streams (deferred geo fetch, fetch coalesce, AQE-off sized blocks),
+# the three ANN audits (adaptive √N sizing), the PCA audit
+# (decimal-quantized trace) and the BPE encode audit (checkpointed
+# broadcast side) — plus one banked representative per displaced tier
+# (k-anonymity, SRM, multimodal pipeline, map-payload dedup, device
+# report, knn clustering, approx aggregates). Displaced entries are
+# r7-green (or longer) with a same-tier survivor staying or
+# promoting; every one keeps its local oracle test.
+_R8_PROMOTED = [
+    # TPC-H long tail (verdict-led block, all never-sampled)
+    "profit_by_nation_year",            # Q9 shape
+    "nation_pair_volume",               # Q7 shape
+    "local_supplier_volume",            # Q5 shape
+    "promo_revenue_ratio",              # Q14 shape
+    "quarterly_growth_by_priority",     # windowed growth
+    "supplier_variety_by_part",         # Q16 shape
+    "cube_priority_status",             # CUBE
+    "excess_volume_suppliers",          # Q20 shape
+    "important_parts_value_threshold",  # Q11 shape
+    "shipment_priority_buckets",        # Q12 shape
+    "small_qty_order_revenue",          # Q17 shape
+    "disjunctive_bracket_revenue",      # Q19 shape
+    # function batteries
+    "array_function_battery",
+    "null_handling_battery",
+    "listagg_bitwise_battery",
+    "map_struct_event_stats",
+    "posexplode_ordinal_tokens",
+    "unpivot_order_status_counts",
+    # LLM curation / quality tier
+    "pii_redaction_stats",
+    "text_quality_scores",
+    "token_entropy_quality",
+    "doc_chunking_stats",
+    "minhash_calibration",
+    "stratified_sample_counts",
+    "langid_confusion",
+    # train/test split audits (item 6) + curation reps
+    "leakage_safe_split_audit",
+    "temporal_embargo_split_audit",
+    "curation_funnel_by_source",
+    "dedup_survivor_stats",
+    # session / time tier
+    "batch_session_window_stats",
+    "rolling_distinct_users",
+    "time_weighted_avg_users",
+    # r8 rows-only -> oracle promotions (item 5; new oracles gate first)
+    "parquet_footer_stats",
+    "bpe_merge_table",
+    # r8 NEW operator + oracle (IVFADC+R exact re-rank; gates first)
+    "cosine_topk_ivfpq_rerank",
+]
+_R8_DEMOTED = {
+    # r7-green (or longer), tier survivor staying/promoting:
+    "from_json_props_stats",            # JSON tier banked r2+r7
+    "doc_fingerprint_summary",          # fingerprint tier banked r7
+    "shingle_containment_pairs",        # near-dup tier banked r7
+    "streaming_dedup_distinct_users",   # streaming dedup banked r5-r7
+    # TPC-H generalized battery banked r7; tier sends 12 NEW shapes:
+    "filtered_revenue_simple",
+    "returned_items_topk",
+    "window_value_functions",
+    "null_safe_join_battery",
+    "grouping_sets_customer",           # cube_priority_status promotes
+    "cheapest_part_per_type_size",
+    "sole_fault_suppliers",
+    "priority_exists_orders",
+    "market_share_ratio",
+    "high_balance_no_orders",
+    "shipping_priority_topk",
+    "top_supplier_by_revenue",
+    "large_volume_customers",
+    # dedup/fingerprint tier banked r7; map-payload + minhash
+    # calibration cover the tier:
+    "dedup_cluster_sizes",
+    "simhash_documents",
+    "winnowing_fingerprints",
+    "simhash_weighted_near_dup",
+    "incremental_ingest_dedup",         # ingest-dedup stream stays
+    # graph tier keeps knn_clustering_coefficient:
+    "recursive_knn_bfs_levels",
+    "supplier_knn_triangles",
+    # graph rep banked r7 (makes room for the new rerank oracle):
+    "knn_clustering_coefficient",
+    # streaming tier keeps the three plan-changed streams:
+    "streaming_wap_publish_stats",
+    "streaming_dedup_hourly_active_users",
+    # time-series tier sends rolling/time-weighted/session reps:
+    "ohlc_bars_events",
+    "event_transition_matrix",
+    "max_concurrent_shipments",
+    # r7 oracle promotions banked r7; approx_aggregates_events stays:
+    "synthetic_source_status_counts",
+    "equi_depth_histogram_orders_approx",
+    "iqr_outlier_audit_approx",
+    "vocab_growth_audit_approx",
+    "hll_sketch_distinct_users",
+}
+_head8 = [
+    n for n in CORE_PREFIX[:50]
+    if n not in _R8_DEMOTED and n not in _R8_PROMOTED
+]
+_rest8 = [n for n in CORE_PREFIX if n not in _head8 and n not in _R8_PROMOTED]
+CORE_PREFIX = _head8 + _R8_PROMOTED + _rest8
+
 
 def _ordered_specs() -> list[QuerySpec]:
     """CORE_PREFIX first, then remaining oracle-backed queries in

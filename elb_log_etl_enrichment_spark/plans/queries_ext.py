@@ -1500,6 +1500,23 @@ def cosine_topk_ivfpq_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cosine_topk_ivfpq_rerank",
+    sql=_ann_recall_audit_sql(5),
+    tags=("similarity", "ann", "ivf", "pq", "rerank"),
+)
+def cosine_topk_ivfpq_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC+R (r8): the IVF-PQ shortlist exact-re-ranked — recall@5
+    audit. Floor 0.35: rule measured 0.760/0.720/0.680/0.742 at
+    sf0.001/0.01/0.1/sf1 (recovers the ADC quantization loss; the
+    residual is the shared cell-probe ceiling, flat-to-rising in N)."""
+    from ..operators.similarity import cosine_topk_ivfpq_rerank
+
+    e = _t(spark, sf_dir, "embeddings")
+    approx = cosine_topk_ivfpq_rerank(e, F.col("vec_id") % 100 == 0, k=5)
+    return _ann_recall_audit(spark, sf_dir, approx, k=5, floor=0.35)
+
+
+@register(
     "cosine_topk_ivfpq",
     sql=_ann_recall_audit_sql(5),
     tags=("similarity", "ann", "ivf", "pq", "residual"),
