@@ -138,6 +138,7 @@ HEADLINE = [
     "readability_scores",
     "cosine_topk_pq",
     "cosine_topk_ivfpq",
+    "cosine_topk_ivfpq_rerank",  # r8 IVFADC+R (secondary: ivfpq sibling)
     "session_relative_features",
     "iqr_outlier_audit",
     "association_rules_parts",
@@ -262,7 +263,7 @@ SECONDARY_SET = {
     "equi_depth_histogram_orders_approx", "iqr_outlier_audit_approx",
     "vocab_growth_audit_approx", "zscore_outlier_events_builtin",
     # ANN family (primary keeps bruteforce, lsh, pq, ivfpq)
-    "cosine_topk_arrow", "cosine_topk_ivf",
+    "cosine_topk_arrow", "cosine_topk_ivf", "cosine_topk_ivfpq_rerank",
     # near-dup signature siblings (primary keeps minhash_lsh, ngram_jaccard,
     # simhash_block_bias_audit which computes BOTH schemes)
     "simhash_documents", "simhash_near_dup", "minhash_calibration",

@@ -1598,6 +1598,26 @@ _head8 = [
 _rest8 = [n for n in CORE_PREFIX if n not in _head8 and n not in _R8_PROMOTED]
 CORE_PREFIX = _head8 + _R8_PROMOTED + _rest8
 
+# r9 rotation shortlist (bookkeeping for the next round): after r8's
+# 35 head first-timers land their rows, 34 registry queries remain
+# with zero driver rows — promote representatives from: embedding
+# support (dim_truncation_recall, embedding_centroid_drift,
+# embedding_quantization_error, feature_hashing_vectors,
+# nearest_dc_assignment), stats (ab_conversion_ztest,
+# kruskal_wallis_value_by_type, cuped_adjusted_lift,
+# mad_outlier_census, stat_moments_by_returnflag,
+# multi_horizon_backtest), profiling/layout (column_profile_lineitem,
+# table_content_digest, compaction_binpack_plan,
+# shard_assignment_stats, uniqueness_violations, skew_profile_events,
+# equi_depth_histogram_orders, iqr_outlier_audit), text quality
+# (readability_scores, token_diversity_flags, bigram_repetition_flags,
+# doc_length_histogram, fuzzy_name_match_stats, token_explode_topk),
+# sampling/mixing (weighted_sample_audit, deterministic_split_counts,
+# source_mixing_weights, mixture_rebalance_weights,
+# regression_battery, association_rules_parts), session/plan-hints
+# (session_relative_features, activity_bitmap_stats,
+# hinted_join_strategies). That clears the ENTIRE registry in r9.
+
 
 def _ordered_specs() -> list[QuerySpec]:
     """CORE_PREFIX first, then remaining oracle-backed queries in

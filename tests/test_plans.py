@@ -447,6 +447,8 @@ def test_no_python_stages_outside_documented_extension_points(spark):
         "cosine_topk_arrow",            # Arrow/BLAS batch scorer
         "cosine_topk_pq",               # PQ-ADC batch scorer
         "cosine_topk_ivfpq",            # IVF-PQ batch scorer
+        "cosine_topk_ivfpq_rerank",     # r8 IVFADC+R: the ADC pass is
+                                        # the same documented scorer
         "cosine_topk_ivf",              # r7 recall audit embeds the
                                         # Arrow exact scorer in-plan
         "multimodal_decode_stats",      # binary-column decode plumbing
