@@ -258,14 +258,21 @@ def _index_artifact_save(path, **arrays) -> None:
 _CORPUS_COUNT_MEMO: dict = {}
 
 
-def _corpus_count(p: DataFrame, emb: DataFrame, input_files, ph) -> int:
+def _corpus_count(
+    p: DataFrame, emb: DataFrame, input_files, ph, variant: str
+) -> int:
     """|corpus| for adaptive index sizing, memoized alongside the
-    trained models (same identity: files + canonicalized plan)."""
+    trained models (same identity: files + canonicalized plan, PLUS
+    the counted-frame ``variant`` — r8 code-review: IVF counts the
+    full prepared frame while IVFPQ counts the nrm>0-filtered one,
+    and a shared key would let whichever ran first poison the
+    other's geometry on a corpus with zero-norm vectors)."""
     key = (
         (
             emb.sparkSession.sparkContext.applicationId,
             tuple(sorted(input_files)),
             ph,
+            variant,
         )
         if input_files and ph is not None
         else None
@@ -335,7 +342,7 @@ def cosine_topk_ivf(
     ph = _plan_hash(emb)
     if n_cells is None or n_probe is None:
         auto_cells, auto_probe = ivf_sizing(
-            _corpus_count(p, emb, input_files, ph)
+            _corpus_count(p, emb, input_files, ph, "all")
         )
         n_cells = auto_cells if n_cells is None else n_cells
         n_probe = auto_probe if n_probe is None else n_probe
@@ -830,7 +837,7 @@ def cosine_topk_ivfpq(
     ph = _plan_hash(emb)
     if n_cells is None or n_probe is None:
         auto_cells, auto_probe = ivf_sizing(
-            _corpus_count(p, emb, input_files, ph)
+            _corpus_count(p, emb, input_files, ph, "nonzero")
         )
         n_cells = auto_cells if n_cells is None else n_cells
         n_probe = auto_probe if n_probe is None else n_probe

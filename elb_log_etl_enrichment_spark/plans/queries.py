@@ -1480,7 +1480,7 @@ CORE_PREFIX = _head7b + _R7B_PROMOTED + _rest7b
 # disjunctive_bracket_revenue Q19).
 
 # Round-8 rebalance (VERDICT r07 item 1: 68/268 queries still have
-# zero driver rows — the shortlist above, executed). 34 promotions,
+# zero driver rows — the shortlist above, executed). 35 promotions,
 # every one a FIRST-EVER driver row: the full remaining TPC-H long
 # tail (12), the never-sampled function batteries (6), the LLM
 # curation/quality tier the verdict named (pii redaction, quality

@@ -731,7 +731,14 @@ def parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     footers, never data pages), the data side is ONE column-pruned
     aggregate scan, and everything downstream of both is
     column-count-sized. 100k files at 100 TB = a 100k-row metadata
-    job plus one agg pass."""
+    job plus one agg pass.
+
+    Manifest + footer reads assume a filesystem both driver and
+    executors can open with pyarrow (local or shared mounts) — a
+    schemed object-store ``sf_dir`` needs a pyarrow filesystem
+    adapter not present in this container, so the manifest would
+    come back empty there (documented limitation; the audit's oracle
+    only ever runs against the driver's local scale dirs)."""
     import glob
     import os
 

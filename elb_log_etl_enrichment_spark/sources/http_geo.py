@@ -119,13 +119,13 @@ def fetch_geolocations(
                 rows, columns=["client_ip", *_FIELDS, "api_fetch_timestamp"]
             )
 
-    # parallelism > 1 needs repartition (coalesce can only shrink — it
-    # would silently serialize the fan-out into one task); for the
-    # serial default, coalesce(1) gives the same single task WITHOUT
-    # the shuffle stage the repartition costs every micro-batch (r8).
-    keys = (
-        new_ips.coalesce(1)
-        if parallelism <= 1
-        else new_ips.repartition(parallelism)
+    # repartition, not coalesce — even for the serial default (r8
+    # code-review): coalesce(1) is a NARROW dependency, so it would
+    # collapse the entire upstream reduce stage (the distinct final
+    # aggregate and the anti-join probe against a possibly
+    # multi-million-row cache) into one task, not just the fetch.
+    # The repartition shuffle it saves carries only the distinct new
+    # key set — trivial next to a serialized join.
+    return new_ips.repartition(max(parallelism, 1)).mapInPandas(
+        fetch_batches, schema=GEO_SCHEMA
     )
-    return keys.mapInPandas(fetch_batches, schema=GEO_SCHEMA)

@@ -106,14 +106,22 @@ def stream_elb_pipeline(
             enriched, finalize = enrich_and_featurize_deferred(
                 spark, batch, geo_cache_path, fetch_fn
             )
-            write_cleaned_logs(
-                enriched,
-                os.path.join(
-                    output_dir, "cleaned_logs", f"ingest_batch={batch_id}"
-                ),
-                mode="overwrite",
-            )
-            finalize()
+            try:
+                write_cleaned_logs(
+                    enriched,
+                    os.path.join(
+                        output_dir, "cleaned_logs", f"ingest_batch={batch_id}"
+                    ),
+                    mode="overwrite",
+                )
+            finally:
+                # finalize() even when the sink write throws (r8
+                # code-review: the success-only call leaked one
+                # persisted fetch frame per failed batch): the cache
+                # upsert is idempotent, completed fetches shouldn't be
+                # re-bought on replay, and finalize's own try/finally
+                # guarantees the unpersist either way.
+                finalize()
         finally:
             batch.unpersist()
 
