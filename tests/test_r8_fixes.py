@@ -75,6 +75,41 @@ class TestHadoopFingerprint:
         (tbl / "part-2.parquet").write_bytes(b"c" * 30)
         assert stat_fingerprint([f"{root}/tbl.parquet"], spark=spark) != fp1
 
+    def test_grouped_listing_mixed_files_and_dirs(self, spark, tmp_path):
+        """The batched per-parent listing (r8 review: one listStatus
+        per directory, not one getFileStatus per file) must handle a
+        mix of plain files and table DIRECTORIES in one call, and a
+        missing member must read as no-identity, not a crash."""
+        from elb_log_etl_enrichment_spark.artifacts import (
+            _hadoop_stat_entries_grouped,
+            stat_fingerprint,
+        )
+
+        (tmp_path / "a.parquet").write_bytes(b"a" * 11)
+        (tmp_path / "b.parquet").write_bytes(b"b" * 22)
+        tbl = tmp_path / "tbl.parquet"
+        tbl.mkdir()
+        (tbl / "part-0.parquet").write_bytes(b"p" * 5)
+        (tbl / "part-1.parquet").write_bytes(b"q" * 6)
+        root = _mount(spark, "r8fpg", str(tmp_path))
+        uris = [
+            f"{root}/a.parquet",
+            f"{root}/b.parquet",
+            f"{root}/tbl.parquet",
+        ]
+        entries = _hadoop_stat_entries_grouped(spark, uris)
+        # 2 plain files + 2 recursed table parts
+        assert len(entries) == 4, entries
+        fp = stat_fingerprint(uris, spark=spark)
+        assert fp is not None
+        # same set through the public API is order-insensitive
+        assert stat_fingerprint(list(reversed(uris)), spark=spark) == fp
+        # a vanished member -> None (retrain), never a crash
+        assert (
+            stat_fingerprint(uris + [f"{root}/gone.parquet"], spark=spark)
+            is None
+        )
+
     def test_index_artifact_path_for_schemed_corpus(self, spark, tmp_path):
         """The ANN artifact tier gets a disk path for a schemed corpus
         (r7: None -> retrain every session)."""
