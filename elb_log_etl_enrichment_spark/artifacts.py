@@ -50,23 +50,62 @@ def _hadoop_stat_entries(spark, uri: str) -> list[str]:
     return entries
 
 
+def _hadoop_listfiles_entries(spark, uri: str) -> list[str]:
+    """Recursive file entries under a KNOWN directory — listFiles
+    only, no leading getFileStatus (r8 second review: the grouped
+    path already holds the member's FileStatus, so re-statting it was
+    one wasted remote RPC per directory source per call)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    entries: list[str] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        f = it.next()
+        entries.append(
+            f"{f.getPath().toString()}:{f.getLen()}:"
+            f"{f.getModificationTime()}"
+        )
+    return entries
+
+
 def _hadoop_stat_entries_grouped(spark, uris: list[str]) -> list[str]:
     """Entries for a BATCH of schemed URIs with one ``listStatus``
     round trip per parent directory instead of one ``getFileStatus``
     per file (r8 code-review: ``DataFrame.inputFiles`` hands the
     fingerprint one URI per part file, so a 100k-file corpus was
-    100k sequential py4j+store round trips). A URI that is itself a
-    directory recurses through :func:`_hadoop_stat_entries`; a URI
-    absent from its parent's listing raises KeyError (→ None at the
-    caller, same contract as a failed stat)."""
+    100k sequential py4j+store round trips).
+
+    The batching only engages where it pays — a parent with ≥2
+    requested members (sibling part files). Single-member groups,
+    trailing-slash spellings and bucket/authority-root URIs take the
+    targeted per-URI stat instead (r8 second review: deriving a
+    parent from "s3a://bucket" lands inside the scheme, a trailing
+    slash made the basename lookup miss, and listing a huge shared
+    prefix for ONE member could enumerate millions of unrelated
+    siblings or hit a list-permission wall — all silently degrading
+    to retrain-every-session). A URI absent from its parent's
+    listing raises KeyError (→ None at the caller, same contract as
+    a failed stat)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     by_parent: dict[str, list[str]] = {}
+    singles: list[str] = []
     for uri in uris:
-        parent = uri.rsplit("/", 1)[0]
-        by_parent.setdefault(parent, []).append(uri)
+        norm = uri.rstrip("/")
+        parent, _, name = norm.rpartition("/")
+        if not name or "://" not in parent or parent.endswith("/"):
+            # authority/bucket root or unparseable shape: stat directly
+            singles.append(uri)
+        else:
+            by_parent.setdefault(parent, []).append(norm)
     entries: list[str] = []
+    for uri in singles:
+        entries.extend(_hadoop_stat_entries(spark, uri))
     for parent, members in by_parent.items():
+        if len(members) == 1:
+            entries.extend(_hadoop_stat_entries(spark, members[0]))
+            continue
         jparent = jvm.org.apache.hadoop.fs.Path(parent)
         fs = jparent.getFileSystem(conf)
         # keyed by basename, not full path: the FS's canonical path
@@ -76,11 +115,11 @@ def _hadoop_stat_entries_grouped(spark, uris: list[str]) -> list[str]:
         listed = {}
         for st in fs.listStatus(jparent):
             listed[st.getPath().getName()] = st
-        for uri in members:
-            name = uri.rstrip("/").rsplit("/", 1)[1]
+        for member in members:
+            name = member.rsplit("/", 1)[1]
             st = listed[name]  # KeyError → None upstream
             if st.isDirectory():
-                entries.extend(_hadoop_stat_entries(spark, uri))
+                entries.extend(_hadoop_listfiles_entries(spark, member))
             else:
                 entries.append(
                     f"{st.getPath().toString()}:{st.getLen()}:"

@@ -4,8 +4,10 @@ The reference loops serially over new IPs calling ip-api.com with a
 0.6 s sleep (elb_logs.py:166-209, 413-419) — a ≤100 lookups/min
 ceiling. Here the fan-out is a ``mapInPandas`` table function: each
 partition issues its own throttled request stream, so aggregate
-throughput scales with ``coalesce(n)``-controlled parallelism while
-still honoring a per-partition rate limit.
+throughput scales with the ``parallelism`` knob (a ``repartition``
+of the distinct key set — see the in-function note for why coalesce
+is specifically wrong here) while still honoring a per-partition
+rate limit.
 
 The HTTP transport is injectable: tests (and this offline container)
 use a deterministic fake; the real transport is only constructed on

@@ -114,13 +114,22 @@ def stream_elb_pipeline(
                     ),
                     mode="overwrite",
                 )
-            finally:
+            except BaseException:
                 # finalize() even when the sink write throws (r8
                 # code-review: the success-only call leaked one
-                # persisted fetch frame per failed batch): the cache
-                # upsert is idempotent, completed fetches shouldn't be
-                # re-bought on replay, and finalize's own try/finally
-                # guarantees the unpersist either way.
+                # persisted fetch frame per failed batch) — but
+                # SWALLOW its own failure so the SINK error stays the
+                # batch's failure (r8 second review: a bare finally
+                # let an also-failing cache swap on the same unhealthy
+                # cluster replace the root cause). finalize's internal
+                # try/finally frees the persisted frame even when the
+                # cache write dies.
+                try:
+                    finalize()
+                except Exception:
+                    pass
+                raise
+            else:
                 finalize()
         finally:
             batch.unpersist()
