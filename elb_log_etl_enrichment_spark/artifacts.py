@@ -94,7 +94,19 @@ def _hadoop_stat_entries_grouped(spark, uris: list[str]) -> list[str]:
     for uri in uris:
         norm = uri.rstrip("/")
         parent, _, name = norm.rpartition("/")
-        if not name or "://" not in parent or parent.endswith("/"):
+        if (
+            not name
+            or "://" not in parent
+            or parent.endswith("/")
+            # parent has no path component past the authority
+            # ("s3a://bucket" for member "s3a://bucket/a"): listing
+            # an FS/bucket ROOT for two sibling members enumerates
+            # the entire top level and can hit a list-permission
+            # wall, silently degrading the whole group to
+            # retrain-every-session (ADVICE r8 — the old guard only
+            # caught the single-member case)
+            or "/" not in parent.split("://", 1)[1]
+        ):
             # authority/bucket root or unparseable shape: stat directly
             singles.append(uri)
         else:
@@ -185,7 +197,7 @@ def stat_fingerprint(
     return h.hexdigest()
 
 
-def plan_identity(df) -> str:
+def plan_identity(df) -> str | None:
     """Identity of the frame's CANONICALIZED logical plan — two frames
     share it iff Catalyst considers them the same computation, so an
     artifact keyed on (files, params, plan) can never be served to a
@@ -241,15 +253,19 @@ def plan_identity(df) -> str:
     if re.search(r"\.\.\. \d+ more fields", s):
         # A render truncated despite the raised conf (e.g. an external
         # writer on a session clone the lock can't see): no safe
-        # identity — a per-call-unique token guarantees the key never
-        # matches anything (miss → retrain, never a wrong hit). The
+        # identity — None routes every consumer into its existing
+        # no-identity channel (memo key None, artifact path None), so
+        # nothing is persisted or served (miss → retrain, never a
+        # wrong hit). ADVICE r8: the previous per-call-unique
+        # 'truncated-<uuid>' token kept keys non-None, so the ANN
+        # artifact tier persisted a brand-new .npz (plus a fresh
+        # corpus-count job and memo entry) on EVERY call while
+        # truncation persisted — unbounded artifact-dir growth. The
         # marker is matched as Spark's exact truncatedString format
         # ("... N more fields"), not a bare substring (r8 code-review:
         # a plan literal containing the words would otherwise disable
         # caching for that frame forever).
-        import uuid
-
-        return "truncated-" + uuid.uuid4().hex
+        return None
     return hashlib.md5(s.encode()).hexdigest()
 
 

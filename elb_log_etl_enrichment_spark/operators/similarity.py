@@ -278,10 +278,28 @@ def _corpus_count(
         else None
     )
     n = _CORPUS_COUNT_MEMO.get(key) if key else None
+    if n is None and key is None:
+        # no file/plan identity (in-memory frame, truncated plan):
+        # fall back to a cache pinned on the caller's DataFrame
+        # wrapper itself (ADVICE r8: the unmemoized path re-ran a
+        # full corpus scan on EVERY invocation — a regression vs the
+        # old fixed-geometry defaults which ran zero extra jobs).
+        # Object-attached, so the entry dies with the wrapper — no
+        # id()-reuse hazard, naturally app-scoped.
+        n = getattr(emb, "_sg_corpus_count", {}).get(variant)
     if n is None:
         n = p.count()
         if key:
             _CORPUS_COUNT_MEMO[key] = n
+        else:
+            try:
+                cache = getattr(emb, "_sg_corpus_count", None)
+                if cache is None:
+                    cache = {}
+                    emb._sg_corpus_count = cache
+                cache[variant] = n
+            except Exception:
+                pass
     return n
 
 

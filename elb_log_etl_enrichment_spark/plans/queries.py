@@ -1598,25 +1598,114 @@ _head8 = [
 _rest8 = [n for n in CORE_PREFIX if n not in _head8 and n not in _R8_PROMOTED]
 CORE_PREFIX = _head8 + _R8_PROMOTED + _rest8
 
-# r9 rotation shortlist (bookkeeping for the next round): after r8's
-# 35 head first-timers land their rows, 34 registry queries remain
-# with zero driver rows — promote representatives from: embedding
-# support (dim_truncation_recall, embedding_centroid_drift,
-# embedding_quantization_error, feature_hashing_vectors,
-# nearest_dc_assignment), stats (ab_conversion_ztest,
-# kruskal_wallis_value_by_type, cuped_adjusted_lift,
-# mad_outlier_census, stat_moments_by_returnflag,
-# multi_horizon_backtest), profiling/layout (column_profile_lineitem,
-# table_content_digest, compaction_binpack_plan,
-# shard_assignment_stats, uniqueness_violations, skew_profile_events,
-# equi_depth_histogram_orders, iqr_outlier_audit), text quality
-# (readability_scores, token_diversity_flags, bigram_repetition_flags,
-# doc_length_histogram, fuzzy_name_match_stats, token_explode_topk),
-# sampling/mixing (weighted_sample_audit, deterministic_split_counts,
-# source_mixing_weights, mixture_rebalance_weights,
-# regression_battery, association_rules_parts), session/plan-hints
-# (session_relative_features, activity_bitmap_stats,
-# hinted_join_strategies). That clears the ENTIRE registry in r9.
+# r9 rotation (VERDICT r08 item 1): promote ALL 34 never-sampled
+# registry queries — the exact set computed by unioning
+# CORRECTNESS_r01..r08 keys against all_queries() (it matches the
+# judge's computed never-checked set). After this round lands its
+# rows, every one of the 269 registry queries has a driver-green
+# CORRECTNESS row at least once — the full-coverage milestone.
+# Holdovers (16) are the plan-changed queries that must re-verify
+# this round (streaming_elb_pipeline_hourly: per-batch plan-template
+# restructure; cosine_topk_ivf/pq/ivfpq/_rerank: n_probe sizing +
+# plan-identity truncation fix; bpe_merge_table: n_merges_ok oracle;
+# streaming_*_ingest_stats: sized-conf restore fix path) plus the
+# flagship and one banked representative per tier.
+_R9_PROMOTED = [
+    # embedding support
+    "dim_truncation_recall",
+    "embedding_centroid_drift",
+    "embedding_quantization_error",
+    "feature_hashing_vectors",
+    "nearest_dc_assignment",
+    # stats / experimentation
+    "ab_conversion_ztest",
+    "kruskal_wallis_value_by_type",
+    "cuped_adjusted_lift",
+    "mad_outlier_census",
+    "stat_moments_by_returnflag",
+    "multi_horizon_backtest",
+    "regression_battery",
+    # profiling / layout
+    "column_profile_lineitem",
+    "table_content_digest",
+    "compaction_binpack_plan",
+    "shard_assignment_stats",
+    "uniqueness_violations",
+    "skew_profile_events",
+    "equi_depth_histogram_orders",
+    "iqr_outlier_audit",
+    # text quality
+    "readability_scores",
+    "token_diversity_flags",
+    "bigram_repetition_flags",
+    "doc_length_histogram",
+    "fuzzy_name_match_stats",
+    "token_explode_topk",
+    # sampling / mixing
+    "weighted_sample_audit",
+    "deterministic_split_counts",
+    "source_mixing_weights",
+    "mixture_rebalance_weights",
+    "association_rules_parts",
+    # session / plan-hints
+    "session_relative_features",
+    "activity_bitmap_stats",
+    "hinted_join_strategies",
+]
+_R9_DEMOTED = {
+    # every demotion is r8-green (CORRECTNESS_r08 full pass) and its
+    # tier keeps a surviving representative in the head or sends one
+    # via _R9_PROMOTED:
+    "bpe_encode_stats",                 # bpe tier: bpe_merge_table stays
+    "profit_by_nation_year",            # TPC-H tier banked r8
+    "nation_pair_volume",
+    "local_supplier_volume",
+    "promo_revenue_ratio",
+    "quarterly_growth_by_priority",
+    "supplier_variety_by_part",
+    "cube_priority_status",
+    "excess_volume_suppliers",
+    "important_parts_value_threshold",
+    "shipment_priority_buckets",
+    "small_qty_order_revenue",
+    "disjunctive_bracket_revenue",
+    "array_function_battery",           # batteries banked r8
+    "null_handling_battery",
+    "listagg_bitwise_battery",
+    "map_struct_event_stats",
+    "posexplode_ordinal_tokens",
+    "unpivot_order_status_counts",
+    "pii_redaction_stats",              # quality tier sends 6 new reps
+    "text_quality_scores",
+    "token_entropy_quality",
+    "doc_chunking_stats",
+    "minhash_calibration",
+    "stratified_sample_counts",         # sampling tier sends 5 new reps
+    "langid_confusion",
+    "leakage_safe_split_audit",
+    "temporal_embargo_split_audit",
+    "curation_funnel_by_source",
+    "dedup_survivor_stats",
+    "batch_session_window_stats",       # session tier sends new reps
+    "rolling_distinct_users",
+    "time_weighted_avg_users",
+    "parquet_footer_stats",             # layout tier sends 8 new reps
+}
+_head9 = [
+    n for n in CORE_PREFIX[:50]
+    if n not in _R9_DEMOTED and n not in _R9_PROMOTED
+]
+_rest9 = [n for n in CORE_PREFIX if n not in _head9 and n not in _R9_PROMOTED]
+CORE_PREFIX = _head9 + _R9_PROMOTED + _rest9
+
+# r10 rotation shortlist (bookkeeping for the next round): the
+# registry is fully driver-sampled after r9 — no never-sampled
+# queries remain. r10 head should therefore hold (a) any query whose
+# PLAN changes during r10 and (b) rotate back in the longest-unsampled
+# banked queries (r1/r2-green ones first: revenue_by_nation,
+# customers_without_orders_anti_join, latest_event_per_user,
+# sessionize_events, event_lag_diff, rolling_* windows) so every
+# query's most-recent green row stays fresh.
 
 
 def _ordered_specs() -> list[QuerySpec]:

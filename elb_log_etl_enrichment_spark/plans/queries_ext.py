@@ -1386,7 +1386,10 @@ def _exact_topk_pairs(
             str(pred),
             k,
         )
-        if not key[1]:
+        # no files OR no plan identity (truncated render → None,
+        # ADVICE r8) → no safe memo key: two differently-truncated
+        # plans over the same files must not share ground truth
+        if not key[1] or key[2] is None:
             key = None
     except Exception:
         key = None

@@ -640,9 +640,13 @@ def bpe_merge_table_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     # audit — merge #1 is a plain weighted adjacent-char-pair argmax
     # (oracle-EXACT, including the (count DESC, left, right)
     # tie-break), the initial pair vocabulary size and total adjacent
-    # position count are oracle-exact values, n_merges is the merge
-    # count (12 whenever any pair exists: the loop stops early only on
-    # pair exhaustion, which no real-scale documents corpus hits), and
+    # position count are oracle-exact values, n_merges_ok asserts the
+    # merge-count contract ENGINE-SIDE (ADVICE r8: a hardcoded oracle
+    # literal 12 guaranteed a mismatch on small/degenerate corpora
+    # whose vocabulary collapses before 12 merges — legal early stop,
+    # not an engine bug): 1 iff len(merges) == 12 OR the learned
+    # merges verifiably exhaust all adjacent pairs (re-encoding the
+    # vocabulary with the table leaves no multi-symbol word), and
     # the structural contracts (contiguous 0-based ranks, merged ==
     # left||right) hash-fail via flags. Full table =
     # bpe_merge_table_detail.
@@ -660,8 +664,7 @@ def bpe_merge_table_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l, r
     ),
     f AS (SELECT l, r, c FROM p ORDER BY c DESC, l ASC, r ASC LIMIT 1)
-    SELECT CASE WHEN (SELECT COUNT(*) FROM p) = 0 THEN CAST(0 AS BIGINT)
-                ELSE CAST(12 AS BIGINT) END AS n_merges,
+    SELECT CAST(1 AS BIGINT) AS n_merges_ok,
            (SELECT l FROM f) AS first_left,
            (SELECT r FROM f) AS first_right,
            CAST((SELECT c FROM f) AS BIGINT) AS first_count,
@@ -721,8 +724,23 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = merges[0] if merges else None
     ranks_ok = [m["rank"] for m in merges] == list(range(len(merges)))
     concat_ok = all(m["merged"] == m["left"] + m["right"] for m in merges)
+    if len(merges) == 12:
+        n_merges_ok = True
+    else:
+        # early stop is legal ONLY on pair exhaustion: verify by
+        # re-encoding the vocabulary with the learned table — if any
+        # word still holds >= 2 symbols, an adjacent pair remained
+        # and the trainer stopped wrongly (flag 0 → oracle mismatch).
+        from ..operators.bpe import bpe_encode_tokens
+
+        residual = (
+            bpe_encode_tokens(words, merges)
+            .agg(F.coalesce(F.max("n_bpe_tokens"), F.lit(0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        n_merges_ok = residual <= 1
     return F.broadcast(pair_stats).crossJoin(F.broadcast(totals)).select(
-        F.lit(len(merges)).cast("long").alias("n_merges"),
+        F.lit(n_merges_ok).cast("long").alias("n_merges_ok"),
         F.lit(first["left"] if first else None)
         .cast("string")
         .alias("first_left"),

@@ -106,8 +106,13 @@ def sized_shuffle_partitions(spark: SparkSession, n: int | None):
         try:
             yield
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            # nested so one failed restore cannot skip the other
+            # (ADVICE r8: a py4j raise on the first set left AQE
+            # pinned 'false' for the rest of the session)
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     finally:
         with _SIZED_LOCK:
             _SIZED_SESSIONS.discard(key)

@@ -1,0 +1,240 @@
+"""Round-9 ADVICE-fix pins.
+
+* ``plan_identity`` truncation → None (no-identity channel): the r8
+  per-call-unique 'truncated-<uuid>' sentinel kept artifact/memo keys
+  non-None, so the ANN tier persisted a brand-new .npz per call while
+  truncation persisted (unbounded artifact-dir growth).
+* ``bpe_merge_table`` oracle no longer pins a literal 12: a corpus
+  whose vocabulary collapses before 12 merges is a LEGAL early stop
+  and must hash-match via the engine-verified ``n_merges_ok`` flag.
+* ``_corpus_count`` no longer re-scans the corpus per call when the
+  file/plan identity is unavailable — the count caches on the caller's
+  DataFrame wrapper.
+* ``_hadoop_stat_entries_grouped`` never lists an authority/bucket
+  ROOT for multi-member groups — members directly under a root take
+  the per-URI stat.
+* ``sized_shuffle_partitions`` restores shuffle.partitions and AQE
+  independently — one failed restore cannot skip the other.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestPlanIdentityTruncation:
+    def test_truncated_render_returns_none(self, spark, monkeypatch):
+        """Force a truncated canonicalized render (drop the raised
+        conf) and require plan_identity → None, not a unique token."""
+        from elb_log_etl_enrichment_spark import artifacts
+
+        df = spark.range(5).select(
+            *[F.col("id").alias(f"c{i}") for i in range(40)]
+        )
+        # narrow plans render fully even at the default cutoff — build
+        # the truncation by intercepting the conf raise
+        real_set = spark.conf.set
+
+        def no_raise(key, value):
+            if key == "spark.sql.debug.maxToStringFields":
+                return real_set(key, "5")
+            return real_set(key, value)
+
+        monkeypatch.setattr(spark.conf, "set", no_raise)
+        assert artifacts.plan_identity(df) is None
+
+    def test_truncated_plan_never_persists_artifact(self, spark, monkeypatch):
+        """End-to-end: with plan identity unavailable the IVF path
+        must not compute an artifact path (no per-call .npz)."""
+        from elb_log_etl_enrichment_spark.operators import similarity
+
+        monkeypatch.setattr(similarity, "_plan_hash", lambda df: None)
+        saved = []
+        monkeypatch.setattr(
+            similarity,
+            "_index_artifact_save",
+            lambda path, **arrays: saved.append(path),
+        )
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        out = similarity.cosine_topk_ivf(
+            e, F.col("vec_id") % 100 == 0, k=2, n_cells=4, n_probe=2
+        )
+        assert out.count() >= 0
+        assert saved in ([], [None]) or all(p is None for p in saved)
+
+
+class TestBpeMergeOkFlag:
+    def test_degenerate_corpus_flag_green(self, spark, tmp_path):
+        """A corpus that exhausts pairs before 12 merges yields
+        n_merges_ok == 1 (legal early stop), matching the oracle's
+        constant — the r8 oracle hardcoded 12 and mismatched here."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elb_log_etl_enrichment_spark.plans.queries import (
+            REGISTRY,
+            all_queries,
+        )
+
+        all_queries()
+        # single 2-char word: exactly 1 merge possible, then exhausted
+        t = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "source": pa.array(["s"]),
+                "lang_hint": pa.array(["en"]),
+                "text": pa.array(["ab"]),
+                "quality_hint": pa.array([0.5], pa.float64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        row = REGISTRY["bpe_merge_table"].fn(spark, str(tmp_path)).collect()[0]
+        assert row["n_merges_ok"] == 1
+        assert (row["first_left"], row["first_right"]) == ("a", "b")
+
+    def test_wrong_early_stop_flag_red(self, spark):
+        """Audit-envelope fuzz: a trainer that stops early WITHOUT
+        exhaustion must flip the flag to 0 (the audit is a real gate,
+        not eternal-green)."""
+        from unittest import mock
+
+        from elb_log_etl_enrichment_spark.operators import bpe
+        from elb_log_etl_enrichment_spark.plans.queries import (
+            REGISTRY,
+            all_queries,
+        )
+
+        all_queries()
+        real_train = bpe.bpe_train
+
+        def broken_train(words, n_merges=12, **kw):
+            return real_train(words, n_merges=3, **kw)  # premature stop
+
+        # the query imports bpe_train at call time, so patch the
+        # defining module
+        with mock.patch.object(bpe, "bpe_train", broken_train):
+            row = REGISTRY["bpe_merge_table"].fn(spark, SF).collect()[0]
+        assert row["n_merges_ok"] == 0
+
+
+class TestCorpusCountWeakKey:
+    def test_in_memory_frame_counts_once(self, spark):
+        from elb_log_etl_enrichment_spark.operators import similarity
+
+        e = spark.range(50).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.rand(seed=1) for _ in range(4)]).alias("embedding"),
+        )
+        calls = {"n": 0}
+        real_count = type(e).count
+
+        def counting(self):
+            calls["n"] += 1
+            return real_count(self)
+
+        p = e  # counted frame (stand-in for the prepared frame)
+        import unittest.mock as mock
+
+        with mock.patch.object(type(e), "count", counting):
+            n1 = similarity._corpus_count(p, e, [], None, "all")
+            n2 = similarity._corpus_count(p, e, [], None, "all")
+        assert n1 == n2 == 50
+        assert calls["n"] == 1  # second call served from the wrapper cache
+
+    def test_variants_do_not_collide(self, spark):
+        from elb_log_etl_enrichment_spark.operators import similarity
+
+        e = spark.range(10).select(F.col("id").alias("vec_id"))
+        n_all = similarity._corpus_count(e, e, [], None, "all")
+        n_nz = similarity._corpus_count(e.limit(3), e, [], None, "nonzero")
+        assert (n_all, n_nz) == (10, 3)
+
+
+class TestGroupedStatRootGuard:
+    def test_two_members_under_root_stat_individually(self, spark, tmp_path):
+        """Two members directly under a viewfs root must take the
+        per-URI stat path, not listStatus of the root (which on a real
+        bucket could enumerate millions of siblings or hit a
+        list-permission wall)."""
+        from elb_log_etl_enrichment_spark import artifacts
+
+        (tmp_path / "a.bin").write_bytes(b"a" * 10)
+        (tmp_path / "b.bin").write_bytes(b"b" * 20)
+        hc = spark.sparkContext._jsc.hadoopConfiguration()
+        # mount each file as its own root-level link so the members'
+        # parent is the authority root itself
+        hc.set(
+            "fs.viewfs.mounttable.r9root.link./a.bin",
+            "file://" + str(tmp_path / "a.bin"),
+        )
+        hc.set(
+            "fs.viewfs.mounttable.r9root.link./b.bin",
+            "file://" + str(tmp_path / "b.bin"),
+        )
+        uris = ["viewfs://r9root/a.bin", "viewfs://r9root/b.bin"]
+        entries = artifacts._hadoop_stat_entries_grouped(spark, uris)
+        assert len(entries) == 2
+        assert any(":10:" in e for e in entries)
+        assert any(":20:" in e for e in entries)
+
+    def test_grouping_still_engages_below_root(self, spark, tmp_path):
+        from elb_log_etl_enrichment_spark import artifacts
+
+        d = tmp_path / "part"
+        d.mkdir()
+        (d / "p0").write_bytes(b"x" * 7)
+        (d / "p1").write_bytes(b"y" * 9)
+        hc = spark.sparkContext._jsc.hadoopConfiguration()
+        hc.set(
+            "fs.viewfs.mounttable.r9grp.link./data",
+            "file://" + str(tmp_path),
+        )
+        uris = [
+            "viewfs://r9grp/data/part/p0",
+            "viewfs://r9grp/data/part/p1",
+        ]
+        entries = artifacts._hadoop_stat_entries_grouped(spark, uris)
+        assert len(entries) == 2
+
+
+class TestSizedShufflePartitionRestore:
+    def test_failed_first_restore_still_restores_aqe(self, spark):
+        from elb_log_etl_enrichment_spark.streaming.stream import (
+            sized_shuffle_partitions,
+        )
+
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        real_set = spark.conf.set
+        state = {"raised": False}
+
+        def flaky_set(key, value):
+            # raise exactly once: on the exit-path restore of
+            # shuffle.partitions back to its previous value
+            if (
+                key == "spark.sql.shuffle.partitions"
+                and str(value) == str(prev_parts)
+                and not state["raised"]
+            ):
+                state["raised"] = True
+                raise RuntimeError("simulated py4j failure")
+            return real_set(key, value)
+
+        import unittest.mock as mock
+
+        with mock.patch.object(spark.conf, "set", flaky_set):
+            with pytest.raises(RuntimeError, match="simulated"):
+                with sized_shuffle_partitions(spark, 7):
+                    pass
+        assert state["raised"]
+        # the AQE restore must have run despite the first failure
+        assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+        # repair the conf the simulated failure left behind
+        real_set("spark.sql.shuffle.partitions", prev_parts)
+        # and the re-entrancy latch must be released
+        with sized_shuffle_partitions(spark, 5):
+            pass
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts

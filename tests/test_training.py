@@ -242,7 +242,7 @@ def test_bpe_merge_table_registry_query(spark):
     audit = REGISTRY["bpe_merge_table"].fn(spark, SF).collect()
     assert len(audit) == 1
     a = audit[0]
-    assert a["n_merges"] == 12
+    assert a["n_merges_ok"] == 1
     assert (a["first_left"], a["first_right"], a["first_count"]) == (
         out[0]["left"],
         out[0]["right"],
