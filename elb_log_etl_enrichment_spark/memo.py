@@ -1,0 +1,70 @@
+"""Bounded session-scoped memo discipline (VERDICT r08 item 5).
+
+The engine keeps several module-level memos keyed by
+``(applicationId, …)`` — exact-top-k ground truth, corpus counts,
+trained ANN models, checkpointed edge/pair frames. They exist so one
+session computes each expensive artifact once; but a long-lived
+driver cycling corpora (or a sweep over hundreds of registered
+queries) grows them without bound. ``memo_put`` is the single
+insert-with-eviction used by all of them:
+
+* entries from OTHER applications evict first — their JVM session is
+  usually stopped, so the value is dead weight (and a dead frame's
+  ``unpersist`` is a harmless no-op);
+* then oldest-inserted within the current app (Python dicts preserve
+  insertion order), keeping the newest ``cap`` entries;
+* an optional ``on_evict`` releases resources (``unpersist`` for
+  persisted/checkpointed DataFrames); its failures are swallowed —
+  eviction is hygiene, never an error path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+
+def memo_put(
+    memo: dict,
+    key: tuple,
+    value,
+    cap: int = 32,
+    on_evict: Callable | None = None,
+) -> None:
+    """Insert ``memo[key] = value`` keeping at most ``cap`` entries.
+
+    ``key`` must be a tuple whose first element identifies the Spark
+    application (the convention every engine memo follows)."""
+    # re-inserting an existing key must refresh its age, not leave it
+    # in its old slot (it is now the most recently used entry)
+    memo.pop(key, None)
+    memo[key] = value
+    if len(memo) <= cap:
+        return
+    app = key[0]
+    stale = [
+        k for k in memo
+        if isinstance(k, tuple) and k and k[0] != app and k != key
+    ]
+    for k in stale:
+        _evict(memo, k, on_evict)
+        if len(memo) <= cap:
+            return
+    while len(memo) > cap:
+        oldest = next(iter(memo))
+        if oldest == key:  # never evict the entry just inserted
+            break
+        _evict(memo, oldest, on_evict)
+
+
+def _evict(memo: dict, key, on_evict: Callable | None) -> None:
+    value = memo.pop(key)
+    if on_evict is not None:
+        try:
+            on_evict(value)
+        except Exception:
+            pass
+
+
+def unpersist_frame(df) -> None:
+    """``on_evict`` for memos holding persisted/checkpointed frames."""
+    df.unpersist()

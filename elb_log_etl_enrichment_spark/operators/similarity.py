@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double_array, dot, lsh_bucket, norm
+from ..memo import memo_put
 
 
 def _prepared(emb: DataFrame) -> DataFrame:
@@ -290,7 +291,7 @@ def _corpus_count(
     if n is None:
         n = p.count()
         if key:
-            _CORPUS_COUNT_MEMO[key] = n
+            memo_put(_CORPUS_COUNT_MEMO, key, n, cap=64)
         else:
             try:
                 cache = getattr(emb, "_sg_corpus_count", None)
@@ -310,13 +311,20 @@ def ivf_sizing(n_rows: int) -> tuple[int, int]:
     O(√N)) clamped to [8, 256] (the upper clamp bounds the JVM
     assignment expression — one distance term per centroid — and 256
     cells × 64 samples/cell stays inside the 16384-row training
-    sample), and ``n_probe = ⌈n_cells/4⌉`` (fixed ~25 % cell-fraction
-    probe). Fixed (16, 4) measured recall@3 0.93 → 0.62 from sf0.01 →
-    sf0.1 — at 100× the geometry, not a bug, breaches any floor; with
-    this rule the floor curve is flat-to-rising in N (re-measured
-    sf0.001/0.01/0.1/sf1, pinned in tests/test_r8_fixes.py)."""
+    sample), and ``n_probe = ⌈3·n_cells/8⌉`` (fixed ~37.5 %
+    cell-fraction probe). Fixed (16, 4) measured recall@3 0.93 → 0.62
+    from sf0.01 → sf0.1 — at 100× the geometry, not a bug, breaches
+    any floor; the r8 √N rule with a 25 % probe fixed the cells but
+    left the PROBE ceiling binding before the rerank budget (VERDICT
+    r08 item 4: IVFADC+R recall@5 dipped 0.76/0.72/0.68/0.74 across
+    sf0.001/0.01/0.1/sf1 — the exact re-rank can only reorder
+    candidates the probed cells surfaced). At 3/8 the measured rerank
+    curve is monotone-or-flat in N: 0.80/0.80/0.80/0.838 (same
+    4-point sweep; 1/2 buys 0.90+ but non-monotonically and at ~33 %
+    more candidate volume — 3/8 is the knee). Pinned in
+    tests/test_r8_fixes.py and tests/test_r9_fixes.py."""
     n_cells = max(8, min(256, int(round(n_rows**0.5))))
-    n_probe = max(1, (n_cells + 3) // 4)
+    n_probe = max(1, -(-3 * n_cells // 8))
     return n_cells, n_probe
 
 
@@ -403,7 +411,7 @@ def cosine_topk_ivf(
         centers = [list(map(float, c)) for c in cent]
         _index_artifact_save(artifact, centers=cent)
     if memo_key is not None:
-        _IVF_CENTROID_MEMO[memo_key] = centers
+        memo_put(_IVF_CENTROID_MEMO, memo_key, centers, cap=16)
 
     def _cell_ranking(vcol):
         # squared distance to every centroid, JVM-side; array_sort over
@@ -724,7 +732,7 @@ def cosine_topk_pq(
         )
         _index_artifact_save(artifact, codebooks=codebooks)
     if memo_key is not None:
-        _PQ_CODEBOOK_MEMO[memo_key] = codebooks
+        memo_put(_PQ_CODEBOOK_MEMO, memo_key, codebooks, cap=16)
     sub_d = codebooks.shape[2]
 
     spark = emb.sparkSession
@@ -906,7 +914,7 @@ def cosine_topk_ivfpq(
         model = (centers, codebooks)
         _index_artifact_save(artifact, centers=centers, codebooks=codebooks)
     if memo_key is not None:
-        _IVFPQ_MEMO[memo_key] = model
+        memo_put(_IVFPQ_MEMO, memo_key, model, cap=16)
     centers, codebooks = model
     sub_d = codebooks.shape[2]
 

@@ -24,37 +24,143 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.aggregate import bot_traffic, error_summary, hourly_geo_aggregates
-from ..operators.enrich import enrich_with_geo, new_keys
-from ..operators.features import (
-    add_path_features,
-    add_rolling_features,
-    calculate_processing_times,
-    extract_time_features,
-    sessionize,
-)
+from ..operators.enrich import new_keys
 from ..sinks.writers import write_cleaned_logs, write_csv, write_parquet
-from ..sources.elb_logs import LOCAL_TZ, filter_categorize, parse_elb_lines, read_raw_lines
+from ..sources.elb_logs import LOCAL_TZ, parse_elb_lines, read_raw_lines
 from ..sources.geo_cache import load_geo_cache, update_geo_cache
 from ..sources.http_geo import fake_fetch, fetch_geolocations
 
 
-def _feature_chain(parsed: DataFrame, cache: DataFrame) -> DataFrame:
-    """Steps 3-6 as one lazy plan: broadcast geo join, filters, time /
-    processing / session / rolling / path features."""
-    enriched = filter_categorize(enrich_with_geo(parsed, cache))
+def make_feature_chain_template() -> Callable[[DataFrame, DataFrame], DataFrame]:
+    """Precompiled steps 3-6 (VERDICT r08 item 2): every Column and
+    WindowSpec of the enrich/filter/feature chain is built ONCE and
+    closed over; applying the returned ``(parsed, cache) → enriched``
+    costs 5 Dataset constructions (join, filter, 3 ``withColumns``
+    batches split only at genuine column dependencies) instead of the
+    ~15 the operator-by-operator chain performs.
+
+    Why it exists: Datasets analyze EAGERLY at construction, so a
+    micro-batch pipeline that rebuilds the chain per batch pays the
+    whole py4j + re-analysis tower (~0.6-0.8 s/batch measured at
+    cron-tick scale) for a plan that is identical across batches —
+    Column/WindowSpec objects are immutable unresolved expressions,
+    reusable across same-schema frames. The stream builds this
+    template once per run; the batch pipeline shares it via
+    :func:`_feature_chain` so the two cannot drift (their parity is
+    additionally pinned by the streaming-vs-batch oracle).
+
+    Semantics are unchanged from the operator chain
+    (`filter_categorize` ∘ `enrich_with_geo`, then time / processing /
+    session / rolling / path features): ``time_local`` — dropped at
+    the end of the old chain — is inlined into the calendar features
+    (Catalyst's projection collapse produced exactly that plan), and
+    the sessionize intermediates that fed later columns stay
+    materialized as columns in the same order, so the output schema is
+    byte-identical.
+    """
+    from ..sources.elb_logs import HEALTH_CHECK_PATTERN, categorize_status
+    from pyspark.sql import Window
+
+    key, ts, tiebreak = "client_ip", "time", "trace_id"
+    gap_minutes = 30
+
+    pred = (
+        F.col(key).isNotNull()
+        & F.col("request").isNotNull()
+        & ~F.coalesce(
+            F.lower(F.col("user_agent")).rlike(HEALTH_CHECK_PATTERN),
+            F.lit(False),
+        )
+    )
     # reference extracts calendar features from US/Eastern wall-clock
     # (elb_logs.py:83,295-303); windows order by the underlying instant.
-    enriched = enriched.withColumn(
-        "time_local", F.from_utc_timestamp(F.col("time"), LOCAL_TZ)
+    t_local = F.from_utc_timestamp(F.col(ts), LOCAL_TZ)
+    total = sum(
+        (
+            F.coalesce(F.col(c), F.lit(0.0))
+            for c in (
+                "request_processing_time",
+                "target_processing_time",
+                "response_processing_time",
+            )
+        ),
+        F.lit(0.0),
     )
-    enriched = extract_time_features(enriched, ts="time_local")
-    enriched = calculate_processing_times(enriched)
     # trace_id is per-request-unique → deterministic order among rows
     # with identical timestamps (SURVEY.md §7.4 trap 7)
-    enriched = sessionize(enriched, key="client_ip", ts="time", tiebreak="trace_id")
-    enriched = add_rolling_features(enriched, key="client_ip", ts="time")
-    enriched = add_path_features(enriched)
-    return enriched.drop("time_local")
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(tiebreak))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ms = F.unix_millis(F.col(ts))
+    diff_ms = F.coalesce(ms - F.lag(ms, 1).over(w), F.lit(0))
+    roll_base = Window.partitionBy(key).orderBy(ms)
+    w_count = roll_base.rangeBetween(-300 * 1000, 0)
+    w_avg = roll_base.rangeBetween(-3600 * 1000, 0)
+    p = F.coalesce(F.col("path"), F.lit(""))
+    segs = F.split(p, "/")
+
+    # no inter-dict dependencies within a withColumns call; split only
+    # where a column genuinely references one added earlier
+    cols_b = {
+        "status_code_type": categorize_status(F.col("elb_status_code")),
+        "waf_blocked": F.coalesce(
+            F.lower(F.col("classification_reason")).rlike("waf|blocked|deny"),
+            F.lit(False),
+        ),
+        "request_year": F.year(t_local),
+        "request_month": F.month(t_local),
+        "request_day": F.dayofmonth(t_local),
+        "request_hour": F.hour(t_local),
+        "request_day_of_week": F.date_format(t_local, "EEEE"),
+        "request_day_of_week_num": F.weekday(t_local),
+        "request_week_of_year": F.weekofyear(t_local),
+        "total_processing_time": total,
+        "time_diff_s": diff_ms / 1000.0,
+        "new_session": (diff_ms > gap_minutes * 60 * 1000).cast("int"),
+    }
+    cols_c = {
+        "session_number": F.sum("new_session").over(cum).cast("long"),
+    }
+    cols_d = {
+        "session_id": F.concat(
+            F.col(key).cast("string"),
+            F.lit("_s"),
+            F.col("session_number").cast("string"),
+        ),
+        "rolling_5min_request_count":
+            F.count(F.col("request")).over(w_count).cast("long"),
+        "rolling_1h_avg_processing":
+            F.avg(F.col("total_processing_time")).over(w_avg),
+        "path_depth": F.size(F.filter(segs, lambda x: x != "")),
+        "path_main_segment": F.when(
+            F.size(segs) > 1, segs.getItem(1)
+        ).otherwise(""),
+    }
+
+    def apply_chain(parsed: DataFrame, cache: DataFrame) -> DataFrame:
+        ts_type = dict(parsed.dtypes)[ts]
+        if not ts_type.startswith("timestamp"):
+            # same loud guard as operators.features.sessionize: an
+            # unparsed time column must not silently mis-sessionize
+            raise TypeError(
+                f"feature chain: time column {ts!r} has type {ts_type}; "
+                "expected timestamp — parse it first"
+            )
+        return (
+            parsed.join(F.broadcast(cache), on=key, how="left")
+            .filter(pred)
+            .withColumns(cols_b)
+            .withColumns(cols_c)
+            .withColumns(cols_d)
+        )
+
+    return apply_chain
+
+
+def _feature_chain(parsed: DataFrame, cache: DataFrame) -> DataFrame:
+    """Steps 3-6 as one lazy plan: broadcast geo join, filters, time /
+    processing / session / rolling / path features (single-shot
+    wrapper over :func:`make_feature_chain_template`)."""
+    return make_feature_chain_template()(parsed, cache)
 
 
 def enrich_and_featurize(
@@ -78,6 +184,7 @@ def enrich_and_featurize_deferred(
     parsed: DataFrame,
     geo_cache_path: str,
     fetch_fn: Callable[[str], dict] = fake_fetch,
+    chain: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
 ) -> tuple[DataFrame, Callable[[], None]]:
     """The micro-batch variant of :func:`enrich_and_featurize`
     (VERDICT r07 item 7): returns ``(enriched, finalize)`` where the
@@ -98,7 +205,12 @@ def enrich_and_featurize_deferred(
     corrupt one — the cache is a cache.
 
     ``finalize()`` must be called after the enriched frame has been
-    materialized (it unpersists the fetch buffer)."""
+    materialized (it unpersists the fetch buffer).
+
+    ``chain`` lets a micro-batch caller pass a prebuilt
+    :func:`make_feature_chain_template` so the per-batch cost is the
+    5-Dataset application, not the full Column-tower rebuild (VERDICT
+    r08 item 2); None builds a fresh single-use template."""
     from ..operators.dedup import upsert_keep_latest
 
     cache = load_geo_cache(spark, geo_cache_path)
@@ -107,7 +219,7 @@ def enrich_and_featurize_deferred(
     merged = upsert_keep_latest(
         cache, fetched, ["client_ip"], "api_fetch_timestamp"
     )
-    enriched = _feature_chain(parsed, merged)
+    enriched = (chain or make_feature_chain_template())(parsed, merged)
 
     def finalize() -> None:
         try:

@@ -381,9 +381,13 @@ def _minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _MINHASH_PAIR_MEMO.pop(stale).unpersist()
             except Exception:
                 pass
+        from ..memo import memo_put, unpersist_frame
+
         d = _t(spark, sf_dir, "documents")
         pairs = minhash_lsh_pairs(d, threshold=0.8).persist()
-        _MINHASH_PAIR_MEMO[key] = pairs
+        memo_put(
+            _MINHASH_PAIR_MEMO, key, pairs, cap=8, on_evict=unpersist_frame
+        )
     return pairs
 
 

@@ -230,8 +230,10 @@ def knn_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _KNN_EDGE_MEMO.get(key)
     if df is None:
+        from ..memo import memo_put, unpersist_frame
+
         df = knn_edges(spark, sf_dir).localCheckpoint(eager=True)
-        _KNN_EDGE_MEMO[key] = df
+        memo_put(_KNN_EDGE_MEMO, key, df, cap=8, on_evict=unpersist_frame)
     return df
 
 

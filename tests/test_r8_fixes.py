@@ -154,19 +154,21 @@ class TestHadoopFingerprint:
         assert _source_fingerprint(root, spark=spark) != fp1
 
     def test_ivf_sizing_rule_pins(self):
-        """√N clamped to [8, 256], ~25 % probe fraction — the curve
-        behind these values (rule-active recall@3 =
-        0.867/0.867/0.700/0.775 at sf0.001/0.01/0.1/sf1) is measured
-        in the cosine_topk_ivf_q docstring; sf1 must stay ≥ sf0.1."""
+        """√N clamped to [8, 256], ~37.5 % probe fraction (raised
+        from 25 % in r9 — VERDICT r08 item 4: the probe ceiling bound
+        IVFADC+R recall before the rerank budget; the measured rerank
+        recall@5 curve at 3/8 is 0.80/0.80/0.80/0.838 across
+        sf0.001/0.01/0.1/sf1, monotone-or-flat — see ivf_sizing's
+        docstring); sf1 must stay ≥ sf0.1."""
         from elb_log_etl_enrichment_spark.operators.similarity import (
             ivf_sizing,
         )
 
-        assert ivf_sizing(500) == (22, 6)
-        assert ivf_sizing(2000) == (45, 12)
-        assert ivf_sizing(20000) == (141, 36)
-        assert ivf_sizing(1) == (8, 2)  # lower clamp
-        assert ivf_sizing(10**9) == (256, 64)  # expression-size clamp
+        assert ivf_sizing(500) == (22, 9)
+        assert ivf_sizing(2000) == (45, 17)
+        assert ivf_sizing(20000) == (141, 53)
+        assert ivf_sizing(1) == (8, 3)  # lower clamp
+        assert ivf_sizing(10**9) == (256, 96)  # expression-size clamp
 
     def test_adaptive_ivf_recall_on_small_corpus(self, spark):
         """Defaults (no explicit geometry) resolve via the rule and

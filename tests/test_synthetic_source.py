@@ -203,3 +203,116 @@ def test_committed_corpus_matches_live_source(spark):
         r.value for r in spark.read.parquet(CORPUS_PARQUET).collect()
     )
     assert live == committed == sorted(corpus_lines())
+
+
+#: Expected on-disk arrow schema per driver table (VERDICT r08 item
+#: 7): the driver's generation has changed shape twice already
+#: (events.ts shipped as TIMESTAMP(NANOS) then naive us; lineitem
+#: dropped l_shipmode/l_receiptdate), each time costing a mid-sweep
+#: mystery. This canary turns the next flip into a 1-minute
+#: diagnosis: it loud-fails with the exact expected-vs-found diff.
+_EXPECTED_TABLE_SCHEMAS = {
+    "region": [("r_regionkey", "int32"), ("r_name", "string")],
+    "nation": [
+        ("n_nationkey", "int32"),
+        ("n_name", "string"),
+        ("n_regionkey", "int32"),
+    ],
+    "customer": [
+        ("c_custkey", "int64"),
+        ("c_name", "string"),
+        ("c_nationkey", "int32"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "int64"),
+        ("s_name", "string"),
+        ("s_nationkey", "int32"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "int64"),
+        ("p_name", "string"),
+        ("p_brand", "string"),
+        ("p_type", "string"),
+        ("p_size", "int32"),
+        ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "int64"),
+        ("o_custkey", "int64"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp[us]"),
+        ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "int64"),
+        ("l_partkey", "int64"),
+        ("l_suppkey", "int64"),
+        ("l_linenumber", "int32"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp[us]"),
+    ],
+    "events": [
+        ("event_id", "int64"),
+        ("ts", "timestamp[us]"),
+        ("user_id", "int64"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "int64"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "int64"),
+    ],
+    "embeddings": [
+        ("vec_id", "int64"),
+        ("embedding", "list<element: float>"),
+        ("label", "int32"),
+    ],
+}
+
+
+def test_testdata_schema_drift_canary():
+    """Fast (no Spark) snapshot of every driver table's parquet
+    schema at every generated scale; a driver-generation flip fails
+    HERE with the full diff instead of deep inside a sweep."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    problems = []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        root = f"/root/testdata/{sf}"
+        if not os.path.isdir(root):
+            continue
+        for table, expected in _EXPECTED_TABLE_SCHEMAS.items():
+            path = f"{root}/{table}.parquet"
+            if not os.path.exists(path):
+                problems.append(f"{sf}/{table}: MISSING FILE")
+                continue
+            found = [
+                (f.name, str(f.type)) for f in pq.read_schema(path)
+            ]
+            if found != expected:
+                gone = [c for c in expected if c not in found]
+                new = [c for c in found if c not in expected]
+                problems.append(
+                    f"{sf}/{table}: expected {expected}\n"
+                    f"  found    {found}\n"
+                    f"  dropped/changed: {gone}\n"
+                    f"  added/changed:   {new}"
+                )
+    assert not problems, (
+        "DRIVER TESTDATA GENERATION CHANGED SHAPE:\n" + "\n".join(problems)
+    )
