@@ -1469,8 +1469,9 @@ def cosine_topk_ivf_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (KMeans cells, adaptive √N sizing — operators/similarity.
     ivf_sizing) recall@3 audit vs exact BLAS top-k. Floor 0.4: rule
-    measured 0.867/0.867/0.700/0.775 at sf0.001/0.01/0.1/sf1 — the
-    sf1 value EXCEEDS the sf0.1 value (r8; fixed (16,4) geometry
+    measured 0.867/0.933/0.817/0.862 at sf0.001/0.01/0.1/sf1 under
+    the r9 3/8 probe fraction (was 0.867/0.867/0.700/0.775 at 1/4) —
+    the sf1 value EXCEEDS the sf0.1 value (fixed (16,4) geometry
     decayed 0.93 → 0.62 and would breach any floor at 100×)."""
     return _ann_recall_audit(
         spark, sf_dir, cosine_topk_ivf_detail(spark, sf_dir), k=3, floor=0.4
@@ -1491,7 +1492,10 @@ def cosine_topk_pq_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cosine_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC (8-byte codes, broadcast codebooks) recall@5 audit.
-    Floor 0.5: measured 0.84/0.88/0.78 at sf0.001/0.01/0.1."""
+    Floor 0.5: measured 0.84/0.88/0.78/0.665 at sf0.001/0.01/0.1/sf1
+    (no cell probes in plain PQ, so the r9 probe-fraction change does
+    not touch this path; the sf1 decay is code resolution — the
+    rerank twin is the scale answer)."""
     return _ann_recall_audit(
         spark, sf_dir, cosine_topk_pq_detail(spark, sf_dir), k=5, floor=0.5
     )
@@ -1511,9 +1515,12 @@ def cosine_topk_ivfpq_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cosine_topk_ivfpq_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC+R (r8): the IVF-PQ shortlist exact-re-ranked — recall@5
-    audit. Floor 0.35: rule measured 0.760/0.720/0.680/0.742 at
-    sf0.001/0.01/0.1/sf1 (recovers the ADC quantization loss; the
-    residual is the shared cell-probe ceiling, flat-to-rising in N)."""
+    audit. Floor 0.35: rule measured 0.800/0.800/0.800/0.838 at
+    sf0.001/0.01/0.1/sf1 under the r9 3/8 probe fraction —
+    monotone-or-flat in N (VERDICT r08 item 4: the 1/4 fraction's
+    0.76/0.72/0.68/0.742 sf0.1 dip was the probe ceiling binding
+    before the rerank budget; the exact re-rank recovers the ADC
+    quantization loss only for candidates the probed cells surface)."""
     from ..operators.similarity import cosine_topk_ivfpq_rerank
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1529,12 +1536,13 @@ def cosine_topk_ivfpq_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cosine_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (Jégou et al. 2011 IVFADC; residual codebooks, adaptive
     √N cell sizing) recall@5 audit. Floor 0.3: rule measured
-    0.720/0.720/0.610/0.592 at sf0.001/0.01/0.1/sf1 — near-flat in N
-    with 2× floor margin through sf1; the residual slope is PQ
-    quantization resolution (probe-fraction sweeps 25→40 % move
-    recall +0.05 at BOTH sf0.1 and sf1 without changing the slope),
-    not cell geometry (residual quantization of RANDOM vectors is
-    the scheme's worst case)."""
+    0.760/0.760/0.690/0.629 at sf0.001/0.01/0.1/sf1 under the r9 3/8
+    probe fraction (was 0.720/0.720/0.610/0.592 at 1/4) — 2× floor
+    margin through sf1; the residual slope is PQ quantization
+    resolution, not cell geometry (residual quantization of RANDOM
+    vectors is the scheme's worst case) — the exact-re-rank twin
+    (`cosine_topk_ivfpq_rerank`, flat 0.80+) is the production
+    answer to that slope."""
     return _ann_recall_audit(
         spark, sf_dir, cosine_topk_ivfpq_detail(spark, sf_dir), k=5, floor=0.3
     )

@@ -44,7 +44,14 @@ class TestPlanIdentityTruncation:
             return real_set(key, value)
 
         monkeypatch.setattr(spark.conf, "set", no_raise)
-        assert artifacts.plan_identity(df) is None
+        try:
+            assert artifacts.plan_identity(df) is None
+        finally:
+            # plan_identity's own restore went through the patched
+            # set (re-pinning "5"); clean the session conf so later
+            # tests see full plan prints again
+            monkeypatch.undo()
+            spark.conf.unset("spark.sql.debug.maxToStringFields")
 
     def test_truncated_plan_never_persists_artifact(self, spark, monkeypatch):
         """End-to-end: with plan identity unavailable the IVF path
