@@ -222,8 +222,17 @@ def enrich_and_featurize_deferred(
     enriched = (chain or make_feature_chain_template())(parsed, merged)
 
     def finalize() -> None:
+        # commit the SAME merged plan the enrichment joined (r9): the
+        # previous update_geo_cache call re-loaded the cache and
+        # rebuilt the upsert — two eager re-analyses per micro-batch
+        # for plans byte-identical to the ones already in hand. The
+        # empty-fetch probe rides the persisted frame (idle-tick
+        # contract unchanged: no rewrite when nothing new was fetched).
+        from ..sources.geo_cache import commit_geo_cache
+
         try:
-            update_geo_cache(spark, fetched, geo_cache_path)
+            if fetched.take(1):
+                commit_geo_cache(spark, merged, geo_cache_path)
         finally:
             fetched.unpersist()
 

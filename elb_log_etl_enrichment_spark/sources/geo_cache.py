@@ -71,8 +71,6 @@ def update_geo_cache(
     a per-tick rewrite of millions of rows that changes nothing. The
     probe rides the persisted frame the merge would consume anyway, so
     the non-empty path does no extra work."""
-    from ..hadoop_fs import fs_swap
-
     old = load_geo_cache(spark, cache_path)
     new_entries = new_entries.persist()
     try:
@@ -81,9 +79,25 @@ def update_geo_cache(
         merged = upsert_keep_latest(
             old, new_entries, ["client_ip"], "api_fetch_timestamp"
         )
-        staging = cache_path.rstrip("/") + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        fs_swap(spark, staging, cache_path)
+        commit_geo_cache(spark, merged, cache_path)
     finally:
         new_entries.unpersist()
     return spark.read.schema(GEO_SCHEMA).parquet(cache_path)
+
+
+def commit_geo_cache(spark: SparkSession, merged: DataFrame, cache_path: str) -> None:
+    """Stage-and-swap commit of a PREBUILT keep-latest merge — the
+    write half of :func:`update_geo_cache`, split out (r9) so the
+    streaming deferred path can commit the exact merge plan its
+    enrichment join already constructed instead of re-loading the
+    cache and rebuilding the upsert per micro-batch (~0.25 s of eager
+    re-analysis per cron tick for byte-identical plans). Staging keeps
+    the merge from truncating its own parquet input; the swap goes
+    through the Hadoop FileSystem API so remote cache paths share the
+    code path (see update_geo_cache's docstring for the full
+    rationale)."""
+    from ..hadoop_fs import fs_swap
+
+    staging = cache_path.rstrip("/") + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    fs_swap(spark, staging, cache_path)
