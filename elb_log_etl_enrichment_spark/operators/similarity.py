@@ -353,9 +353,15 @@ def cosine_topk_ivf(
     (a distributed KMeans on a ≤16k-row sample costs dozens of
     scheduler round-trips for no benefit — measured 3.4 s → <1 s), and
     centroids are memoized per corpus exactly like the PQ codebooks.
-    Assignment is one broadcast pass (the centroids ride the plan as
-    literals — no second shuffle, no model scoring job). Not
-    oracle-replayable (iterative training) → registered rows-only; the
+    Assignment + scoring are one Arrow-batched vectorized pass over
+    the corpus (r9 — see the in-body comment: the prior JVM
+    higher-order-function formulation made the approximate index 5×
+    slower than the exact BLAS scan at sf1); the broadcast carries
+    the query matrix, the centroids, and the per-query probed-cell
+    mask, and the shuffle stays O(|Q|·k) rows per batch. Zero-norm
+    vectors are excluded from both sides (their cosine is undefined —
+    the same contract as the arrow/PQ paths). Not oracle-replayable
+    (iterative training) → registered via its recall-floor audit; the
     test contract is recall@k vs ``cosine_topk_bruteforce``.
     """
     import numpy as np
@@ -413,46 +419,90 @@ def cosine_topk_ivf(
     if memo_key is not None:
         memo_put(_IVF_CENTROID_MEMO, memo_key, centers, cap=16)
 
-    def _cell_ranking(vcol):
-        # squared distance to every centroid, JVM-side; array_sort over
-        # (dist, cell) structs orders by dist then cell — deterministic
-        return F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        F.aggregate(
-                            F.zip_with(
-                                vcol,
-                                F.array(*[F.lit(x) for x in c]),
-                                lambda a, b: (a - b) * (a - b),
-                            ),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x,
-                        ).alias("d"),
-                        F.lit(i).alias("cell"),
-                    )
-                    for i, c in enumerate(centers)
-                ]
-            )
-        )
+    # Scoring (r9): Arrow-batched masked matmul — the cosine_topk_arrow
+    # kernel with a probed-cell mask. The previous JVM formulation
+    # computed the full centroid ranking per CORPUS row as a
+    # higher-order-function expression (141 HOF distances + array_sort
+    # per row at sf1) and then HOF dot products over every
+    # (query, same-cell candidate) join pair; measured at sf1 that
+    # made the APPROXIMATE index 5× slower than the exact BLAS scan
+    # (17.4 s vs 3.3 s) — an index that loses to brute force is not an
+    # index. Here cell assignment and candidate scoring are one
+    # vectorized pass per Arrow batch (assignment via the expanded
+    # ‖c−cent‖² argmin, constant ‖c‖² dropped; scoring one |Q|×B
+    # matmul), and each batch emits only rows that could still make
+    # the global top-k — O(|Q|·k) shuffle rows per batch, same as the
+    # exact kernel. At 100 TB the assignment half is write-once: the
+    # cell id is computed at index-BUILD time into a cell-bucketed
+    # layout and query-time scans prune to probed buckets; this
+    # operator's query-time assignment exists because the local
+    # corpus is not pre-bucketed (the old plan recomputed it per call
+    # too, just 100× slower). Per-query probes use the same driver-
+    # side stable-argsort rule as the IVFPQ path (ties → lowest cell,
+    # matching the old (dist, cell) struct-sort tie-break).
+    cent = np.array(centers, dtype=np.float64)
+    q_rows = _bounded_query_rows(
+        p.filter(F.col("nrm") > 0).select("vec_id", "v", "nrm"), query_pred
+    )
+    if not q_rows:
+        return _empty_topk(p)
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_raw = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    q_mat = q_raw / np.array(
+        [r["nrm"] for r in q_rows], dtype=np.float64
+    )[:, None]
+    qd2 = ((q_raw[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    probes = np.argsort(qd2, kind="stable", axis=1)[:, :n_probe]
+    allowed = np.zeros((len(q_ids), len(cent)), dtype=bool)
+    np.put_along_axis(allowed, probes, True, axis=1)
+    bq = emb.sparkSession.sparkContext.broadcast(
+        (q_ids, q_mat, cent, allowed)
+    )
 
-    probe = F.transform(
-        F.slice(_cell_ranking(F.col("v")), 1, n_probe), lambda s: s.getField("cell")
+    def score(batches):
+        import pandas as pd
+
+        ids, qn, cc, allow = bq.value
+        cnorm2 = (cc**2).sum(1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cand_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c = np.stack(pdf["v"].to_numpy())
+            cn = pdf["nrm"].to_numpy(dtype=np.float64)
+            cell = (cnorm2[None, :] - 2.0 * (c @ cc.T)).argmin(1)
+            s = qn @ (c / cn[:, None]).T  # |Q| × B
+            s[~allow[:, cell]] = -np.inf  # outside probed cells
+            s[ids[:, None] == cand_ids[None, :]] = -np.inf  # self-match
+            r = np.round(s, 6)
+            finite = np.isfinite(r)
+            kk = min(k, r.shape[1])
+            kth = -np.partition(-r, kk - 1, axis=1)[:, kk - 1]
+            qi, ci = np.nonzero(finite & (r >= kth[:, None]))
+            yield pd.DataFrame(
+                {
+                    "query_id": ids[qi],
+                    "neighbor": cand_ids[ci],
+                    "cosine": r[qi, ci],
+                }
+            )
+
+    part = p.filter(F.col("nrm") > 0).mapInPandas(
+        score, "query_id long, neighbor long, cosine double"
     )
-    q = p.filter(query_pred).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        F.explode(probe).alias("cell"),
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor").asc()
     )
-    c = p.select(
-        F.col("vec_id").alias("neighbor"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
-        F.element_at(probe, 1).alias("cell"),
+    return (
+        part.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "neighbor",
+            "cosine",
+        )
     )
-    pairs = q.join(c, on="cell").filter(F.col("query_id") != F.col("neighbor"))
-    return _ranked_topk(pairs, k)
 
 
 def cosine_topk_ivfpq_rerank(
