@@ -16,6 +16,15 @@ insert-with-eviction used by all of them:
 * an optional ``on_evict`` releases resources (``unpersist`` for
   persisted/checkpointed DataFrames); its failures are swallowed —
   eviction is hygiene, never an error path.
+
+``on_evict`` fires only for CROSS-app evictions (ADVICE r9): a
+same-app eviction may drop a localCheckpoint'd frame that an earlier
+caller still holds — its lineage is truncated, so unpersisting the
+blocks would make any later action on that held reference fail
+rather than recompute. Same-app evictions therefore just drop the
+memo reference; the ContextCleaner reclaims the blocks once the last
+Python/JVM reference to the frame is garbage-collected, and a stopped
+app's blocks die with its JVM either way.
 """
 
 from __future__ import annotations
@@ -53,7 +62,11 @@ def memo_put(
         oldest = next(iter(memo))
         if oldest == key:  # never evict the entry just inserted
             break
-        _evict(memo, oldest, on_evict)
+        # same-app eviction: drop the reference WITHOUT on_evict — an
+        # earlier caller may still hold the (lineage-truncated) frame
+        # and unpersisting its blocks would break that reference
+        # (ADVICE r9). ContextCleaner reclaims the blocks on GC.
+        _evict(memo, oldest, None)
 
 
 def _evict(memo: dict, key, on_evict: Callable | None) -> None:

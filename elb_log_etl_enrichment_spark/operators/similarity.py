@@ -19,6 +19,8 @@ the DuckDB oracle order identically.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -258,6 +260,16 @@ def _index_artifact_save(path, **arrays) -> None:
 #: needs |corpus| once per corpus, not one count job per search.
 _CORPUS_COUNT_MEMO: dict = {}
 
+#: fallback count cache for frames with NO file/plan identity
+#: (in-memory frames, truncated plans): keyed on the caller's
+#: DataFrame wrapper object itself via weak reference, so the entry
+#: dies with the wrapper — no id()-reuse hazard, naturally
+#: app-scoped, and (ADVICE r9) no monkey-attached attribute on the
+#: DataFrame, which a future PySpark adding __slots__ or a
+#: connect-mode proxy dropping attrs would silently break. Each value
+#: is a {variant: n} dict (see _corpus_count's variant rationale).
+_FRAME_COUNT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
 
 def _corpus_count(
     p: DataFrame, emb: DataFrame, input_files, ph, variant: str
@@ -281,23 +293,26 @@ def _corpus_count(
     n = _CORPUS_COUNT_MEMO.get(key) if key else None
     if n is None and key is None:
         # no file/plan identity (in-memory frame, truncated plan):
-        # fall back to a cache pinned on the caller's DataFrame
-        # wrapper itself (ADVICE r8: the unmemoized path re-ran a
-        # full corpus scan on EVERY invocation — a regression vs the
-        # old fixed-geometry defaults which ran zero extra jobs).
-        # Object-attached, so the entry dies with the wrapper — no
-        # id()-reuse hazard, naturally app-scoped.
-        n = getattr(emb, "_sg_corpus_count", {}).get(variant)
+        # fall back to the weak-keyed per-wrapper cache (ADVICE r8:
+        # the unmemoized path re-ran a full corpus scan on EVERY
+        # invocation — a regression vs the old fixed-geometry
+        # defaults which ran zero extra jobs). Weakly keyed on the
+        # caller's DataFrame wrapper, so the entry dies with the
+        # wrapper — no id()-reuse hazard, naturally app-scoped.
+        try:
+            n = _FRAME_COUNT_CACHE.get(emb, {}).get(variant)
+        except TypeError:
+            n = None  # wrapper not weakref-able: degrade to no memo
     if n is None:
         n = p.count()
         if key:
             memo_put(_CORPUS_COUNT_MEMO, key, n, cap=64)
         else:
             try:
-                cache = getattr(emb, "_sg_corpus_count", None)
+                cache = _FRAME_COUNT_CACHE.get(emb)
                 if cache is None:
                     cache = {}
-                    emb._sg_corpus_count = cache
+                    _FRAME_COUNT_CACHE[emb] = cache
                 cache[variant] = n
             except Exception:
                 pass

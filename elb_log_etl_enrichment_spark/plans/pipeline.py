@@ -207,6 +207,17 @@ def enrich_and_featurize_deferred(
     ``finalize()`` must be called after the enriched frame has been
     materialized (it unpersists the fetch buffer).
 
+    SINGLE-WRITER ASSUMPTION (ADVICE r9): ``finalize()`` commits the
+    merge built against the cache snapshot loaded at batch START. Any
+    OTHER writer that updates the geo cache between batch start and
+    finalize has its rows silently overwritten by this commit. That
+    matches the documented ownership model — the cache has exactly one
+    writer (the reference's single cron loop / the single streaming
+    query; ``foreachBatch`` runs batches of one query serially) — and
+    losing a concurrent write only degrades to a refetch, never
+    corruption. Do NOT point two concurrently-running pipelines at the
+    same ``geo_cache_path`` without adding an external lock/lease.
+
     ``chain`` lets a micro-batch caller pass a prebuilt
     :func:`make_feature_chain_template` so the per-batch cost is the
     5-Dataset application, not the full Column-tower rebuild (VERDICT

@@ -652,6 +652,21 @@ def bpe_merge_table_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the structural contracts (contiguous 0-based ranks, merged ==
     # left||right) hash-fail via flags. Full table =
     # bpe_merge_table_detail.
+    #
+    # ADVICE r9 (oracle independence): the residual re-encode uses
+    # the engine's OWN encoder, so a correlated trainer-over-merges /
+    # encoder-mirrors bug would self-certify. Restored independence
+    # two ways: (a) n_multi_words — distinct words of length >= 2 —
+    # is now an oracle-MATCHED column (DuckDB recomputes it from raw
+    # text), and (b) the engine flag additionally requires
+    # len(merges) >= min(12, n_multi_words): true pair exhaustion
+    # collapses every multi-char word to one symbol, and each
+    # distinct collapsed word consumes a DISTINCT root merge rule
+    # (its merged symbol is the whole word string), so a legal early
+    # stop at k < 12 merges implies k >= n_multi_words. An over-
+    # merging trainer that stops early on a real corpus (thousands of
+    # multi-char words) fails this structural bound no matter what
+    # the encoder says.
     sql=rf"""
     WITH s AS (
         SELECT unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS word
@@ -666,7 +681,9 @@ def bpe_merge_table_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l, r
     ),
     f AS (SELECT l, r, c FROM p ORDER BY c DESC, l ASC, r ASC LIMIT 1)
-    SELECT CAST(1 AS BIGINT) AS n_merges_ok,
+    SELECT CAST((SELECT COUNT(*) FROM w WHERE length(word) >= 2)
+                AS BIGINT) AS n_multi_words,
+           CAST(1 AS BIGINT) AS n_merges_ok,
            (SELECT l FROM f) AS first_left,
            (SELECT r FROM f) AS first_right,
            CAST((SELECT c FROM f) AS BIGINT) AS first_count,
@@ -723,6 +740,10 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_adjacent_pairs")
     )
 
+    multi = words.filter(F.char_length("word") >= 2).agg(
+        F.count(F.lit(1)).cast("long").alias("n_multi_words")
+    )
+
     first = merges[0] if merges else None
     ranks_ok = [m["rank"] for m in merges] == list(range(len(merges)))
     concat_ok = all(m["merged"] == m["left"] + m["right"] for m in merges)
@@ -733,6 +754,10 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-encoding the vocabulary with the learned table — if any
         # word still holds >= 2 symbols, an adjacent pair remained
         # and the trainer stopped wrongly (flag 0 → oracle mismatch).
+        # ADVICE r9: the encoder is the engine's own, so ALSO require
+        # the independent structural bound len(merges) >=
+        # n_multi_words (see the oracle comment) — exhaustion needs
+        # one distinct root rule per distinct multi-char word.
         from ..operators.bpe import bpe_encode_tokens
 
         residual = (
@@ -740,8 +765,12 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.coalesce(F.max("n_bpe_tokens"), F.lit(0)).alias("m"))
             .collect()[0]["m"]
         )
-        n_merges_ok = residual <= 1
-    return F.broadcast(pair_stats).crossJoin(F.broadcast(totals)).select(
+        n_multi = words.filter(F.char_length("word") >= 2).count()
+        n_merges_ok = residual <= 1 and len(merges) >= n_multi
+    return F.broadcast(pair_stats).crossJoin(F.broadcast(totals)).crossJoin(
+        F.broadcast(multi)
+    ).select(
+        "n_multi_words",
         F.lit(n_merges_ok).cast("long").alias("n_merges_ok"),
         F.lit(first["left"] if first else None)
         .cast("string")

@@ -315,7 +315,10 @@ class TestMemoHygiene:
         memo_put(memo, ("a", 3), "v3", cap=2, on_evict=evicted.append)
         # (a,1) was refreshed, so (a,2) is the oldest and evicts
         assert set(memo) == {("a", 1), ("a", 3)}
-        assert evicted == ["v2"]
+        # ADVICE r10: same-app evictions are SILENT (a held
+        # checkpointed frame must keep its blocks) — on_evict fires
+        # only cross-app; see test_r10_fixes.TestMemoSameAppEviction
+        assert evicted == []
 
     def test_backfill_dirs_atexit_cleanup(self, tmp_path):
         from elb_log_etl_enrichment_spark.plans import queries_ext as qe
