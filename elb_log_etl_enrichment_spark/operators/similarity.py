@@ -19,6 +19,7 @@ the DuckDB oracle order identically.
 
 from __future__ import annotations
 
+import os
 import weakref
 
 from pyspark.sql import DataFrame, Window
@@ -343,6 +344,66 @@ def ivf_sizing(n_rows: int) -> tuple[int, int]:
     return n_cells, n_probe
 
 
+def _ivf_centroids(
+    emb: DataFrame,
+    p: DataFrame,
+    input_files,
+    ph,
+    n_cells: int,
+    sample_limit: int,
+    kmeans_iters: int,
+) -> list[list[float]] | None:
+    """Train-or-load the IVF centroids — session memo → persisted
+    artifact → seeded-sample KMeans fit — shared by the query-time
+    operator (:func:`cosine_topk_ivf`) and the index BUILD
+    (:func:`build_ivf_index`) so both serve bit-identical geometry
+    for the same (corpus fingerprint, params). Returns None for an
+    empty corpus."""
+    import numpy as np
+
+    memo_key = (
+        (
+            emb.sparkSession.sparkContext.applicationId,
+            tuple(sorted(input_files)),
+            ph,
+            n_cells,
+            sample_limit,
+            kmeans_iters,
+        )
+        if input_files and ph is not None
+        else None
+    )
+    centers = _IVF_CENTROID_MEMO.get(memo_key) if memo_key else None
+    artifact = (
+        _index_artifact_path(
+            input_files,
+            ("ivf", ph, n_cells, sample_limit, kmeans_iters),
+            spark=emb.sparkSession,
+        )
+        if ph is not None
+        else None
+    )
+    if centers is None:
+        disk = _index_artifact_load(artifact, ["centers"])
+        if disk is not None:
+            centers = [list(map(float, c)) for c in disk[0]]
+    if centers is None:
+        sample = np.array(
+            p.select("v").limit(sample_limit).toArrow().column("v").to_pylist(),
+            dtype=np.float64,
+        )
+        if len(sample) == 0:
+            return None
+        cent = _lloyd(
+            sample, n_cells, kmeans_iters, np.random.RandomState(42), pp_init=True
+        )
+        centers = [list(map(float, c)) for c in cent]
+        _index_artifact_save(artifact, centers=cent)
+    if memo_key is not None:
+        memo_put(_IVF_CENTROID_MEMO, memo_key, centers, cap=16)
+    return centers
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     query_pred,
@@ -393,46 +454,11 @@ def cosine_topk_ivf(
         )
         n_cells = auto_cells if n_cells is None else n_cells
         n_probe = auto_probe if n_probe is None else n_probe
-    memo_key = (
-        (
-            emb.sparkSession.sparkContext.applicationId,
-            tuple(sorted(input_files)),
-            ph,
-            n_cells,
-            sample_limit,
-            kmeans_iters,
-        )
-        if input_files and ph is not None
-        else None
-    )
-    centers = _IVF_CENTROID_MEMO.get(memo_key) if memo_key else None
-    artifact = (
-        _index_artifact_path(
-            input_files,
-            ("ivf", ph, n_cells, sample_limit, kmeans_iters),
-            spark=emb.sparkSession,
-        )
-        if ph is not None
-        else None
+    centers = _ivf_centroids(
+        emb, p, input_files, ph, n_cells, sample_limit, kmeans_iters
     )
     if centers is None:
-        disk = _index_artifact_load(artifact, ["centers"])
-        if disk is not None:
-            centers = [list(map(float, c)) for c in disk[0]]
-    if centers is None:
-        sample = np.array(
-            p.select("v").limit(sample_limit).toArrow().column("v").to_pylist(),
-            dtype=np.float64,
-        )
-        if len(sample) == 0:
-            return _empty_topk(p)
-        cent = _lloyd(
-            sample, n_cells, kmeans_iters, np.random.RandomState(42), pp_init=True
-        )
-        centers = [list(map(float, c)) for c in cent]
-        _index_artifact_save(artifact, centers=cent)
-    if memo_key is not None:
-        memo_put(_IVF_CENTROID_MEMO, memo_key, centers, cap=16)
+        return _empty_topk(p)
 
     # Scoring (r9): Arrow-batched masked matmul — the cosine_topk_arrow
     # kernel with a probed-cell mask. The previous JVM formulation
@@ -503,6 +529,263 @@ def cosine_topk_ivf(
             )
 
     part = p.filter(F.col("nrm") > 0).mapInPandas(
+        score, "query_id long, neighbor long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor").asc()
+    )
+    return (
+        part.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "neighbor",
+            "cosine",
+        )
+    )
+
+
+def _ivf_layout_dir(input_files, params, spark) -> str | None:
+    """Disk location for the cell-bucketed IVF SERVING layout, keyed
+    by the same corpus fingerprint discipline as the .npz model
+    artifacts (:func:`_index_artifact_path`): corpus regeneration
+    changes the fingerprint, so a stale layout can never be served.
+    None when the corpus has no safe cross-session identity — the
+    caller must then pass an explicit ``index_dir``."""
+    import tempfile
+
+    from ..artifacts import stat_fingerprint
+
+    if not input_files:
+        return None
+    fp = stat_fingerprint(input_files, extra=params, spark=spark)
+    if fp is None:
+        return None
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_ivf_layout", fp
+    )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    index_dir: str | None = None,
+    n_cells: int | None = None,
+    sample_limit: int = 16384,
+    kmeans_iters: int = 10,
+) -> str | None:
+    """IVF index BUILD (VERDICT r9 item 3): materialize the corpus
+    into a cell-partitioned parquet layout so query-time scans prune
+    to the probed cells instead of re-assigning every row per call.
+
+    This is the write-once half of the 100 TB IVF story the query-time
+    operator's docstring promises: at scale the corpus is assigned to
+    its KMeans cell ONCE at ingest and written
+    ``partitionBy("cell")`` — a directory per cell (≤256 cells by the
+    ``ivf_sizing`` clamp, each holding arbitrarily many part files),
+    which is exactly the layout Hive-style partition pruning
+    understands. A query probing ``n_probe`` cells reads n_probe
+    directories and Spark's scan shows the pruning in the plan
+    (PartitionFilters on ``cell``) — the other cells are never
+    listed, opened, or decoded.
+
+    Centroids come from :func:`_ivf_centroids` — the identical
+    memo → artifact → seeded-sample-fit chain the query-time operator
+    uses — so a layout built here and a :func:`cosine_topk_ivf` call
+    on the same corpus share bit-identical geometry (pair-set parity
+    is pinned in tests/test_r10_fixes.py). Cell assignment is the same
+    expanded ``‖c−cent‖²`` argmin the Arrow kernel computes, run once
+    per row as a vectorized Arrow pass. Zero-norm vectors are
+    excluded at build (undefined cosine — they can never be
+    neighbors; same contract as every ANN path here).
+
+    Returns the layout directory (fingerprint-derived under the
+    system temp dir when ``index_dir`` is None), or None for an empty
+    corpus. Idempotent: an existing fingerprint-fresh layout is
+    reused without a write."""
+    import numpy as np
+
+    p = _prepared(emb)
+    try:
+        input_files = emb.inputFiles()
+    except Exception:
+        input_files = []
+    ph = _plan_hash(emb)
+    if n_cells is None:
+        n_cells, _ = ivf_sizing(
+            _corpus_count(p, emb, input_files, ph, "all")
+        )
+    if index_dir is None:
+        index_dir = _ivf_layout_dir(
+            input_files,
+            ("ivf-layout", ph, n_cells, sample_limit, kmeans_iters),
+            spark=emb.sparkSession,
+        )
+    if index_dir is None:
+        raise ValueError(
+            "corpus has no stable fingerprint (non-file source or "
+            "truncated plan); pass index_dir explicitly"
+        )
+    corpus_dir = os.path.join(index_dir, "corpus")
+    cent_path = os.path.join(index_dir, "centroids.npz")
+    if os.path.exists(os.path.join(corpus_dir, "_SUCCESS")) and os.path.exists(
+        cent_path
+    ):
+        return index_dir
+
+    centers = _ivf_centroids(
+        emb, p, input_files, ph, n_cells, sample_limit, kmeans_iters
+    )
+    if centers is None:
+        return None
+    cent = np.array(centers, dtype=np.float64)
+    bc = emb.sparkSession.sparkContext.broadcast(cent)
+
+    def assign(batches):
+        import pandas as pd
+
+        cc = bc.value
+        cnorm2 = (cc**2).sum(1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.stack(pdf["v"].to_numpy())
+            cell = (cnorm2[None, :] - 2.0 * (c @ cc.T)).argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "nrm": pdf["nrm"],
+                    "cell": cell.astype("int32"),
+                }
+            )
+
+    assigned = p.filter(F.col("nrm") > 0).mapInPandas(
+        assign, "vec_id long, v array<double>, nrm double, cell int"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(corpus_dir)
+    _index_artifact_save(cent_path, centers=cent)
+    return index_dir
+
+
+def cosine_topk_ivf_bucketed(
+    emb: DataFrame,
+    query_pred,
+    k: int = 3,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
+    sample_limit: int = 16384,
+    kmeans_iters: int = 10,
+    index_dir: str | None = None,
+) -> DataFrame:
+    """IVF served FROM the cell-bucketed layout (build-once,
+    serve-many): ensure the :func:`build_ivf_index` layout exists for
+    this corpus, then answer queries by scanning ONLY the probed
+    cells' partitions.
+
+    vs :func:`cosine_topk_ivf` (same centroids, same probe rule, same
+    Arrow scoring — pair-for-pair identical results, pinned in
+    tests/test_r10_fixes.py): the query-time operator re-assigns
+    every corpus row to its cell on every call because the local
+    corpus is not pre-bucketed; here assignment happened once at
+    BUILD, so the serve scan (a) reads only
+    ``|union of per-query probes|`` of the ``n_cells`` partition
+    directories — Hive partition pruning, visible as
+    PartitionFilters in the plan — and (b) skips the per-row argmin
+    entirely (the ``cell`` column is storage). At 100 TB with
+    cell ≈ corpus/√N this is the difference between scanning 100 TB
+    and scanning ``n_probe/√N`` of it (~37.5 % at the r9 probe rule —
+    and for a SINGLE query exactly n_probe directories).
+
+    The probed-cell mask stays per-query: a candidate living in a
+    cell only counts for the queries that probed that cell, exactly
+    as in the query-time kernel, so batching many queries into one
+    pruned scan changes the I/O, never the result."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    p = _prepared(emb)
+    try:
+        input_files = emb.inputFiles()
+    except Exception:
+        input_files = []
+    ph = _plan_hash(emb)
+    if n_cells is None or n_probe is None:
+        auto_cells, auto_probe = ivf_sizing(
+            _corpus_count(p, emb, input_files, ph, "all")
+        )
+        n_cells = auto_cells if n_cells is None else n_cells
+        n_probe = auto_probe if n_probe is None else n_probe
+    index_dir = build_ivf_index(
+        emb,
+        index_dir=index_dir,
+        n_cells=n_cells,
+        sample_limit=sample_limit,
+        kmeans_iters=kmeans_iters,
+    )
+    if index_dir is None:
+        return _empty_topk(p)
+    loaded = _index_artifact_load(
+        os.path.join(index_dir, "centroids.npz"), ["centers"]
+    )
+    if loaded is None:
+        raise ValueError(f"IVF layout at {index_dir} has no centroids.npz")
+    cent = np.asarray(loaded[0], dtype=np.float64)
+
+    q_rows = _bounded_query_rows(
+        p.filter(F.col("nrm") > 0).select("vec_id", "v", "nrm"), query_pred
+    )
+    if not q_rows:
+        return _empty_topk(p)
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_raw = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    q_mat = q_raw / np.array(
+        [r["nrm"] for r in q_rows], dtype=np.float64
+    )[:, None]
+    # identical probe rule to cosine_topk_ivf: full squared distance,
+    # stable argsort (ties → lowest cell id)
+    qd2 = ((q_raw[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    probes = np.argsort(qd2, kind="stable", axis=1)[:, :n_probe]
+    allowed = np.zeros((len(q_ids), len(cent)), dtype=bool)
+    np.put_along_axis(allowed, probes, True, axis=1)
+
+    # THE point of the layout: the scan lists/opens only the probed
+    # cells' directories (union across the query batch)
+    probed_cells = sorted({int(c) for c in probes.ravel()})
+    corpus = spark.read.parquet(
+        os.path.join(index_dir, "corpus")
+    ).filter(F.col("cell").isin(probed_cells))
+
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, allowed))
+
+    def score(batches):
+        import pandas as pd
+
+        ids, qn, allow = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cand_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c = np.stack(pdf["v"].to_numpy())
+            cn = pdf["nrm"].to_numpy(dtype=np.float64)
+            cell = pdf["cell"].to_numpy(dtype=np.int64)  # storage, no argmin
+            s = qn @ (c / cn[:, None]).T  # |Q| × B
+            s[~allow[:, cell]] = -np.inf  # outside probed cells
+            s[ids[:, None] == cand_ids[None, :]] = -np.inf  # self-match
+            r = np.round(s, 6)
+            finite = np.isfinite(r)
+            kk = min(k, r.shape[1])
+            kth = -np.partition(-r, kk - 1, axis=1)[:, kk - 1]
+            qi, ci = np.nonzero(finite & (r >= kth[:, None]))
+            yield pd.DataFrame(
+                {
+                    "query_id": ids[qi],
+                    "neighbor": cand_ids[ci],
+                    "cosine": r[qi, ci],
+                }
+            )
+
+    part = corpus.mapInPandas(
         score, "query_id long, neighbor long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(

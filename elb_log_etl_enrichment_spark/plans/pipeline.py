@@ -226,7 +226,16 @@ def enrich_and_featurize_deferred(
 
     cache = load_geo_cache(spark, geo_cache_path)
     new_ips = new_keys(parsed, cache)
-    fetched = fetch_geolocations(new_ips, fetch_fn=fetch_fn).persist()
+    # fetched-row tally rides the fetch tasks themselves (r10, VERDICT
+    # r9 item 2): the old finalize probed emptiness with
+    # ``fetched.take(1)`` — a whole extra Spark job per micro-batch
+    # just to read one cached partition. The accumulator is populated
+    # DURING the sink job's broadcast build (where the persisted fetch
+    # first materializes), so finalize learns emptiness for free.
+    fetch_tally = spark.sparkContext.accumulator(0)
+    fetched = fetch_geolocations(
+        new_ips, fetch_fn=fetch_fn, row_count_acc=fetch_tally
+    ).persist()
     merged = upsert_keep_latest(
         cache, fetched, ["client_ip"], "api_fetch_timestamp"
     )
@@ -237,12 +246,19 @@ def enrich_and_featurize_deferred(
         # previous update_geo_cache call re-loaded the cache and
         # rebuilt the upsert — two eager re-analyses per micro-batch
         # for plans byte-identical to the ones already in hand. The
-        # empty-fetch probe rides the persisted frame (idle-tick
-        # contract unchanged: no rewrite when nothing new was fetched).
+        # empty-fetch skip reads the accumulator (idle-tick contract
+        # unchanged: no rewrite when nothing new was fetched, and now
+        # zero probe jobs either way). If the caller never
+        # materialized the enriched frame (contract violation — see
+        # the docstring — or an error-path finalize after a sink
+        # failure that died before the broadcast build), the tally is
+        # 0 and the commit is skipped: the error path must not START
+        # fetch work on an already-unhealthy cluster; the cache
+        # degrades to a refetch next batch, never corruption.
         from ..sources.geo_cache import commit_geo_cache
 
         try:
-            if fetched.take(1):
+            if fetch_tally.value > 0:
                 commit_geo_cache(spark, merged, geo_cache_path)
         finally:
             fetched.unpersist()

@@ -1698,14 +1698,83 @@ _head9 = [
 _rest9 = [n for n in CORE_PREFIX if n not in _head9 and n not in _R9_PROMOTED]
 CORE_PREFIX = _head9 + _R9_PROMOTED + _rest9
 
-# r10 rotation shortlist (bookkeeping for the next round): the
-# registry is fully driver-sampled after r9 — no never-sampled
-# queries remain. r10 head should therefore hold (a) any query whose
-# PLAN changes during r10 and (b) rotate back in the longest-unsampled
-# banked queries (r1/r2-green ones first: revenue_by_nation,
-# customers_without_orders_anti_join, latest_event_per_user,
-# sessionize_events, event_lag_diff, rolling_* windows) so every
-# query's most-recent green row stays fresh.
+# ---- r10 rotation (VERDICT r9 item 1: freshness, not coverage) ----
+# The registry is fully driver-sampled after r9, so from here the
+# head-50 is a freshness rotation. scripts/driver_staleness.py prints
+# the ledger this list was built from (per-query last driver round).
+# Composition: (a) queries whose plan/oracle changed in r10 — the BPE
+# oracle gained the independent n_multi_words column, the streaming
+# pipeline tick and its batch twin changed with the finalize work,
+# the IVF pair gained the bucketed serving layout; (b) ALL 36 queries
+# whose latest driver row was r1/r2; (c) the stalest r3 rows to fill
+# 50 (incl. the §2-core revenue_by_nation / sessionize_events /
+# pricing_summary the r9 verdict called out by name).
+_R10_HEAD = [
+    # (a) plan/oracle changed this round
+    "bpe_merge_table",
+    "streaming_elb_pipeline_hourly",
+    "elb_pipeline_hourly",
+    "cosine_topk_ivf",
+    "cosine_topk_ivf_bucketed",
+    # (b) last driver row r1
+    "chunk_dedup_stats",
+    "cross_join_region_priority",
+    "decontamination_overlap",
+    "event_neighbors",
+    "events_within_5min_pairs",
+    "hierarchical_time_rollup",
+    "json_extract_events",
+    "orders_above_customer_avg",
+    "set_ops_customer_cohorts",
+    "status_bucket_case_when",
+    "token_budget_topp",
+    "top_tokens_wordcount",
+    "unigram_logprob_quality",
+    "user_activity_calendar",
+    "value_percentiles_by_type",
+    # (b) last driver row r2
+    "cogroup_user_activity",
+    "customer_order_distribution",
+    "customers_without_orders_anti_join",
+    "event_lag_diff",
+    "extreme_events_by_type",
+    "full_outer_nation_presence",
+    "large_orders_having",
+    "latest_event_per_user",
+    "minhash_lsh_near_dup",
+    "order_priority_semi_join",
+    "pivot_event_type_counts",
+    "promo_revenue_disjunctive_filter",
+    "rolling_1h_avg_value",
+    "rolling_5min_event_count",
+    "rollup_acctbal_by_region_nation",
+    "running_order_total",
+    "salted_user_event_totals",
+    "streaming_view_purchase_join",
+    "token_count_documents",
+    "top_orders_by_revenue",
+    "zscore_outlier_events_builtin",
+    # (c) stalest r3 fill
+    "revenue_by_nation",
+    "sessionize_events",
+    "pricing_summary",
+    "asof_latest_order_before_event",
+    "bucketed_join_agg",
+    "chi_square_independence",
+    "cosine_topk_bruteforce",
+    "hourly_event_aggregate",
+    "incremental_join_rollup",
+]
+_rest10 = [n for n in CORE_PREFIX if n not in set(_R10_HEAD)]
+CORE_PREFIX = _R10_HEAD + _rest10
+
+# r11 rotation shortlist (bookkeeping for the next round): rebuild the
+# head from scripts/driver_staleness.py after CORRECTNESS_r10 lands —
+# (a) any query whose plan changes in r11, (b) the remaining r3-stale
+# rows not covered by the r10 fill (embedding_near_dup_pairs,
+# ewma_control_chart, mergeable_histogram_quantiles, snapshot_diff_*,
+# streaming_hourly_counts, streaming_sessionize_events, ...), then the
+# r4 cohort. Do not add registry queries unless promoted same-round.
 
 
 def _ordered_specs() -> list[QuerySpec]:

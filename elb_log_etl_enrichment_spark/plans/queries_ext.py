@@ -1478,6 +1478,38 @@ def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cosine_topk_ivf_bucketed_detail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.similarity import cosine_topk_ivf_bucketed
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf_bucketed(e, F.col("vec_id") % 100 == 0, k=3)
+
+
+@register(
+    "cosine_topk_ivf_bucketed",
+    sql=_ann_recall_audit_sql(3),
+    tags=("similarity", "ann", "ivf", "layout", "pruning"),
+)
+def cosine_topk_ivf_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF served from the cell-partitioned parquet layout (VERDICT
+    r9 item 3 — build-once serve-many; operators/similarity.
+    build_ivf_index + cosine_topk_ivf_bucketed): cell assignment is
+    write-once storage, the serve scan partition-prunes to the probed
+    cells, and results are pair-identical to cosine_topk_ivf on the
+    same centroids (pinned in tests/test_r10_fixes.py, along with the
+    plan-asserted pruning). Same recall@3 audit/floor as the
+    query-time twin — identical results, identical recall."""
+    return _ann_recall_audit(
+        spark,
+        sf_dir,
+        cosine_topk_ivf_bucketed_detail(spark, sf_dir),
+        k=3,
+        floor=0.4,
+    )
+
+
 def cosine_topk_pq_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk_pq
 

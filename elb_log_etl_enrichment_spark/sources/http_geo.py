@@ -86,6 +86,7 @@ def fetch_geolocations(
     fetch_fn: Callable[[str], dict] = fake_fetch,
     rate_limit_s: float | None = None,
     parallelism: int = 1,
+    row_count_acc=None,
 ) -> DataFrame:
     """Distributed, throttled lookup of geolocation rows for a frame of
     distinct ``client_ip`` keys. Returns rows in ``GEO_SCHEMA`` with
@@ -102,6 +103,15 @@ def fetch_geolocations(
 
     ``parallelism`` bounds concurrent API clients (free-tier etiquette:
     keep ``parallelism / rate_limit_s`` under the provider cap).
+
+    ``row_count_acc`` (optional SparkContext accumulator): incremented
+    by the number of rows each task EMITS, so a caller that
+    materializes this frame inside a larger job (the deferred
+    pipeline's broadcast build) can learn fetched-row emptiness
+    afterwards WITHOUT submitting a probe job (r10, VERDICT r9 item
+    2). Zero-vs-nonzero is exact — failed tasks' accumulator updates
+    are discarded by Spark, so a nonzero value always means some
+    successful task emitted rows.
     """
     if rate_limit_s is None:
         rate_limit_s = 0.6 if fetch_fn is http_fetch else 0.0
@@ -117,6 +127,8 @@ def fetch_geolocations(
                 rows.append(row)
                 if rate_limit_s:
                     time.sleep(rate_limit_s)
+            if row_count_acc is not None and rows:
+                row_count_acc.add(len(rows))
             yield pd.DataFrame(
                 rows, columns=["client_ip", *_FIELDS, "api_fetch_timestamp"]
             )
