@@ -19,8 +19,11 @@ Run:  python scripts/streaming_stress.py [sf_dir] [n_copies]
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import tempfile
 import time
 
