@@ -451,6 +451,9 @@ def test_no_python_stages_outside_documented_extension_points(spark):
                                         # the same documented scorer
         "cosine_topk_ivf",              # r7 recall audit embeds the
                                         # Arrow exact scorer in-plan
+        "cosine_topk_ivf_bucketed",     # r10 layout-served IVF: same
+                                        # Arrow masked-matmul scorer
+                                        # over the pruned cell scan
         "multimodal_decode_stats",      # binary-column decode plumbing
         "multimodal_pipeline_stats",
         "multimodal_sniff_stats",
