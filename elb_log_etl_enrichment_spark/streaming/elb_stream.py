@@ -28,7 +28,7 @@ from ..plans.pipeline import (
 )
 from ..session import ensure_engine_confs
 from .stream import sized_shuffle_partitions
-from ..sinks.writers import write_cleaned_logs
+from ..sinks.writers import CLEANED_PARTITIONS, write_cleaned_logs
 from ..sources.elb_logs import parse_elb_lines
 from ..sources.http_geo import fake_fetch
 
@@ -154,8 +154,21 @@ def stream_elb_pipeline(
             obs = Observation()
             target = os.path.join(sink_root, f"ingest_batch={batch_id}")
             try:
+                # repartition on the Hive partition columns so each
+                # leaf directory is written by exactly ONE task (r10):
+                # unrepartitioned, every shuffle task dribbles a file
+                # into every leaf it touches — 47 files/tick at
+                # fixture scale, and at production cadence that
+                # small-file debt compounds every tick forever. The
+                # extra tick-sized shuffle is inside measurement noise
+                # locally (3 A/B pairs); a pathologically hot leaf
+                # serializing one task is bounded by the tick size
+                # here — batch callers with hot leaves should pass
+                # max_records_per_file / salt instead (see
+                # write_cleaned_logs's docstring).
                 write_cleaned_logs(
-                    enriched.observe(obs, F.count(F.lit(1)).alias("n")),
+                    enriched.observe(obs, F.count(F.lit(1)).alias("n"))
+                    .repartition(*CLEANED_PARTITIONS),
                     target,
                     mode="overwrite",
                 )
