@@ -157,6 +157,7 @@ HEADLINE = [
     "zscore_outlier_events_builtin",
     "elb_pipeline_hourly",
     "cosine_topk_ivf",
+    "cosine_topk_ivf_bucketed",  # r10 layout-served sibling (secondary)
     "multimodal_sniff_stats",
     # round 5: deterministic sampling, privacy tier, JSONL round-trip
     "deterministic_uniform_sample",
@@ -264,6 +265,7 @@ SECONDARY_SET = {
     "vocab_growth_audit_approx", "zscore_outlier_events_builtin",
     # ANN family (primary keeps bruteforce, lsh, pq, ivfpq)
     "cosine_topk_arrow", "cosine_topk_ivf", "cosine_topk_ivfpq_rerank",
+    "cosine_topk_ivf_bucketed",
     # near-dup signature siblings (primary keeps minhash_lsh, ngram_jaccard,
     # simhash_block_bias_audit which computes BOTH schemes)
     "simhash_documents", "simhash_near_dup", "minhash_calibration",

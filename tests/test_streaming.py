@@ -502,3 +502,28 @@ def test_timeout_sessions_survive_multibatch_watermark_advance(spark, tmp_path):
     # the clamp — never a crash; if present, bounds must be exact
     u2 = {r for r in rows if r[0] == 2}
     assert u2 <= {(2, base_ms + 120_000, base_ms + 180_000, 2)}
+
+
+def test_all_garbage_batch_leaves_no_empty_ingest_dir(spark, tmp_path):
+    """r10 observe()-based emptiness: a new file whose every line is
+    garbage/filtered parses to a 0-row batch — the sink must leave NO
+    ingest_batch directory behind (the write-then-remove path), the
+    geo cache must not be touched, and a later real file must still
+    land normally."""
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    out = str(tmp_path / "out")
+    _write_gz(str(logs / "junk.log.gz"), ["garbage one", "garbage two", ""])
+
+    stream_elb_pipeline(spark, str(logs / "*.gz"), out)
+    sink_root = os.path.join(out, "cleaned_logs")
+    batch_dirs = glob.glob(os.path.join(sink_root, "ingest_batch=*"))
+    assert batch_dirs == [], batch_dirs
+    assert not os.path.exists(os.path.join(out, "ip_geolocation_cache.parquet"))
+
+    # a real file afterwards processes normally (exactly-once tracking
+    # already consumed the junk file)
+    _write_gz(str(logs / "real.log.gz"), fixture_lines()[:5])
+    stream_elb_pipeline(spark, str(logs / "*.gz"), out)
+    assert _cleaned_count(spark, out) == 5
+    assert glob.glob(os.path.join(sink_root, "ingest_batch=*"))
