@@ -188,7 +188,20 @@ def stream_elb_pipeline(
                     pass
                 raise
             else:
-                if obs.get["n"] == 0:
+                # A 0-row batch's write completes having scheduled no
+                # task, so the CollectMetrics row is never emitted and
+                # Observation.get raises (JVM assertion) instead of
+                # returning {"n": 0} — observed empirically on 4.1 and
+                # pinned by test_all_garbage_batch_leaves_no_empty_
+                # ingest_dir. The write HAS succeeded by this point, so
+                # a missing observation row is exactly the empty case:
+                # any task that processed rows would have produced the
+                # metric.
+                try:
+                    batch_rows = obs.get["n"]
+                except Exception:
+                    batch_rows = 0
+                if batch_rows == 0:
                     shutil.rmtree(target, ignore_errors=True)
                 err: list = []
 
