@@ -1765,6 +1765,14 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _SEL_BINS = 1024
 _SEL_DEPTH = 2
+#: early-stop bound (r10): the level histogram already reports the
+#: surviving bucket's row count driver-side, so once it is at or below
+#: this many rows further narrowing levels are pure job overhead — the
+#: final distinct-value collapse + single-partition cumulative window
+#: handle a bucket this small trivially at any scale. Depth stays the
+#: cap; this only skips levels that can no longer shrink anything that
+#: matters.
+_SEL_STOP = 1 << 16
 
 
 def _bin_col(lo, hi) -> F.Column:
@@ -1806,7 +1814,10 @@ def _narrow_release() -> None:
 
 
 def histogram_narrow(
-    values: DataFrame, k_frame: DataFrame, levels: int = _SEL_DEPTH
+    values: DataFrame,
+    k_frame: DataFrame,
+    levels: int = _SEL_DEPTH,
+    bounds0: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Narrow a single-column ``values`` frame to the bucket holding
     order statistic k (``k_frame``: one row, column ``k``), iterating
@@ -1816,36 +1827,78 @@ def histogram_narrow(
     parent's edges) and re-bins; the surviving bucket is persisted
     (≤ ~n/1024 rows after level 1) so later levels and the final
     selection don't re-expand the full-scan lineage. Returns
-    ``(bucket, residual_k)``."""
+    ``(bucket, residual_k)``.
+
+    ``bounds0`` (optional, one row: ``lo``/``hi`` over ``values``) lets
+    a caller that already aggregates the full input (for n/k) fuse the
+    level-0 min/max into that same pass instead of paying a separate
+    full scan (r10, guide §1.2/§2.4 — one fewer full pass over the
+    fact table at any scale).
+
+    r10 rewrite (guide §8 — decide with small rows): the steering
+    values are DRIVER-SIZED BY CONSTRUCTION — k is one row, the bin
+    histogram is ≤ ``_SEL_BINS`` (1024) rows per level — so they are
+    collected and re-injected as literals instead of flowing through
+    broadcast crossJoins + single-row windows. The old all-lazy
+    formulation re-ran the FULL input scan once per consuming branch
+    (exact_median_two_pass's plan held 123 Exchanges) and paid ~10
+    steering jobs per level; this shape runs exactly one counting scan
+    and one extraction scan per level and the steering arithmetic is
+    exact Python integers. The data rows never leave the cluster —
+    only the 1024-row histogram does — so the shape is unchanged at
+    100 TB. Results are identical: binning stays a pure function of
+    value, evaluated by the same Spark expression in the counting and
+    extraction passes."""
     _narrow_release()
-    cur, k = values, k_frame
+    spark = values.sparkSession
+    krow = k_frame.first()
+    k = int(krow.k) if krow is not None and krow.k is not None else 0
+    cur = values
+    empty_k = spark.createDataFrame([], "k bigint")
+    if k <= 0:  # empty input: nothing to narrow
+        return values.filter(F.lit(False)), empty_k
     for level in range(levels):
-        bounds = cur.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-        binned = cur.crossJoin(F.broadcast(bounds)).withColumn(
-            "bin", _bin_col(F.col("lo"), F.col("hi"))
+        if level == 0 and bounds0 is not None:
+            brow = bounds0.first()
+        else:
+            brow = cur.agg(
+                F.min("value").alias("lo"), F.max("value").alias("hi")
+            ).first()
+        lo = brow.lo if brow is not None else None
+        hi = brow.hi if brow is not None else None
+        if lo is None or hi is None:  # no surviving rows
+            return cur.filter(F.lit(False)), empty_k
+        bin_expr = _bin_col(F.lit(lo), F.lit(hi))
+        hist = sorted(
+            cur.groupBy(bin_expr.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect(),  # ≤ _SEL_BINS rows — bounded by construction
+            # nulls-first bin order, matching the window ordering the
+            # lazy formulation used (a null bin is unreachable for
+            # non-NaN doubles; kept for exact shape parity)
+            key=lambda r: (r.bin is not None, r.bin if r.bin is not None else 0),
         )
-        counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
-        w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
-        target = (
-            counts.crossJoin(F.broadcast(k))
-            .withColumn("cum_before", F.coalesce(F.sum("c").over(w), F.lit(0)))
-            .filter(
-                (F.col("cum_before") < F.col("k"))
-                & (F.col("cum_before") + F.col("c") >= F.col("k"))
-            )
-            .select(
-                F.col("bin").alias("tbin"),
-                (F.col("k") - F.col("cum_before")).alias("k"),
-            )
-        )
+        cum = 0
+        tbin = None
+        tcount = 0
+        for row in hist:
+            if cum < k <= cum + row.c:
+                tbin = row.bin
+                tcount = row.c
+                k -= cum
+                break
+            cum += row.c
+        if tbin is None:  # k beyond row count (degenerate caller)
+            return cur.filter(F.lit(False)), empty_k
         cur = (
-            binned.join(F.broadcast(target), binned.bin == target.tbin)
+            cur.filter(bin_expr == F.lit(tbin))
             .select("value")
-            .persist()  # ≤ ~n/1024^(level+1) rows: feeds next level 3×
+            .persist()  # ≤ ~n/1024^(level+1) rows: feeds next level
         )
         _NARROW_PERSISTED.append(cur)
-        k = target.select("k")
-    return cur, k
+        if tcount <= _SEL_STOP:  # bucket already driver-histogram-small
+            break
+    return cur, spark.createDataFrame([(k,)], "k bigint")
 
 
 @register(
@@ -1885,11 +1938,22 @@ def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .select("value")
     )
+    # one full pass produces n, k AND the level-0 bin bounds (r10 —
+    # formerly n/k and min/max were two separate full scans, and the
+    # un-persisted 1-row frame re-ran the scan once per consuming
+    # branch); persisted so the final n/k projection reuses it too
     b = e.agg(
         F.count(F.lit(1)).alias("n"),
         F.expr("(count(*) + 1) div 2").alias("k"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    ).persist()
+    bucket, k = histogram_narrow(
+        e, b.select("k"), bounds0=b.select("lo", "hi")
     )
-    bucket, k = histogram_narrow(e, b.select("k"))
+    # registered AFTER the call — histogram_narrow's entry releases the
+    # PREVIOUS call's frames, and b must survive this call's action
+    _NARROW_PERSISTED.append(b)
     g = bucket.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
     vw = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
     hit = (

@@ -161,9 +161,11 @@ def test_knn_label_agreement_broadcasts_topk_not_corpus(spark):
 def test_exact_median_iterated_narrowing_bounds_window_input(spark):
     """VERDICT r03 item 2: exact_median_two_pass must iterate the
     histogram narrowing so no single-partition window ever ranks raw
-    rows — every Window in the plan must sit above a HashAggregate
-    (bin counts or the final distinct-value collapse), and the old
-    per-row row_number rank must be gone."""
+    rows — every Window in the plan must sit above a HashAggregate,
+    and the old per-row row_number rank must be gone. r10: the
+    per-level cumulative windows moved to driver-side integer
+    arithmetic over the collected ≤1024-row histograms (guide §8), so
+    the ONLY window left is the final distinct-value selection."""
     from elb_log_etl_enrichment_spark.plans.queries import REGISTRY, all_queries
     from elb_log_etl_enrichment_spark.plans.queries_stats import (
         _SEL_DEPTH,
@@ -174,18 +176,20 @@ def test_exact_median_iterated_narrowing_bounds_window_input(spark):
     df = REGISTRY["exact_median_two_pass"].fn(spark, "/root/testdata/sf0.001")
     jplan = df._jdf.queryExecution().executedPlan()
     windows = _jvm_nodes(jplan, "Window")
-    # one cumulative window per narrowing level + the final
-    # distinct-value selection
-    assert len(windows) == _SEL_DEPTH + 1, [w.nodeName() for w in windows]
+    # r10 driver-steered narrowing: only the final distinct-value
+    # selection window survives (levels steer via collected histograms)
+    assert len(windows) == 1, [w.nodeName() for w in windows]
     for w in windows:
         assert "row_number" not in w.toString().splitlines()[0]
         assert _jvm_nodes(w, "HashAggregate"), (
             "Window over raw rows:\n" + w.toString()[:2000]
         )
 
-    # functional bound: depth-2 narrowing over 200k spread-out values
-    # leaves a final bucket no larger than n/1024 (level 1 alone
-    # guarantees that; level 2 shrinks further on spread data)
+    # functional bound: narrowing over 200k spread-out values leaves a
+    # final bucket within small-constant reach of n/1024 (equi-width
+    # bins over a hash-spread domain; r10's early stop returns the
+    # level-1 bucket once it is driver-histogram-small, so the exact
+    # n/1024 bound no longer applies — 2x covers the Poisson spread)
     import pyspark.sql.functions as F
 
     vals = spark.range(200_000).select(
@@ -194,7 +198,7 @@ def test_exact_median_iterated_narrowing_bounds_window_input(spark):
     k = vals.agg(F.expr("(count(*) + 1) div 2").alias("k"))
     bucket, resid = histogram_narrow(vals, k, levels=_SEL_DEPTH)
     n_bucket = bucket.count()
-    assert n_bucket <= 200_000 // 1024, n_bucket
+    assert n_bucket <= 2 * (200_000 // 1024), n_bucket
     # the residual rank stays a valid index into the bucket
     r = resid.first().k
     assert 1 <= r <= n_bucket
