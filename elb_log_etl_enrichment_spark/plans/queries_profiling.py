@@ -539,6 +539,12 @@ def iqr_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _MIN_PAIR_SUPPORT = 3
 
+#: persisted basket frames from the PREVIOUS association_rules_parts
+#: call, released at the next call's entry (the _NARROW_PERSISTED
+#: pattern from queries_stats: the returned frame is lazy, so the
+#: persist must outlive this call and can only be freed later).
+_ASSOC_PERSISTED: list[DataFrame] = []
+
 
 @register(
     "association_rules_parts",
@@ -572,10 +578,24 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, never corpus²); pair counts aggregate map-side before the
     min-support cut, and the item-frequency and 1-row totals tables
     broadcast back onto the surviving pairs."""
+    while _ASSOC_PERSISTED:
+        try:
+            _ASSOC_PERSISTED.pop().unpersist()
+        except Exception:
+            pass
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    # persisted (r10): the basket table feeds FIVE consumers (n_orders,
+    # item_cnt twice via ca/cb, both sides of the pair self-join), and
+    # column pruning gives each a DIFFERENT distinct subtree, so
+    # ReuseExchange never fires — the plan ran five lineitem scans and
+    # five distinct shuffles. One scan + one distinct, cached, is
+    # strictly cheaper at any scale than recomputing it per branch.
+    items = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .persist()
+    )
+    _ASSOC_PERSISTED.append(items)
     n_orders = items.agg(F.count_distinct("ok").alias("n"))
     item_cnt = items.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
     pair_cnt = (

@@ -193,6 +193,10 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CUPED variance reduction: adjust the experiment metric with the
 # pre-period covariate (theta = cov(x,y)/var(x) over included users)
 # --------------------------------------------------------------------------
+#: persisted per-user frames from the PREVIOUS cuped_adjusted_lift call
+#: (released at the next call's entry — the _NARROW_PERSISTED pattern).
+_CUPED_PERSISTED: list[DataFrame] = []
+
 @register(
     "cuped_adjusted_lift",
     sql=f"""
@@ -271,13 +275,24 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(pre.cast("decimal(18,6)")).cast("double").alias("sp"),
         F.sum(post.cast("decimal(18,6)")).cast("double").alias("sq"),
     )
+    while _CUPED_PERSISTED:
+        try:
+            _CUPED_PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+    # persisted (r10): xy feeds BOTH the theta fit and the adjustment
+    # pass — unpersisted, the events scan + per-user shuffle ran twice.
+    # The cached frame is one row per qualifying user (4 doubles), far
+    # cheaper than a second full pass at any scale.
     xy = (
         per_user.filter((F.col("np") > 0) & (F.col("nq") > 0))
         .withColumn("x", F.col("sp") / F.col("np"))
         .withColumn("y", F.col("sq") / F.col("nq"))
         .withColumn("variant", _variant(F.col("user_id")))
         .select("user_id", "x", "y", "variant")
+        .persist()
     )
+    _CUPED_PERSISTED.append(xy)
     g = xy.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("x").cast("decimal(18,9)")).cast("double").alias("sx"),

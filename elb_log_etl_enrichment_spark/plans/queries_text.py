@@ -1444,6 +1444,10 @@ def leakage_safe_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _TRUNC_DIMS = 16
 
+#: persisted top-k frames from the PREVIOUS dim_truncation_recall call
+#: (released at the next call's entry — the _NARROW_PERSISTED pattern).
+_TRUNC_PERSISTED: list[DataFrame] = []
+
 
 @register(
     "dim_truncation_recall",
@@ -1497,9 +1501,23 @@ def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     random dims carry equal information, the truncation worst case;
     MRL-trained embeddings front-load information and keep most of it.
     The audit is what tells you which regime your corpus is in."""
+    while _TRUNC_PERSISTED:
+        try:
+            _TRUNC_PERSISTED.pop().unpersist()
+        except Exception:
+            pass
     e = _t(spark, sf_dir, "embeddings")
     pred = F.col("vec_id") % 100 == 0
-    full = cosine_topk_bruteforce(e, pred, k=5).select("query_id", "neighbor")
+    # persisted (r10): the full-dimension top-k feeds BOTH the overlap
+    # semi-join and the per-query k aggregate — unpersisted, the whole
+    # brute-force pass (a corpus scan per reference) ran twice. The
+    # cached frame is queries x k rows, tiny at any scale.
+    full = (
+        cosine_topk_bruteforce(e, pred, k=5)
+        .select("query_id", "neighbor")
+        .persist()
+    )
+    _TRUNC_PERSISTED.append(full)
     trunc_e = e.withColumn("embedding", F.slice("embedding", 1, _TRUNC_DIMS))
     trunc = cosine_topk_bruteforce(trunc_e, pred, k=5).select(
         "query_id", "neighbor"

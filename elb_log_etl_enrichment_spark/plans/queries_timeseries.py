@@ -690,14 +690,15 @@ def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
     ]
     state_path = None
-    for i in range(3):
+    state_schema = None  # known after the first write: re-reads skip
+    for i in range(3):  # the per-read footer schema inference (r10)
         batch = ev.filter(F.col("event_id") % 3 == i)
         partial = batch.groupBy(*keys).agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_val"),
         )
         if state_path is not None:
-            state = spark.read.parquet(state_path)
+            state = spark.read.schema(state_schema).parquet(state_path)
             merged = (
                 state.unionByName(partial)
                 .groupBy("hour_start_ms", "event_type")
@@ -713,8 +714,9 @@ def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_path = os.path.join(base, f"state_{i}")
         merged.write.mode("overwrite").parquet(new_path)
         state_path = new_path
+        state_schema = merged.schema
 
-    final = spark.read.parquet(state_path)
+    final = spark.read.schema(state_schema).parquet(state_path)
     return final.select(
         "hour_start_ms",
         "event_type",
@@ -739,6 +741,11 @@ def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and one that stays 2 minutes at 100 TB.
 # --------------------------------------------------------------------------
 _JOIN_ROLLUP_DIRS: dict[str, str] = {}
+
+#: persisted dim frames from the PREVIOUS incremental_join_rollup call
+#: (released at the next call's entry — the _NARROW_PERSISTED pattern;
+#: the returned frame is lazy so the persist must outlive the call).
+_JOIN_ROLLUP_PERSISTED: list[DataFrame] = []
 
 
 @register(
@@ -771,7 +778,21 @@ def incremental_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    o = _t(spark, sf_dir, "orders")
+    while _JOIN_ROLLUP_PERSISTED:
+        try:
+            _JOIN_ROLLUP_PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+    # the dim side joins against every delta run: project it to the
+    # three columns the rollup needs and persist ONCE (r10) — an IVM
+    # deployment holds its dim table resident for exactly this reason;
+    # re-scanning + re-projecting orders per delta was 3x the work
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .persist()
+    )
+    _JOIN_ROLLUP_PERSISTED.append(o)
     li = _t(spark, sf_dir, "lineitem")
     base = _JOIN_ROLLUP_DIRS.get(sf_dir)
     if base and os.path.isdir(base):
@@ -789,7 +810,8 @@ def incremental_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority"),
     ]
     state_path = None
-    for i in range(3):
+    state_schema = None  # known after the first write: re-reads skip
+    for i in range(3):  # the per-read footer schema inference (r10)
         delta = li.filter(F.col("l_orderkey") % 3 == i)
         partial = (
             o.join(delta, o.o_orderkey == delta.l_orderkey)
@@ -800,7 +822,7 @@ def incremental_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         if state_path is not None:
-            state = spark.read.parquet(state_path)
+            state = spark.read.schema(state_schema).parquet(state_path)
             merged = (
                 state.unionByName(partial)
                 .groupBy("day_ms", "o_orderpriority")
@@ -814,8 +836,9 @@ def incremental_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_path = os.path.join(base, f"state_{i}")
         merged.write.mode("overwrite").parquet(new_path)
         state_path = new_path
+        state_schema = merged.schema
 
-    final = spark.read.parquet(state_path)
+    final = spark.read.schema(state_schema).parquet(state_path)
     return final.select(
         "day_ms",
         "o_orderpriority",

@@ -43,12 +43,32 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+#: applications whose session confs have already been ensured — the
+#: conf loop costs ~25 ms of py4j round-trips per call and every public
+#: entry point calls it, so at bench scale (hundreds of load_table
+#: calls per run) the repeat applications were pure driver overhead
+#: (r10, guide §1.2: fixed per-query work is part of the algorithm).
+#: Keyed by applicationId: a new/restarted session is always ensured.
+_ENSURED_APP_IDS: set[str] = set()
+
+
 def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable confs to an existing session.
 
     Idempotent; called by every public entry point so the engine works
-    with a SparkSession it did not create.
+    with a SparkSession it did not create. Applied once per
+    application: the engine never unsets these confs, so re-running
+    the loop on every call only costs py4j round-trips. Callers that
+    deliberately mutate a RUNTIME_CONF mid-session own that choice —
+    the engine does not fight them (same contract as before, where the
+    re-application would simply have overwritten their value).
     """
+    try:
+        app_id = spark.sparkContext.applicationId
+        if app_id in _ENSURED_APP_IDS:
+            return spark
+    except Exception:  # pragma: no cover - stopped/remote session
+        app_id = None
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
@@ -67,6 +87,10 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
             )
     except Exception:  # pragma: no cover
         pass
+    if app_id is not None:
+        if len(_ENSURED_APP_IDS) > 64:  # dead-app ids are just strings
+            _ENSURED_APP_IDS.clear()
+        _ENSURED_APP_IDS.add(app_id)
     return spark
 
 
