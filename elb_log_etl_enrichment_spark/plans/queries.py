@@ -667,6 +667,11 @@ def rollup_acctbal_by_region_nation(spark: SparkSession, sf_dir: str) -> DataFra
 # --------------------------------------------------------------------------
 # Set operations (SURVEY §2.7: union — extended with intersect/except).
 # --------------------------------------------------------------------------
+#: persisted cohort frames from the PREVIOUS set_ops call, released at
+#: the next call's entry (the queries_stats _NARROW_PERSISTED pattern).
+_SETOPS_PERSISTED: list[DataFrame] = []
+
+
 @register(
     "set_ops_customer_cohorts",
     sql="""
@@ -685,12 +690,28 @@ def rollup_acctbal_by_region_nation(spark: SparkSession, sf_dir: str) -> DataFra
     tags=("setops",),
 )
 def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    while _SETOPS_PERSISTED:
+        try:
+            _SETOPS_PERSISTED.pop().unpersist()
+        except Exception:
+            pass
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    a = o.filter(F.col("o_totalprice") > 150000).select(
-        F.col("o_custkey").alias("k")
-    ).distinct()
-    b = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    # persisted (r10): each cohort feeds all three set operations —
+    # unpersisted, the orders scan + distinct shuffle and the customer
+    # scan each ran three times
+    a = (
+        o.filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .persist()
+    )
+    b = (
+        c.filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("k"))
+        .persist()
+    )
+    _SETOPS_PERSISTED.extend((a, b))
 
     def count_of(df: DataFrame, op: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")

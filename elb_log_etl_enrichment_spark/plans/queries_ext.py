@@ -2492,6 +2492,10 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stays as `hll_sketch_distinct_users_detail`; merge-consistency is
 # separately pinned in tests/test_plans.py.
 # --------------------------------------------------------------------------
+#: persisted join frames from the PREVIOUS hll_sketch_distinct_users
+#: call, released at the next call's entry (_NARROW_PERSISTED pattern).
+_HLL_PERSISTED: list[DataFrame] = []
+
 def hll_sketch_distinct_users_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -2521,9 +2525,23 @@ def hll_sketch_distinct_users_detail(spark: SparkSession, sf_dir: str) -> DataFr
     tags=("sketch", "hll", "approx", "agg"),
 )
 def hll_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    while _HLL_PERSISTED:
+        try:
+            _HLL_PERSISTED.pop().unpersist()
+        except Exception:
+            pass
     e = _t(spark, sf_dir, "events")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    joined = e.join(F.broadcast(c), e.user_id == c.c_custkey)
+    # persisted (r10): the join feeds BOTH the per-nation sketch rollup
+    # and the exact-distinct audit arm — unpersisted, the events scan +
+    # broadcast join ran twice. Projected to the two columns both
+    # consumers need before caching.
+    joined = (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .select("user_id", "c_nationkey")
+        .persist()
+    )
+    _HLL_PERSISTED.append(joined)
     per_nation = joined.groupBy("c_nationkey").agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )

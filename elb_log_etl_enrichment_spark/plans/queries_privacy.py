@@ -213,6 +213,10 @@ from .queries_sampling import hash_bucket as _priv_hash_bucket
 
 _FORGET_BP = 200  # 2% of customers file a deletion request
 
+#: persisted frames from the PREVIOUS forget_entity_audit call,
+#: released at the next call's entry (_NARROW_PERSISTED pattern).
+_FORGET_PERSISTED: list[DataFrame] = []
+
 
 @register(
     "forget_entity_audit",
@@ -283,11 +287,24 @@ def forget_entity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the request set broadcasts (it is tiny by nature);
     each table rewrite is ONE broadcast anti-join — a scan-shaped
     pass per table, no data-sized shuffle; digests fold map-side."""
+    while _FORGET_PERSISTED:
+        try:
+            _FORGET_PERSISTED.pop().unpersist()
+        except Exception:
+            pass
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    req = c.filter(
-        _priv_hash_bucket(F.col("c_custkey"), "forget|") < _FORGET_BP
-    ).select("c_custkey")
+    # persisted (r10): req builds THREE broadcast sides (two anti-joins
+    # + the completeness probe) and each build re-scanned customer;
+    # the request set is tiny by nature (2% of keys)
+    req = (
+        c.filter(
+            _priv_hash_bucket(F.col("c_custkey"), "forget|") < _FORGET_BP
+        )
+        .select("c_custkey")
+        .persist()
+    )
+    _FORGET_PERSISTED.append(req)
 
     def digest(col):
         return (
@@ -302,9 +319,14 @@ def forget_entity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv_o = o.join(
         F.broadcast(req), o.o_custkey == req.c_custkey, "left_anti"
     )
-    leftover = surv_o.join(
-        F.broadcast(req), surv_o.o_custkey == req.c_custkey
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # persisted (r10): the 1-row completeness probe feeds BOTH output
+    # arms — unpersisted it re-ran its whole orders pass per arm
+    leftover = (
+        surv_o.join(F.broadcast(req), surv_o.o_custkey == req.c_custkey)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    _FORGET_PERSISTED.append(leftover)
 
     n_c = c.agg(F.count(F.lit(1)).alias("t"))
     n_o = o.agg(F.count(F.lit(1)).alias("t"))

@@ -387,9 +387,10 @@ def temporal_embargo_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (expected for panel data — reported, not forbidden; the
     entity-granular alternative is the hash split).
 
-    Scale shape: one events scan + a 5-slot aggregate for the counts;
-    the user-overlap arm is two DISTINCT reduces joined on user_id —
-    all map-side combinable, no windows, no global sort.
+    Scale shape (r10): one events scan into ONE per-user rollup that
+    feeds both the 5-slot global aggregate and the train∩test overlap
+    count — all map-side combinable, no windows, no global sort, no
+    branch re-scans.
     """
     e = _t(spark, sf_dir, "events")
     ms = F.expr("unix_millis(ts)")
@@ -410,21 +411,32 @@ def temporal_embargo_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("part"),
         ms.alias("ms"),
     )
-    agg = tagged.agg(
-        F.count(F.when(F.col("part") == "train", 1)).alias("n_train"),
-        F.count(F.when(F.col("part") == "embargo", 1)).alias(
-            "n_embargo_dropped"
+    # ONE per-user rollup feeds the global counts AND the overlap
+    # (r10): the old shape referenced `tagged` three times (global agg
+    # + two DISTINCT arms), re-running the events scan per branch. All
+    # five global stats merge from per-user partials, and
+    # users_in_both is a count_if over the same rollup — one events
+    # pass, one map-combined user shuffle, identical results.
+    per_user = tagged.groupBy("user_id").agg(
+        F.count(F.when(F.col("part") == "train", 1)).alias("u_train"),
+        F.count(F.when(F.col("part") == "embargo", 1)).alias("u_embargo"),
+        F.count(F.when(F.col("part") == "test", 1)).alias("u_test"),
+        F.max(F.when(F.col("part") == "train", F.col("ms"))).alias("u_mx_train"),
+        F.min(F.when(F.col("part") == "test", F.col("ms"))).alias("u_mn_test"),
+    )
+    agg = per_user.agg(
+        # coalesce: SUM over an empty rollup is NULL where the old
+        # direct COUNT was 0 — the empty-corpus row must stay all-zero
+        F.coalesce(F.sum("u_train"), F.lit(0)).alias("n_train"),
+        F.coalesce(F.sum("u_embargo"), F.lit(0)).alias("n_embargo_dropped"),
+        F.coalesce(F.sum("u_test"), F.lit(0)).alias("n_test"),
+        F.max("u_mx_train").alias("mx_train"),
+        F.min("u_mn_test").alias("mn_test"),
+        F.count_if((F.col("u_train") > 0) & (F.col("u_test") > 0)).alias(
+            "users_in_both"
         ),
-        F.count(F.when(F.col("part") == "test", 1)).alias("n_test"),
-        F.max(F.when(F.col("part") == "train", F.col("ms"))).alias("mx_train"),
-        F.min(F.when(F.col("part") == "test", F.col("ms"))).alias("mn_test"),
     )
-    tr = tagged.filter(F.col("part") == "train").select("user_id").distinct()
-    te = tagged.filter(F.col("part") == "test").select("user_id").distinct()
-    overlap = tr.join(te, "user_id").agg(
-        F.count(F.lit(1)).alias("users_in_both")
-    )
-    return agg.crossJoin(overlap).select(
+    return agg.select(
         F.col("n_train").cast("long").alias("n_train"),
         F.col("n_embargo_dropped").cast("long").alias("n_embargo_dropped"),
         F.col("n_test").cast("long").alias("n_test"),

@@ -1077,6 +1077,10 @@ def ols_order_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _DRIFT_BINS = 10
 
+#: persisted bin-count frames from the PREVIOUS value_drift_audit call,
+#: released at the next call's entry (_NARROW_PERSISTED pattern).
+_DRIFT_PERSISTED: list[DataFrame] = []
+
 
 @register(
     "value_drift_audit",
@@ -1152,10 +1156,19 @@ def value_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("period"),
         )
     )
+    while _DRIFT_PERSISTED:
+        try:
+            _DRIFT_PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+    # persisted (r10): cnt (≤ _DRIFT_BINS rows) feeds the totals AND
+    # the final projection — unpersisted, both branches re-ran the
+    # events scan + bin aggregate
     cnt = binned.groupBy("bin").agg(
         F.count(F.when(F.col("period") == 0, 1)).alias("n_ref"),
         F.count(F.when(F.col("period") == 1, 1)).alias("n_cur"),
-    )
+    ).persist()
+    _DRIFT_PERSISTED.append(cnt)
     tot = cnt.agg(
         F.sum("n_ref").alias("nr"), F.sum("n_cur").alias("nc")
     ).filter((F.col("nr") > 0) & (F.col("nc") > 0))
@@ -1185,6 +1198,10 @@ def value_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still |types| x |hours| rows.
 # --------------------------------------------------------------------------
 _HORIZONS = (1, 24, 168)
+
+#: persisted dense-spine frames from the PREVIOUS multi_horizon_backtest
+#: call, released at the next call's entry (_NARROW_PERSISTED pattern).
+_BACKTEST_PERSISTED: list[DataFrame] = []
 
 
 def _horizon_sql(h: int) -> str:
@@ -1252,9 +1269,22 @@ def multi_horizon_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hh")
         .agg(F.count(F.lit(1)).alias("x"))
     )
-    dense = spine.join(cnt, ["event_type", "hh"], "left").withColumn(
-        "x", F.coalesce(F.col("x"), F.lit(0).cast("long"))
+    while _BACKTEST_PERSISTED:
+        try:
+            _BACKTEST_PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+    # persisted (r10): the union stacks three lag projections OVER THE
+    # SAME dense frame, but without the cache each union arm re-ran the
+    # whole spine build (two events scans + the left join) — the
+    # docstring's "one spine build" is only true with the persist. The
+    # frame is |types| x |hours| rows at any scale.
+    dense = (
+        spine.join(cnt, ["event_type", "hh"], "left")
+        .withColumn("x", F.coalesce(F.col("x"), F.lit(0).cast("long")))
+        .persist()
     )
+    _BACKTEST_PERSISTED.append(dense)
     w = Window.partitionBy("event_type").orderBy("hh")
     parts = [
         dense.select(
@@ -1298,10 +1328,27 @@ def multi_horizon_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ordered structure is the bucket-count offset frame. The rank-test
 # oracles use the plain single window — proving this scheme exact.
 # --------------------------------------------------------------------------
+#: persisted inputs from the PREVIOUS _bucketed_running_sum call,
+#: released at the next call's entry (_NARROW_PERSISTED pattern).
+_RUNNING_SUM_PERSISTED: list = []
+
+
 def _bucketed_running_sum(
     df, order_col: str, sum_col: str, out_col: str,
     partition_cols: tuple[str, ...] = (), n_buckets: int = 32,
 ):
+    while _RUNNING_SUM_PERSISTED:
+        try:
+            _RUNNING_SUM_PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+    # persisted (r10): df feeds THREE branches (percentile cuts, bucket
+    # totals, and the final bucketed join) — unpersisted, the caller's
+    # whole upstream lineage (a fact scan + distinct-value shuffle in
+    # both callers) ran three times. The frame is value-cardinality-
+    # sized, strictly smaller than any of those recomputes.
+    df = df.persist()
+    _RUNNING_SUM_PERSISTED.append(df)
     cuts = df.agg(
         F.percentile(
             order_col,
@@ -1508,9 +1555,19 @@ def kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     trick), and only the final H expression touches doubles —
     identically in both engines."""
     e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    g = e.groupBy("value", "event_type").agg(F.count(F.lit(1)).alias("n_gv"))
+    # persisted (r10): g feeds pooled AND the per_group join — without
+    # the cache the events scan + (value, type) shuffle ran twice. The
+    # frame is distinct-(value, type)-sized. Registered in the running-
+    # sum release list AFTER the helper call (its entry releases the
+    # PREVIOUS call's frames; this one must survive the current call).
+    g = (
+        e.groupBy("value", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_gv"))
+        .persist()
+    )
     pooled = g.groupBy("value").agg(F.sum("n_gv").alias("cnt_eq"))
     ranked = _bucketed_running_sum(pooled, "value", "cnt_eq", "cnt_less")
+    _RUNNING_SUM_PERSISTED.append(g)
     per_group = (
         g.join(ranked, "value")
         .groupBy("event_type")

@@ -1040,6 +1040,10 @@ def activity_bitmap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _WM_DELAYS_S = (0, 10, 60, 300, 600)
 
+#: persisted bucketed frames from the PREVIOUS watermark_lateness_profile
+#: call, released at the next call's entry (_NARROW_PERSISTED pattern).
+_WM_PERSISTED: list[DataFrame] = []
+
 
 @register(
     "watermark_lateness_profile",
@@ -1102,8 +1106,16 @@ def watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(10_000),
         ).alias("_cs")
     )
+    while _WM_PERSISTED:
+        try:
+            _WM_PERSISTED.pop().unpersist()
+        except Exception:
+            pass
     rb = F.size(F.filter(F.col("_cs"), lambda x: x <= F.col("event_id")))
-    b = e.join(F.broadcast(cuts)).withColumn("_rb", rb).drop("_cs")
+    # persisted (r10): b feeds the bucket-max totals AND the final
+    # bucketed join — unpersisted, both branches re-ran the events scan
+    b = e.join(F.broadcast(cuts)).withColumn("_rb", rb).drop("_cs").persist()
+    _WM_PERSISTED.append(b)
     totals = b.groupBy("_rb").agg(F.max("ms").alias("_m"))
     off_w = Window.orderBy("_rb").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(

@@ -913,6 +913,12 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BATCH_B = 32  # docs per inference batch
 
+#: persisted rank inputs from PREVIOUS _distributed_global_rank calls,
+#: released on the next padding_waste_audit call (the _NARROW_PERSISTED
+#: pattern; both rank passes of one audit must coexist, so the release
+#: lives in the caller, not here).
+_RANK_PERSISTED: list[DataFrame] = []
+
 
 def _distributed_global_rank(
     df: DataFrame, val_col: str, tiebreak: str, n_buckets: int = 32
@@ -927,6 +933,12 @@ def _distributed_global_rank(
     materialized is the (n_buckets+1)-row offset frame.
 
     Adds column ``rnk`` (1-based global rank)."""
+    # persisted (r10): df feeds THREE branches (percentile cuts, bucket
+    # counts, final bucketed join) — unpersisted, the caller's upstream
+    # lineage ran three times per rank call. Registered for release by
+    # the calling query.
+    df = df.persist()
+    _RANK_PERSISTED.append(df)
     cuts = df.agg(
         F.percentile(
             val_col,
@@ -987,11 +999,20 @@ def padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     this plan's only global structure is a 32-row offset table; the
     DuckDB oracle uses the plain global window — proving the two-pass
     rank exactly reproduces it."""
+    while _RANK_PERSISTED:
+        try:
+            _RANK_PERSISTED.pop().unpersist()
+        except Exception:
+            pass
     d = _t(spark, sf_dir, "documents")
+    # persisted (r10): tok (the full tokenize-and-count pass) feeds BOTH
+    # rank passes, each of which references its input three ways —
+    # unpersisted, the regex tokenization ran ~6x
     tok = d.select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))).alias("n"),
-    )
+    ).persist()
+    _RANK_PERSISTED.append(tok)
 
     def batched(ranked: DataFrame, strategy: str) -> DataFrame:
         per_batch = ranked.groupBy(
