@@ -510,11 +510,50 @@ def main() -> None:
         "sf": sf,
         "detail": "BENCH.local.json",
     }
+    # r11 (VERDICT r10 item 1): per-query timings must reach the driver
+    # through the SAME end-retained ~2000-char stdout tail the compact
+    # line survives in (r01's oversized final line parsed as null —
+    # PERF had `per_query: {}` every round since because only totals
+    # fit). Additions only — every r10 key above is unchanged:
+    #   q / qs    — the full primary/secondary per-query seconds (2 dp)
+    #               as ARRAYS in the committed bench.py order (primary =
+    #               HEADLINE minus SECONDARY_SET in HEADLINE order, qs =
+    #               the SECONDARY_SET members in HEADLINE order): names
+    #               are recoverable by zipping against this file at the
+    #               measuring commit, and the arrays always fit (~1.1 KB
+    #               for 194 queries vs 3.4 KB name-keyed).
+    #   queries   — a name-keyed map packed most-expensive-first until
+    #               the line reaches the tail budget (~20-30 entries):
+    #               the heavy tier carries the perf signal; the
+    #               sub-second tail sits on the local job floor. The
+    #               FULL name-keyed map still prints as the first line
+    #               and persists to BENCH.local.json.
+    tail_budget = 1900  # < the driver's 2000-char tail, newline margin
+    compact["q_order"] = "bench.HEADLINE"
+    compact["q"] = [round(timings[n], 2) for n in primary]
+    compact["qs"] = [round(sec_timings[n], 2) for n in secondary]
+    # backstop for future set growth: the arrays must never push the
+    # line past the tail budget — a truncated final line parses as
+    # NOTHING and loses even the totals (the r01 failure mode)
+    if len(json.dumps(compact, separators=(",", ":"))) > tail_budget - 100:
+        del compact["qs"]
+        if len(json.dumps(compact, separators=(",", ":"))) > tail_budget - 100:
+            del compact["q"]
+    compact["queries"] = {}
+    ranked = sorted(
+        list(timings.items()) + list(sec_timings.items()),
+        key=lambda kv: -kv[1],
+    )
+    for name, sec_v in ranked:
+        compact["queries"][name] = round(sec_v, 2)
+        if len(json.dumps(compact, separators=(",", ":"))) > tail_budget:
+            del compact["queries"][name]
+            break
     print(json.dumps(report), flush=True)
     with open(os.path.join(REPO_ROOT, "BENCH.local.json"), "w") as fh:
         json.dump(report, fh, indent=1)
         fh.write("\n")
-    print(json.dumps(compact), flush=True)
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
     spark.stop()
 
 
