@@ -81,3 +81,45 @@ def _evict(memo: dict, key, on_evict: Callable | None) -> None:
 def unpersist_frame(df) -> None:
     """``on_evict`` for memos holding persisted/checkpointed frames."""
     df.unpersist()
+
+
+class PersistSlot:
+    """Release-at-next-call registry for intra-query persisted
+    intermediates — ONE implementation of the ``_NARROW_PERSISTED``
+    idiom instead of thirteen module-local copies (VERDICT r10 item 8).
+
+    The pattern: a query persists a provably SMALL intermediate
+    (steering aggregate, per-key rollup, top-k) consumed by several
+    plan branches; it cannot unpersist before returning because the
+    returned frame is lazy — the caller's action still needs the
+    blocks. So the frames are registered here and released when the
+    SAME query next runs: ``slot.release()`` at function entry,
+    ``slot.hold(df, ...)`` after each persist. The footprint is
+    bounded to one call's worth of small frames per query; a caller
+    whose final action completes INSIDE the function may call
+    ``release()`` again before returning to free them immediately.
+
+    SINGLE-THREADED-SESSION ASSUMPTION (documented once, here, for
+    every slot): the registry executes queries sequentially on one
+    session. A concurrent call of the same query would release the
+    other call's frames mid-flight — recompute-only, never a wrong
+    answer, but it defeats the persist; key slots per query/thread if
+    the engine ever drives these concurrently. Unpersisting a frame a
+    stale handle still references only forces recompute."""
+
+    __slots__ = ("_frames",)
+
+    def __init__(self) -> None:
+        self._frames: list = []
+
+    def release(self) -> None:
+        """Unpersist everything held by the previous call."""
+        while self._frames:
+            try:
+                self._frames.pop().unpersist()
+            except Exception:
+                pass  # stopped session / already freed: hygiene only
+
+    def hold(self, *frames) -> None:
+        """Keep ``frames`` persisted until the next ``release()``."""
+        self._frames.extend(frames)

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..memo import PersistSlot
 from ..functions.text import TOKEN_RE
 
 NGRAM_N = 3
@@ -254,9 +255,9 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 #: persisted signature frames from the PREVIOUS simhash_block_pairs
 #: call, released at the next call's entry (the queries_stats
-#: _NARROW_PERSISTED pattern: the returned pair frame is lazy, so the
+#: memo.PersistSlot discipline: the returned pair frame is lazy, so the
 #: persist must outlive this call).
-_BLOCK_PAIRS_PERSISTED: list[DataFrame] = []
+_BLOCK_PAIRS_SLOT = PersistSlot()
 
 
 def simhash_block_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -277,18 +278,14 @@ def simhash_block_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
             f"bound of {SIMHASH_BLOCKS - 1} for {SIMHASH_BLOCKS} "
             "blocks; results would be silently under-complete"
         )
-    while _BLOCK_PAIRS_PERSISTED:
-        try:
-            _BLOCK_PAIRS_PERSISTED.pop().unpersist()
-        except Exception:
-            pass
+    _BLOCK_PAIRS_SLOT.release()
     # persisted (r10): both self-join sides re-ran the signature
     # lineage — the tokenize→md5→60-bit-vote aggregate, the expensive
     # half of the miner — because the differing projections defeat
     # ReuseExchange. The cached frame is one (id, long) row per doc,
     # tiny next to recomputing the token pass at any scale.
     sig = sig.persist()
-    _BLOCK_PAIRS_PERSISTED.append(sig)
+    _BLOCK_PAIRS_SLOT.hold(sig)
     block_domain = 1 << SIMHASH_BLOCK_BITS
     probe = sig.select(
         "doc_id",

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..memo import PersistSlot
 from ..functions.text import TOKEN_RE
 from .queries import _t, register
 from .queries_sampling import _sql_bucket, hash_bucket
@@ -540,10 +541,10 @@ def iqr_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIN_PAIR_SUPPORT = 3
 
 #: persisted basket frames from the PREVIOUS association_rules_parts
-#: call, released at the next call's entry (the _NARROW_PERSISTED
-#: pattern from queries_stats: the returned frame is lazy, so the
+#: call, released at the next call's entry (the memo.PersistSlot
+#: discipline: the returned frame is lazy, so the
 #: persist must outlive this call and can only be freed later).
-_ASSOC_PERSISTED: list[DataFrame] = []
+_ASSOC_SLOT = PersistSlot()
 
 
 @register(
@@ -578,11 +579,7 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, never corpus²); pair counts aggregate map-side before the
     min-support cut, and the item-frequency and 1-row totals tables
     broadcast back onto the surviving pairs."""
-    while _ASSOC_PERSISTED:
-        try:
-            _ASSOC_PERSISTED.pop().unpersist()
-        except Exception:
-            pass
+    _ASSOC_SLOT.release()
     li = _t(spark, sf_dir, "lineitem")
     # persisted (r10): the basket table feeds FIVE consumers (n_orders,
     # item_cnt twice via ca/cb, both sides of the pair self-join), and
@@ -595,7 +592,7 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    _ASSOC_PERSISTED.append(items)
+    _ASSOC_SLOT.hold(items)
     n_orders = items.agg(F.count_distinct("ok").alias("n"))
     item_cnt = items.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
     pair_cnt = (

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..memo import PersistSlot
 from ..functions.text import (
     STOPWORDS,
     bpe_token_count,
@@ -1445,8 +1446,8 @@ def leakage_safe_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRUNC_DIMS = 16
 
 #: persisted top-k frames from the PREVIOUS dim_truncation_recall call
-#: (released at the next call's entry — the _NARROW_PERSISTED pattern).
-_TRUNC_PERSISTED: list[DataFrame] = []
+#: (released at the next call's entry — the memo.PersistSlot discipline).
+_TRUNC_SLOT = PersistSlot()
 
 
 @register(
@@ -1501,11 +1502,7 @@ def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     random dims carry equal information, the truncation worst case;
     MRL-trained embeddings front-load information and keep most of it.
     The audit is what tells you which regime your corpus is in."""
-    while _TRUNC_PERSISTED:
-        try:
-            _TRUNC_PERSISTED.pop().unpersist()
-        except Exception:
-            pass
+    _TRUNC_SLOT.release()
     e = _t(spark, sf_dir, "embeddings")
     pred = F.col("vec_id") % 100 == 0
     # persisted (r10): the full-dimension top-k feeds BOTH the overlap
@@ -1517,7 +1514,7 @@ def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor")
         .persist()
     )
-    _TRUNC_PERSISTED.append(full)
+    _TRUNC_SLOT.hold(full)
     trunc_e = e.withColumn("embedding", F.slice("embedding", 1, _TRUNC_DIMS))
     trunc = cosine_topk_bruteforce(trunc_e, pred, k=5).select(
         "query_id", "neighbor"

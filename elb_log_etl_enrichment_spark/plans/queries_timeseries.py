@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..memo import PersistSlot
 from ..operators.timeseries import gapfill_locf, ohlc_bars, time_weighted_avg
 from .queries import _t, register
 
@@ -743,9 +744,9 @@ def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JOIN_ROLLUP_DIRS: dict[str, str] = {}
 
 #: persisted dim frames from the PREVIOUS incremental_join_rollup call
-#: (released at the next call's entry — the _NARROW_PERSISTED pattern;
+#: (released at the next call's entry — the memo.PersistSlot discipline;
 #: the returned frame is lazy so the persist must outlive the call).
-_JOIN_ROLLUP_PERSISTED: list[DataFrame] = []
+_JOIN_ROLLUP_SLOT = PersistSlot()
 
 
 @register(
@@ -778,11 +779,7 @@ def incremental_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    while _JOIN_ROLLUP_PERSISTED:
-        try:
-            _JOIN_ROLLUP_PERSISTED.pop().unpersist()
-        except Exception:
-            pass
+    _JOIN_ROLLUP_SLOT.release()
     # the dim side joins against every delta run: project it to the
     # three columns the rollup needs and persist ONCE (r10) — an IVM
     # deployment holds its dim table resident for exactly this reason;
@@ -792,7 +789,7 @@ def incremental_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
         .persist()
     )
-    _JOIN_ROLLUP_PERSISTED.append(o)
+    _JOIN_ROLLUP_SLOT.hold(o)
     li = _t(spark, sf_dir, "lineitem")
     base = _JOIN_ROLLUP_DIRS.get(sf_dir)
     if base and os.path.isdir(base):
@@ -1041,8 +1038,8 @@ def activity_bitmap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WM_DELAYS_S = (0, 10, 60, 300, 600)
 
 #: persisted bucketed frames from the PREVIOUS watermark_lateness_profile
-#: call, released at the next call's entry (_NARROW_PERSISTED pattern).
-_WM_PERSISTED: list[DataFrame] = []
+#: call, released at the next call's entry (memo.PersistSlot discipline).
+_WM_SLOT = PersistSlot()
 
 
 @register(
@@ -1106,16 +1103,12 @@ def watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(10_000),
         ).alias("_cs")
     )
-    while _WM_PERSISTED:
-        try:
-            _WM_PERSISTED.pop().unpersist()
-        except Exception:
-            pass
+    _WM_SLOT.release()
     rb = F.size(F.filter(F.col("_cs"), lambda x: x <= F.col("event_id")))
     # persisted (r10): b feeds the bucket-max totals AND the final
     # bucketed join — unpersisted, both branches re-ran the events scan
     b = e.join(F.broadcast(cuts)).withColumn("_rb", rb).drop("_cs").persist()
-    _WM_PERSISTED.append(b)
+    _WM_SLOT.hold(b)
     totals = b.groupBy("_rb").agg(F.max("ms").alias("_m"))
     off_w = Window.orderBy("_rb").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(

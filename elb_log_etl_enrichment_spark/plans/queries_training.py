@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..memo import PersistSlot
 from ..functions.text import TOKEN_RE, token_count
 from .queries import _t, register
 
@@ -914,10 +915,10 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BATCH_B = 32  # docs per inference batch
 
 #: persisted rank inputs from PREVIOUS _distributed_global_rank calls,
-#: released on the next padding_waste_audit call (the _NARROW_PERSISTED
-#: pattern; both rank passes of one audit must coexist, so the release
+#: released on the next padding_waste_audit call (the memo.PersistSlot
+#: discipline; both rank passes of one audit must coexist, so the release
 #: lives in the caller, not here).
-_RANK_PERSISTED: list[DataFrame] = []
+_RANK_SLOT = PersistSlot()
 
 
 def _distributed_global_rank(
@@ -938,7 +939,7 @@ def _distributed_global_rank(
     # lineage ran three times per rank call. Registered for release by
     # the calling query.
     df = df.persist()
-    _RANK_PERSISTED.append(df)
+    _RANK_SLOT.hold(df)
     cuts = df.agg(
         F.percentile(
             val_col,
@@ -999,11 +1000,7 @@ def padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     this plan's only global structure is a 32-row offset table; the
     DuckDB oracle uses the plain global window — proving the two-pass
     rank exactly reproduces it."""
-    while _RANK_PERSISTED:
-        try:
-            _RANK_PERSISTED.pop().unpersist()
-        except Exception:
-            pass
+    _RANK_SLOT.release()
     d = _t(spark, sf_dir, "documents")
     # persisted (r10): tok (the full tokenize-and-count pass) feeds BOTH
     # rank passes, each of which references its input three ways —
@@ -1012,7 +1009,7 @@ def padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))).alias("n"),
     ).persist()
-    _RANK_PERSISTED.append(tok)
+    _RANK_SLOT.hold(tok)
 
     def batched(ranked: DataFrame, strategy: str) -> DataFrame:
         per_batch = ranked.groupBy(
