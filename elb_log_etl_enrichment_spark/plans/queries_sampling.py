@@ -432,9 +432,16 @@ def temporal_embargo_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("u_test"), F.lit(0)).alias("n_test"),
         F.max("u_mx_train").alias("mx_train"),
         F.min("u_mn_test").alias("mn_test"),
-        F.count_if((F.col("u_train") > 0) & (F.col("u_test") > 0)).alias(
-            "users_in_both"
-        ),
+        # user_id IS NOT NULL (ADVICE r10): the oracle counts overlap
+        # via a DISTINCT self-join, which drops NULL keys; the rollup
+        # keeps a NULL-user group, so exclude it explicitly — current
+        # fixtures never produce NULL user_ids, making this a parity
+        # guard, not a result change.
+        F.count_if(
+            F.col("user_id").isNotNull()
+            & (F.col("u_train") > 0)
+            & (F.col("u_test") > 0)
+        ).alias("users_in_both"),
     )
     return agg.select(
         F.col("n_train").cast("long").alias("n_train"),

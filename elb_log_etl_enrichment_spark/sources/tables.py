@@ -41,24 +41,61 @@ TABLE_NAMES = (
 #: reusing it is exactly plan-template reuse (the r9
 #: make_feature_chain_template precedent): execution still scans the
 #: parquet files every action, nothing is cached but the plan. Keyed by
-#: (applicationId, path) and GUARDED by the path's (mtime_ns, size)
-#: stat so an overwritten fixture is re-read with a fresh file listing;
-#: in-place partial mutation that leaves the top-level stat unchanged
-#: is out of contract (the same contract Spark's own
-#: ``refreshByPath`` cache demands). Entries from stopped applications
-#: are evicted when a new application first loads.
+#: (applicationId, path) and GUARDED by ``_path_stamp`` — file paths
+#: stamp (mtime_ns, size); directory datasets fold every contained
+#: file's (relpath, mtime_ns, size) into the stamp (ADVICE r10) — so an
+#: overwritten OR in-place-mutated fixture is re-read with a fresh file
+#: listing. Entries from stopped applications are evicted when a new
+#: application first loads.
 _TABLE_MEMO: dict[tuple[str, str], tuple[tuple[int, int], DataFrame]] = {}
 
 
+def _path_stamp(path: str) -> tuple:
+    """Freshness stamp for a parquet path. For a single file,
+    (mtime_ns, size). For a DIRECTORY dataset (ADVICE r10): a
+    directory's own st_size says nothing about its files, and
+    replacing a part file's bytes in place (same file names) need not
+    bump the directory mtime — so fold every contained file's
+    (relpath, mtime_ns, size) into the stamp. Fixture dirs hold a
+    handful of files, so the walk is microseconds; the memo hit path
+    re-stamps on every call, which is exactly what makes in-place
+    rewrites visible instead of served from a stale plan."""
+    import os
+
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size)
+    entries = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            fp = os.path.join(root, f)
+            try:
+                fst = os.stat(fp)
+            except OSError:
+                continue  # racing writer: next call re-stamps
+            entries.append(
+                (os.path.relpath(fp, path), fst.st_mtime_ns, fst.st_size)
+            )
+    return (st.st_mtime_ns, hash(tuple(sorted(entries))))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table from ``{sf_dir}/{name}.parquet``."""
+    """Load one synthetic table from ``{sf_dir}/{name}.parquet``.
+
+    SINGLE-INSTANCE CONTRACT (ADVICE r10): repeated loads of the same
+    unchanged path return the IDENTICAL DataFrame object (the memo
+    below), so a query that loads a table twice and joins the two
+    handles self-joins with colliding attribute IDs. Queries that need
+    two independent sides of one table must alias them
+    (``load_table(...).alias("a")`` / ``.alias("b")``) and reference
+    columns through the aliases — the same rule as any Spark
+    self-join."""
     import os
 
     ensure_engine_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
     try:
-        st = os.stat(path)
-        stamp = (st.st_mtime_ns, st.st_size)
+        stamp = _path_stamp(path)
         app_id = spark.sparkContext.applicationId
     except Exception:  # missing path / stopped session: no memo
         stamp = None

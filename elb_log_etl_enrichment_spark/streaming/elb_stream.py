@@ -33,6 +33,18 @@ from ..sources.elb_logs import parse_elb_lines
 from ..sources.http_geo import fake_fetch
 
 
+def _has_part_files(target: str) -> bool:
+    """True when any Spark data file exists under ``target`` — the
+    filesystem proof that a committed sink write produced rows. Used
+    only on the rare path where ``Observation.get`` failed, so the
+    walk's cost is irrelevant; the common non-empty tick never calls
+    this."""
+    for _root, _dirs, files in os.walk(target):
+        if any(f.startswith("part-") for f in files):
+            return True
+    return False
+
+
 def stream_elb_pipeline(
     spark: SparkSession,
     logs_glob: str,
@@ -194,13 +206,19 @@ def stream_elb_pipeline(
                 # returning {"n": 0} — observed empirically on 4.1 and
                 # pinned by test_all_garbage_batch_leaves_no_empty_
                 # ingest_dir. The write HAS succeeded by this point, so
-                # a missing observation row is exactly the empty case:
-                # any task that processed rows would have produced the
-                # metric.
+                # a missing observation row is exactly the empty case —
+                # but "observation failed" is NOT proof of emptiness
+                # (ADVICE r10: a py4j bridge error or interrupt also
+                # lands here, and blindly rmtree'ing would silently
+                # delete a successfully written NON-empty sink dir).
+                # Before deleting, confirm against the filesystem: a
+                # 0-row partitioned write leaves no part files, so any
+                # data file under the target proves rows were written
+                # and the directory stays.
                 try:
                     batch_rows = obs.get["n"]
                 except Exception:
-                    batch_rows = 0
+                    batch_rows = 1 if _has_part_files(target) else 0
                 if batch_rows == 0:
                     shutil.rmtree(target, ignore_errors=True)
                 err: list = []
