@@ -53,6 +53,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..memo import PersistSlot
 from .queries import _t, register
 from .queries_sampling import hash_bucket, _sql_bucket
 
@@ -194,8 +195,8 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pre-period covariate (theta = cov(x,y)/var(x) over included users)
 # --------------------------------------------------------------------------
 #: persisted per-user frames from the PREVIOUS cuped_adjusted_lift call
-#: (released at the next call's entry — the _NARROW_PERSISTED pattern).
-_CUPED_PERSISTED: list[DataFrame] = []
+#: (released at the next call's entry — the _NARROW_SLOT pattern).
+_CUPED_SLOT = PersistSlot()
 
 @register(
     "cuped_adjusted_lift",
@@ -275,11 +276,7 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(pre.cast("decimal(18,6)")).cast("double").alias("sp"),
         F.sum(post.cast("decimal(18,6)")).cast("double").alias("sq"),
     )
-    while _CUPED_PERSISTED:
-        try:
-            _CUPED_PERSISTED.pop().unpersist()
-        except Exception:
-            pass
+    _CUPED_SLOT.release()
     # persisted (r10): xy feeds BOTH the theta fit and the adjustment
     # pass — unpersisted, the events scan + per-user shuffle ran twice.
     # The cached frame is one row per qualifying user (4 doubles), far
@@ -292,7 +289,7 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "x", "y", "variant")
         .persist()
     )
-    _CUPED_PERSISTED.append(xy)
+    _CUPED_SLOT.hold(xy)
     g = xy.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("x").cast("decimal(18,9)")).cast("double").alias("sx"),
@@ -1078,8 +1075,8 @@ def ols_order_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIFT_BINS = 10
 
 #: persisted bin-count frames from the PREVIOUS value_drift_audit call,
-#: released at the next call's entry (_NARROW_PERSISTED pattern).
-_DRIFT_PERSISTED: list[DataFrame] = []
+#: released at the next call's entry (_NARROW_SLOT pattern).
+_DRIFT_SLOT = PersistSlot()
 
 
 @register(
@@ -1156,11 +1153,7 @@ def value_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("period"),
         )
     )
-    while _DRIFT_PERSISTED:
-        try:
-            _DRIFT_PERSISTED.pop().unpersist()
-        except Exception:
-            pass
+    _DRIFT_SLOT.release()
     # persisted (r10): cnt (≤ _DRIFT_BINS rows) feeds the totals AND
     # the final projection — unpersisted, both branches re-ran the
     # events scan + bin aggregate
@@ -1168,7 +1161,7 @@ def value_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("period") == 0, 1)).alias("n_ref"),
         F.count(F.when(F.col("period") == 1, 1)).alias("n_cur"),
     ).persist()
-    _DRIFT_PERSISTED.append(cnt)
+    _DRIFT_SLOT.hold(cnt)
     tot = cnt.agg(
         F.sum("n_ref").alias("nr"), F.sum("n_cur").alias("nc")
     ).filter((F.col("nr") > 0) & (F.col("nc") > 0))
@@ -1200,8 +1193,8 @@ def value_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HORIZONS = (1, 24, 168)
 
 #: persisted dense-spine frames from the PREVIOUS multi_horizon_backtest
-#: call, released at the next call's entry (_NARROW_PERSISTED pattern).
-_BACKTEST_PERSISTED: list[DataFrame] = []
+#: call, released at the next call's entry (_NARROW_SLOT pattern).
+_BACKTEST_SLOT = PersistSlot()
 
 
 def _horizon_sql(h: int) -> str:
@@ -1269,11 +1262,7 @@ def multi_horizon_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hh")
         .agg(F.count(F.lit(1)).alias("x"))
     )
-    while _BACKTEST_PERSISTED:
-        try:
-            _BACKTEST_PERSISTED.pop().unpersist()
-        except Exception:
-            pass
+    _BACKTEST_SLOT.release()
     # persisted (r10): the union stacks three lag projections OVER THE
     # SAME dense frame, but without the cache each union arm re-ran the
     # whole spine build (two events scans + the left join) — the
@@ -1284,7 +1273,7 @@ def multi_horizon_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("x", F.coalesce(F.col("x"), F.lit(0).cast("long")))
         .persist()
     )
-    _BACKTEST_PERSISTED.append(dense)
+    _BACKTEST_SLOT.hold(dense)
     w = Window.partitionBy("event_type").orderBy("hh")
     parts = [
         dense.select(
@@ -1329,26 +1318,22 @@ def multi_horizon_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracles use the plain single window — proving this scheme exact.
 # --------------------------------------------------------------------------
 #: persisted inputs from the PREVIOUS _bucketed_running_sum call,
-#: released at the next call's entry (_NARROW_PERSISTED pattern).
-_RUNNING_SUM_PERSISTED: list = []
+#: released at the next call's entry (_NARROW_SLOT pattern).
+_RUNNING_SUM_SLOT = PersistSlot()
 
 
 def _bucketed_running_sum(
     df, order_col: str, sum_col: str, out_col: str,
     partition_cols: tuple[str, ...] = (), n_buckets: int = 32,
 ):
-    while _RUNNING_SUM_PERSISTED:
-        try:
-            _RUNNING_SUM_PERSISTED.pop().unpersist()
-        except Exception:
-            pass
+    _RUNNING_SUM_SLOT.release()
     # persisted (r10): df feeds THREE branches (percentile cuts, bucket
     # totals, and the final bucketed join) — unpersisted, the caller's
     # whole upstream lineage (a fact scan + distinct-value shuffle in
     # both callers) ran three times. The frame is value-cardinality-
     # sized, strictly smaller than any of those recomputes.
     df = df.persist()
-    _RUNNING_SUM_PERSISTED.append(df)
+    _RUNNING_SUM_SLOT.hold(df)
     cuts = df.agg(
         F.percentile(
             order_col,
@@ -1567,7 +1552,7 @@ def kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pooled = g.groupBy("value").agg(F.sum("n_gv").alias("cnt_eq"))
     ranked = _bucketed_running_sum(pooled, "value", "cnt_eq", "cnt_less")
-    _RUNNING_SUM_PERSISTED.append(g)
+    _RUNNING_SUM_SLOT.hold(g)
     per_group = (
         g.join(ranked, "value")
         .groupBy("event_type")
@@ -1861,7 +1846,7 @@ def _bin_col(lo, hi) -> F.Column:
     ).otherwise(F.lit(0).cast("long"))
 
 
-_NARROW_PERSISTED: list[DataFrame] = []
+_NARROW_SLOT = PersistSlot()
 
 
 def _narrow_release() -> None:
@@ -1878,11 +1863,7 @@ def _narrow_release() -> None:
     release the other call's levels mid-flight — recompute-only, but
     it defeats the persist's purpose; key the registry per query if
     the engine ever drives these concurrently."""
-    while _NARROW_PERSISTED:
-        try:
-            _NARROW_PERSISTED.pop().unpersist()
-        except Exception:
-            pass
+    _NARROW_SLOT.release()
 
 
 def histogram_narrow(
@@ -1893,13 +1874,23 @@ def histogram_narrow(
 ) -> tuple[DataFrame, DataFrame]:
     """Narrow a single-column ``values`` frame to the bucket holding
     order statistic k (``k_frame``: one row, column ``k``), iterating
-    ``levels`` times. Each level recomputes min/max over the SURVIVORS
-    (so boundary IEEE drift between levels is impossible — the sub
-    -range is re-derived from the data, never from arithmetic on the
-    parent's edges) and re-bins; the surviving bucket is persisted
-    (≤ ~n/1024 rows after level 1) so later levels and the final
-    selection don't re-expand the full-scan lineage. Returns
+    ``levels`` times. Each level re-bins within exact data-derived
+    bounds: the surviving bucket's min/max ride the SAME histogram
+    aggregate that counts the bins (r11 — one Spark job per level
+    instead of two), so boundary IEEE drift between levels is
+    impossible — the sub-range is the exact min/max of the surviving
+    rows, never arithmetic on the parent's edges. The surviving bucket
+    is persisted (≤ ~n/1024 rows after level 1) so later levels and
+    the final selection don't re-expand the full-scan lineage. Returns
     ``(bucket, residual_k)``.
+
+    EAGER (ADVICE r10): this function (and therefore any registry
+    entry built on it, e.g. ``exact_median_two_pass``) runs its
+    counting jobs AT PLAN-BUILD TIME — the steering histogram is
+    collected driver-side and re-injected as literals, so merely
+    constructing the returned DataFrame executes the narrowing scans.
+    Plan-dump/introspection tooling that builds registry frames
+    without acting on them will still pay (and time) these jobs.
 
     ``bounds0`` (optional, one row: ``lo``/``hi`` over ``values``) lets
     a caller that already aggregates the full input (for n/k) fuse the
@@ -1929,21 +1920,34 @@ def histogram_narrow(
     empty_k = spark.createDataFrame([], "k bigint")
     if k <= 0:  # empty input: nothing to narrow
         return values.filter(F.lit(False)), empty_k
-    for level in range(levels):
-        if level == 0 and bounds0 is not None:
-            brow = bounds0.first()
-        else:
-            brow = cur.agg(
-                F.min("value").alias("lo"), F.max("value").alias("hi")
-            ).first()
-        lo = brow.lo if brow is not None else None
-        hi = brow.hi if brow is not None else None
+    # bounds for the CURRENT level: level 0 takes them from the
+    # caller's fused pass (or one min/max job when absent); every
+    # later level's bounds fall out of the PREVIOUS level's histogram
+    # pass (r11, VERDICT r10 item 6: per-bin min/max aggregates ride
+    # the same scan, so the per-level min/max job disappears — exactly
+    # one Spark job per level). The surviving bucket's bounds are
+    # still the exact min/max OF ITS ROWS — re-derived from the data,
+    # never arithmetic on the parent's edges, so the IEEE-drift
+    # guarantee is unchanged.
+    if bounds0 is not None:
+        brow = bounds0.first()
+    else:
+        brow = cur.agg(
+            F.min("value").alias("lo"), F.max("value").alias("hi")
+        ).first()
+    lo = brow.lo if brow is not None else None
+    hi = brow.hi if brow is not None else None
+    for _level in range(levels):
         if lo is None or hi is None:  # no surviving rows
             return cur.filter(F.lit(False)), empty_k
         bin_expr = _bin_col(F.lit(lo), F.lit(hi))
         hist = sorted(
             cur.groupBy(bin_expr.alias("bin"))
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.min("value").alias("blo"),
+                F.max("value").alias("bhi"),
+            )
             .collect(),  # ≤ _SEL_BINS rows — bounded by construction
             # nulls-first bin order, matching the window ordering the
             # lazy formulation used (a null bin is unreachable for
@@ -1957,6 +1961,7 @@ def histogram_narrow(
             if cum < k <= cum + row.c:
                 tbin = row.bin
                 tcount = row.c
+                lo, hi = row.blo, row.bhi
                 k -= cum
                 break
             cum += row.c
@@ -1967,7 +1972,7 @@ def histogram_narrow(
             .select("value")
             .persist()  # ≤ ~n/1024^(level+1) rows: feeds next level
         )
-        _NARROW_PERSISTED.append(cur)
+        _NARROW_SLOT.hold(cur)
         if tcount <= _SEL_STOP:  # bucket already driver-histogram-small
             break
     return cur, spark.createDataFrame([(k,)], "k bigint")
@@ -2004,7 +2009,10 @@ def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROW_NUMBER proves the narrowed answer exact; tie rows always
     share a bucket (binning is a pure function of value), and the
     order statistic's VALUE never needs a row tiebreak — tied rows
-    carry the same value."""
+    carry the same value.
+
+    EAGER at plan-build time (see ``histogram_narrow``): constructing
+    this query's DataFrame runs the steering scans."""
     e = (
         _t(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -2025,7 +2033,7 @@ def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # registered AFTER the call — histogram_narrow's entry releases the
     # PREVIOUS call's frames, and b must survive this call's action
-    _NARROW_PERSISTED.append(b)
+    _NARROW_SLOT.hold(b)
     g = bucket.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
     vw = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
     hit = (
