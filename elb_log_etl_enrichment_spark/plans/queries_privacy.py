@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..memo import PersistSlot
 from .queries import _t, register
 
 #: Detection patterns — valid under BOTH Java regex (Spark) and RE2
@@ -214,8 +215,8 @@ from .queries_sampling import hash_bucket as _priv_hash_bucket
 _FORGET_BP = 200  # 2% of customers file a deletion request
 
 #: persisted frames from the PREVIOUS forget_entity_audit call,
-#: released at the next call's entry (_NARROW_PERSISTED pattern).
-_FORGET_PERSISTED: list[DataFrame] = []
+#: released at the next call's entry (memo.PersistSlot discipline).
+_FORGET_SLOT = PersistSlot()
 
 
 @register(
@@ -287,11 +288,7 @@ def forget_entity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the request set broadcasts (it is tiny by nature);
     each table rewrite is ONE broadcast anti-join — a scan-shaped
     pass per table, no data-sized shuffle; digests fold map-side."""
-    while _FORGET_PERSISTED:
-        try:
-            _FORGET_PERSISTED.pop().unpersist()
-        except Exception:
-            pass
+    _FORGET_SLOT.release()
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     # persisted (r10): req builds THREE broadcast sides (two anti-joins
@@ -304,7 +301,7 @@ def forget_entity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
         .persist()
     )
-    _FORGET_PERSISTED.append(req)
+    _FORGET_SLOT.hold(req)
 
     def digest(col):
         return (
@@ -320,41 +317,56 @@ def forget_entity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(req), o.o_custkey == req.c_custkey, "left_anti"
     )
     # persisted (r10): the 1-row completeness probe feeds BOTH output
-    # arms — unpersisted it re-ran its whole orders pass per arm
+    # arms — unpersisted it re-ran its whole orders pass per arm. This
+    # stays a genuine anti-join OBSERVATION (the audit's point: the
+    # zero remaining references are measured over the erased output,
+    # not assumed from the erasure's definition).
     leftover = (
         surv_o.join(F.broadcast(req), surv_o.o_custkey == req.c_custkey)
         .agg(F.count(F.lit(1)).alias("n"))
         .persist()
     )
-    _FORGET_PERSISTED.append(leftover)
+    _FORGET_SLOT.hold(leftover)
 
-    n_c = c.agg(F.count(F.lit(1)).alias("t"))
-    n_o = o.agg(F.count(F.lit(1)).alias("t"))
+    # r11 (VERDICT r10 item 5, 6 → 4 scans):
+    # - customer rows_removed = |req| — req IS a subset of customer by
+    #   construction (it is the filtered customer scan), so the total-
+    #   count scan added nothing the request set doesn't already prove;
+    #   counting the persisted req is an InMemoryTableScan, not a scan.
+    # - orders removed/remaining/digest fold out of ONE flagged
+    #   broadcast-left-join pass (erased = matched request key) instead
+    #   of an anti-join agg plus a separate total-count scan — same
+    #   arithmetic, one orders pass fewer.
+    n_req = req.agg(F.count(F.lit(1)).alias("removed"))
     cs = (
         surv_c.agg(
             F.count(F.lit(1)).alias("remaining"),
             digest(F.col("c_custkey")).alias("survivor_digest"),
         )
-        .crossJoin(n_c)
+        .crossJoin(n_req)
         .crossJoin(leftover)
         .select(
             F.lit("customer").alias("tbl"),
-            (F.col("t") - F.col("remaining")).cast("long").alias("rows_removed"),
+            F.col("removed").cast("long").alias("rows_removed"),
             F.col("remaining").cast("long").alias("rows_remaining"),
             "survivor_digest",
             F.col("n").cast("long").alias("remaining_refs"),
         )
     )
+    erased = req.c_custkey.isNotNull()
     os_ = (
-        surv_o.agg(
-            F.count(F.lit(1)).alias("remaining"),
-            digest(F.col("o_orderkey")).alias("survivor_digest"),
+        o.join(F.broadcast(req), o.o_custkey == req.c_custkey, "left")
+        .agg(
+            F.count_if(erased).alias("removed"),
+            F.count_if(~erased).alias("remaining"),
+            digest(
+                F.when(~erased, F.col("o_orderkey"))
+            ).alias("survivor_digest"),
         )
-        .crossJoin(n_o)
         .crossJoin(leftover)
         .select(
             F.lit("orders").alias("tbl"),
-            (F.col("t") - F.col("remaining")).cast("long").alias("rows_removed"),
+            F.col("removed").cast("long").alias("rows_removed"),
             F.col("remaining").cast("long").alias("rows_remaining"),
             "survivor_digest",
             F.col("n").cast("long").alias("remaining_refs"),
