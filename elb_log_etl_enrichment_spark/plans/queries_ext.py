@@ -12,6 +12,7 @@ import time
 from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..memo import PersistSlot
 from ..operators.multimodal import attach_payload, decode_media
 from .queries import REGISTRY, _t, register
 
@@ -33,6 +34,42 @@ def _fresh_checkpoint(name: str) -> str:
     new = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     _CKPT_DIRS[name] = new
     return new
+
+
+#: session-scoped SHARED geo cache for the batch ELB fixture queries
+#: (r11, VERDICT r10 item 4): applicationId → cache path. The three
+#: cache-using fixture queries (elb_pipeline_hourly, elb_error_report,
+#: elb_bot_report) parse the SAME extended fixture corpus with the
+#: SAME deterministic fetch, so their geo caches are byte-equivalent;
+#: each previously built its own from scratch — three full fetch
+#: passes + three stage-and-swap commits per session where the cache's
+#: whole design point is cross-run persistence. Sharing one path makes
+#: the FIRST query of a session pay the fetch+commit and the others
+#: take update_geo_cache's empty-fetch path (zero fetch, zero
+#: rewrite — the reference's own mature-cache steady state). Results
+#: are identical: geo columns are a pure function of the IP. Session-
+#: scoped (not cross-run) so every bench invocation still computes the
+#: cache from scratch once; single-threaded registry execution is the
+#: same contract every engine memo assumes.
+_GEO_CACHE_SHARED: dict[str, str] = {}
+
+
+def _shared_elb_geo_cache(spark: SparkSession) -> str:
+    import shutil
+
+    app = spark.sparkContext.applicationId
+    path = _GEO_CACHE_SHARED.get(app)
+    if path is None:
+        for stale in [k for k in _GEO_CACHE_SHARED if k != app]:
+            old = _GEO_CACHE_SHARED.pop(stale, None)  # dead-session dirs
+            if old:
+                shutil.rmtree(os.path.dirname(old), ignore_errors=True)
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="elb_geo_cache_shared_"),
+            "cache.parquet",
+        )
+        _GEO_CACHE_SHARED[app] = path
+    return path
 
 
 def _stage_two_batches(first: DataFrame, second: DataFrame, src: str) -> None:
@@ -1796,7 +1833,9 @@ def elb_pipeline_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_fixture_parquet(_ELB_FIXTURE_PARQUET, extended=True)
     lines = spark.read.parquet(_ELB_FIXTURE_PARQUET)
     parsed = parse_elb_lines(lines)
-    cache_dir = _fresh_checkpoint("elb_geo_cache") + "/cache.parquet"
+    # shared session cache (r11): the first fixture query of the
+    # session fetches+commits; later ones take the empty-fetch path
+    cache_dir = _shared_elb_geo_cache(spark)
     enriched = enrich_and_featurize(spark, parsed, cache_dir)
     agg = hourly_geo_aggregates(enriched)
     return _hourly_agg_oracle_projection(agg)
@@ -1979,7 +2018,7 @@ def elb_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_fixture_parquet(_ELB_FIXTURE_PARQUET, extended=True)
     lines = spark.read.parquet(_ELB_FIXTURE_PARQUET)
     parsed = parse_elb_lines(lines)
-    cache_dir = _fresh_checkpoint("elb_geo_cache_err") + "/cache.parquet"
+    cache_dir = _shared_elb_geo_cache(spark)  # r11: shared session cache
     enriched = enrich_and_featurize(spark, parsed, cache_dir)
     err = error_summary(enriched)
     return err.select(
@@ -2074,7 +2113,7 @@ def elb_bot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_fixture_parquet(_ELB_FIXTURE_PARQUET, extended=True)
     lines = spark.read.parquet(_ELB_FIXTURE_PARQUET)
     parsed = parse_elb_lines(lines)
-    cache_dir = _fresh_checkpoint("elb_geo_cache_bot") + "/cache.parquet"
+    cache_dir = _shared_elb_geo_cache(spark)  # r11: shared session cache
     enriched = enrich_and_featurize(spark, parsed, cache_dir)
     _, summary = bot_traffic(enriched)
     return summary.select(
@@ -2493,8 +2532,8 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # separately pinned in tests/test_plans.py.
 # --------------------------------------------------------------------------
 #: persisted join frames from the PREVIOUS hll_sketch_distinct_users
-#: call, released at the next call's entry (_NARROW_PERSISTED pattern).
-_HLL_PERSISTED: list[DataFrame] = []
+#: call, released at the next call's entry (memo.PersistSlot discipline).
+_HLL_SLOT = PersistSlot()
 
 def hll_sketch_distinct_users_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
@@ -2525,11 +2564,7 @@ def hll_sketch_distinct_users_detail(spark: SparkSession, sf_dir: str) -> DataFr
     tags=("sketch", "hll", "approx", "agg"),
 )
 def hll_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    while _HLL_PERSISTED:
-        try:
-            _HLL_PERSISTED.pop().unpersist()
-        except Exception:
-            pass
+    _HLL_SLOT.release()
     e = _t(spark, sf_dir, "events")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     # persisted (r10): the join feeds BOTH the per-nation sketch rollup
@@ -2541,7 +2576,7 @@ def hll_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "c_nationkey")
         .persist()
     )
-    _HLL_PERSISTED.append(joined)
+    _HLL_SLOT.hold(joined)
     per_nation = joined.groupBy("c_nationkey").agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
