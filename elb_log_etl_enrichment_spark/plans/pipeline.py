@@ -242,24 +242,34 @@ def enrich_and_featurize_deferred(
     enriched = (chain or make_feature_chain_template())(parsed, merged)
 
     def finalize() -> None:
-        # commit the SAME merged plan the enrichment joined (r9): the
-        # previous update_geo_cache call re-loaded the cache and
-        # rebuilt the upsert — two eager re-analyses per micro-batch
-        # for plans byte-identical to the ones already in hand. The
+        # commit the fetched DELTA by append (r11, VERDICT r10 item 3):
+        # the r9-r10 path committed the full merged plan — an
+        # O(cache-size) stage-and-swap rewrite per fetching tick, the
+        # one history-proportional term left in the tick. Here the
+        # delta is disjoint from the cache by construction (new_keys
+        # anti-joined against the SAME snapshot `merged` was built
+        # from, single-writer contract), so appending the persisted
+        # fetch frame commits content identical to the merge for
+        # O(delta) bytes — no cache scan, no upsert shuffle, no swap
+        # renames. append_geo_cache_delta's compaction backstop
+        # rewrites `merged` (the self-compacting stage-and-swap) when
+        # the directory's file count hits its threshold. The
         # empty-fetch skip reads the accumulator (idle-tick contract
-        # unchanged: no rewrite when nothing new was fetched, and now
-        # zero probe jobs either way). If the caller never
-        # materialized the enriched frame (contract violation — see
-        # the docstring — or an error-path finalize after a sink
-        # failure that died before the broadcast build), the tally is
-        # 0 and the commit is skipped: the error path must not START
-        # fetch work on an already-unhealthy cluster; the cache
-        # degrades to a refetch next batch, never corruption.
-        from ..sources.geo_cache import commit_geo_cache
+        # unchanged: no write when nothing new was fetched, and zero
+        # probe jobs either way). If the caller never materialized
+        # the enriched frame (contract violation — see the docstring —
+        # or an error-path finalize after a sink failure that died
+        # before the broadcast build), the tally is 0 and the commit
+        # is skipped: the error path must not START fetch work on an
+        # already-unhealthy cluster; the cache degrades to a refetch
+        # next batch, never corruption.
+        from ..sources.geo_cache import append_geo_cache_delta
 
         try:
             if fetch_tally.value > 0:
-                commit_geo_cache(spark, merged, geo_cache_path)
+                append_geo_cache_delta(
+                    spark, fetched, geo_cache_path, merged=merged
+                )
         finally:
             fetched.unpersist()
 

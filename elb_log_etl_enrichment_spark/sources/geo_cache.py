@@ -85,6 +85,83 @@ def update_geo_cache(
     return spark.read.schema(GEO_SCHEMA).parquet(cache_path)
 
 
+#: append-delta compaction backstop: when the cache directory holds
+#: this many data files, the next commit rewrites the whole merge
+#: (stage-and-swap) instead of appending — bounding reader file counts
+#: to O(threshold) while keeping the per-tick write O(delta). At one
+#: delta file per fetching tick, 64 is ~2 hours of 2-minute crons
+#: between compactions; the rewrite amortizes to (cache/64) rows/tick.
+GEO_CACHE_COMPACT_FILES = 64
+
+
+def _cache_data_file_count(spark: SparkSession, cache_path: str) -> int:
+    """Number of data files under ``cache_path`` via the Hadoop FS API
+    (same remote-path discipline as ``fs_swap``); 0 when missing."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(cache_path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return 0
+    n = 0
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            n += 1
+    return n
+
+
+def append_geo_cache_delta(
+    spark: SparkSession,
+    delta: DataFrame,
+    cache_path: str,
+    merged: DataFrame,
+    compact_files: int = GEO_CACHE_COMPACT_FILES,
+) -> None:
+    """O(delta) cache commit for a delta of provably NEW keys — the
+    streaming tick's replacement for the full stage-and-swap rewrite
+    (r11, guide §6/§2.3: write the bytes that changed, not the
+    history).
+
+    The stage-and-swap in :func:`commit_geo_cache` rewrites the ENTIRE
+    merged cache every tick a fetch happens — an O(cache-size) write
+    (plus the upsert's dedup shuffle and the swap's rename pass) that
+    grows with deployment lifetime while the tick's new information is
+    O(new IPs). On the streaming path the delta is DISJOINT from the
+    cache by construction — ``new_keys`` anti-joins the batch's IPs
+    against the same cache snapshot the merge was built from, and the
+    cache has a single writer (pipeline.py's documented contract) — so
+    ``upsert_keep_latest(cache, delta)`` ≡ ``cache ∪ delta`` exactly,
+    and appending the delta's rows into the cache directory commits
+    the identical content for O(delta) bytes with no shuffle and no
+    renames beyond the one committed file's.
+
+    ``coalesce(1)`` makes the append one file AND one task: the job
+    commit is all-or-nothing per tick, so a crash never lands a
+    partial delta. Replay after any crash ordering is self-healing
+    either way: IPs whose rows landed are excluded by the next batch's
+    anti-join (no duplicates), IPs whose rows were lost are refetched
+    (the cache is a cache).
+
+    Compaction backstop (``compact_files``): one small file per
+    fetching tick accumulates forever, so when the directory already
+    holds that many data files the commit falls back to the
+    stage-and-swap rewrite of ``merged`` — the self-compacting path —
+    bounding reader listing/open costs while the amortized per-tick
+    write stays O(delta + cache/threshold).
+
+    DO NOT call this with a delta that may UPDATE existing keys — use
+    :func:`commit_geo_cache`/:func:`update_geo_cache`; an appended
+    update would leave two rows for the key and last-write-wins would
+    be decided by the reader, which plain ``load_geo_cache`` does not
+    do."""
+    if _cache_data_file_count(spark, cache_path) >= compact_files:
+        commit_geo_cache(spark, merged, cache_path)
+        return
+    delta.coalesce(1).write.mode("append").parquet(cache_path)
+
+
 def commit_geo_cache(spark: SparkSession, merged: DataFrame, cache_path: str) -> None:
     """Stage-and-swap commit of a PREBUILT keep-latest merge — the
     write half of :func:`update_geo_cache`, split out (r9) so the
