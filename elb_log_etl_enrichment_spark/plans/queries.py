@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..memo import PersistSlot
 from ..operators.asof import asof_join_backward
 from ..operators.dedup import keep_latest
 from ..operators.features import add_rolling_features, sessionize
@@ -668,8 +669,8 @@ def rollup_acctbal_by_region_nation(spark: SparkSession, sf_dir: str) -> DataFra
 # Set operations (SURVEY §2.7: union — extended with intersect/except).
 # --------------------------------------------------------------------------
 #: persisted cohort frames from the PREVIOUS set_ops call, released at
-#: the next call's entry (the queries_stats _NARROW_PERSISTED pattern).
-_SETOPS_PERSISTED: list[DataFrame] = []
+#: the next call's entry (the memo.PersistSlot discipline).
+_SETOPS_SLOT = PersistSlot()
 
 
 @register(
@@ -690,11 +691,7 @@ _SETOPS_PERSISTED: list[DataFrame] = []
     tags=("setops",),
 )
 def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    while _SETOPS_PERSISTED:
-        try:
-            _SETOPS_PERSISTED.pop().unpersist()
-        except Exception:
-            pass
+    _SETOPS_SLOT.release()
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     # persisted (r10): each cohort feeds all three set operations —
@@ -711,7 +708,7 @@ def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("k"))
         .persist()
     )
-    _SETOPS_PERSISTED.extend((a, b))
+    _SETOPS_SLOT.hold(a, b)
 
     def count_of(df: DataFrame, op: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
@@ -1789,13 +1786,83 @@ _R10_HEAD = [
 _rest10 = [n for n in CORE_PREFIX if n not in set(_R10_HEAD)]
 CORE_PREFIX = _R10_HEAD + _rest10
 
-# r11 rotation shortlist (bookkeeping for the next round): rebuild the
-# head from scripts/driver_staleness.py after CORRECTNESS_r10 lands —
-# (a) any query whose plan changes in r11, (b) the remaining r3-stale
-# rows not covered by the r10 fill (embedding_near_dup_pairs,
-# ewma_control_chart, mergeable_histogram_quantiles, snapshot_diff_*,
-# streaming_hourly_counts, streaming_sessionize_events, ...), then the
-# r4 cohort. Do not add registry queries unless promoted same-round.
+# ---- r11 rotation (VERDICT r10 item 2: verification debt first) ----
+# Composition, from scripts/driver_staleness.py at the r10 close:
+# (a) every query whose plan/semantics-preserving structure changed in
+#     r10 or r11 without a driver row yet — the 15 r10 restructures the
+#     VERDICT names, plus the r11-touched elb fixture trio (shared geo
+#     cache), forget_entity_audit (6→4 scans), exact_median_two_pass
+#     (one-job-per-level steering) and the streaming tick;
+# (b) ALL 16 remaining r3-stale rows; (c) 16 of the 20 remaining
+#     r4-stale rows. The 4 r4 rows left at staleness 7 — ab_welch_ttest,
+#     ols_order_value_regression, bm25_top_docs, embedding_dim_profile —
+#     each belong to a tier with at least one r11-sampled sibling
+#     (cuped/mann-whitney/kruskal; dim_truncation_recall +
+#     embedding_near_dup_pairs) and are untouched since their last green
+#     row; 19 + 31 is all a 50-slot head holds.
+_R11_HEAD = [
+    # (a) r10/r11 plan-touched, driver verification debt
+    "exact_median_two_pass",
+    "forget_entity_audit",
+    "temporal_embargo_split_audit",
+    "elb_pipeline_hourly",
+    "elb_error_report",
+    "elb_bot_report",
+    "streaming_elb_pipeline_hourly",
+    "padding_waste_audit",
+    "mann_whitney_u",
+    "kruskal_wallis_value_by_type",
+    "simhash_near_dup",
+    "simhash_weighted_near_dup",
+    "association_rules_parts",
+    "multi_horizon_backtest",
+    "dim_truncation_recall",
+    "cuped_adjusted_lift",
+    "value_drift_audit",
+    "watermark_lateness_profile",
+    "hll_sketch_distinct_users",
+    # (b) last driver row r3
+    "embedding_near_dup_pairs",
+    "ewma_control_chart",
+    "mergeable_histogram_quantiles",
+    "multimodal_decode_stats",
+    "ngram_jaccard_near_dup",
+    "order_price_quartiles",
+    "orders_above_avg_scalar_subquery",
+    "pareto_concentration",
+    "snapshot_diff_orders",
+    "streaming_hourly_counts",
+    "streaming_sessionize_events",
+    "streaming_static_nation_counts",
+    "streaming_view_purchase_outer",
+    "top3_customers_per_nation",
+    "zscore_outlier_events",
+    # (c) last driver row r4 (16 of 20)
+    "exact_dedup_documents",
+    "format_matrix_roundtrip",
+    "geo_hotspot_clusters",
+    "join_cardinality_estimate",
+    "leakproof_customer_split",
+    "lpa_communities",
+    "partition_backfill_stats",
+    "pii_redaction_audit",
+    "referential_integrity_audit",
+    "scd2_user_event_intervals",
+    "segment_digest_reconcile",
+    "sequence_packing_stats",
+    "streaming_timeout_sessions",
+    "vocab_growth_audit",
+    "write_audit_publish_stats",
+    "zorder_layout_audit",
+]
+_rest11 = [n for n in CORE_PREFIX if n not in set(_R11_HEAD)]
+CORE_PREFIX = _R11_HEAD + _rest11
+
+# r12 rotation shortlist (bookkeeping for any future round): rebuild
+# from scripts/driver_staleness.py — (a) plan-changed queries first,
+# (b) the 4 r4 rows left above, then the r5 cohort (benford, cohort_
+# retention, column_encryption, cosine_topk_lsh, count_min, ...). Do
+# not add registry queries unless promoted same-round.
 
 
 def _ordered_specs() -> list[QuerySpec]:
