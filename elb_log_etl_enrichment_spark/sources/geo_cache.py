@@ -86,30 +86,42 @@ def update_geo_cache(
 
 
 #: append-delta compaction backstop: when the cache directory holds
-#: this many data files, the next commit rewrites the whole merge
-#: (stage-and-swap) instead of appending — bounding reader file counts
-#: to O(threshold) while keeping the per-tick write O(delta). At one
-#: delta file per fetching tick, 64 is ~2 hours of 2-minute crons
-#: between compactions; the rewrite amortizes to (cache/64) rows/tick.
+#: this many data files BEYOND the ideal count for its byte size, the
+#: next commit rewrites the whole merge (stage-and-swap) instead of
+#: appending — bounding reader file counts to O(ideal + threshold)
+#: while keeping the per-tick write O(delta). At one delta file per
+#: fetching tick, 64 is ~2 hours of 2-minute crons between
+#: compactions; the rewrite amortizes to (cache/64) rows/tick. The
+#: trigger is RELATIVE to the ideal count (and the rewrite targets the
+#: ideal) so a cache big enough to need many files never degenerates
+#: into compacting every tick (review r11: an absolute threshold would
+#: flip to a full O(cache) rewrite per tick the moment the compacted
+#: layout itself reached 64 files).
 GEO_CACHE_COMPACT_FILES = 64
 
+#: target data-file size for the compaction rewrite (guide §6: output
+#: files in the 128 MB - 1 GB range).
+GEO_CACHE_TARGET_FILE_BYTES = 512 * 1024 * 1024
 
-def _cache_data_file_count(spark: SparkSession, cache_path: str) -> int:
-    """Number of data files under ``cache_path`` via the Hadoop FS API
-    (same remote-path discipline as ``fs_swap``); 0 when missing."""
+
+def _cache_layout(spark: SparkSession, cache_path: str) -> tuple[int, int]:
+    """(data-file count, total data bytes) under ``cache_path`` via the
+    Hadoop FS API (same remote-path discipline as ``fs_swap``);
+    (0, 0) when missing."""
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     conf = jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(cache_path)
     fs = p.getFileSystem(conf)
     if not fs.exists(p):
-        return 0
-    n = 0
+        return 0, 0
+    n = total = 0
     for st in fs.listStatus(p):
         name = st.getPath().getName()
         if st.isFile() and not name.startswith(("_", ".")):
             n += 1
-    return n
+            total += st.getLen()
+    return n, total
 
 
 def append_geo_cache_delta(
@@ -145,19 +157,26 @@ def append_geo_cache_delta(
     (the cache is a cache).
 
     Compaction backstop (``compact_files``): one small file per
-    fetching tick accumulates forever, so when the directory already
-    holds that many data files the commit falls back to the
-    stage-and-swap rewrite of ``merged`` — the self-compacting path —
-    bounding reader listing/open costs while the amortized per-tick
-    write stays O(delta + cache/threshold).
+    fetching tick accumulates forever, so when the directory holds
+    ``compact_files`` data files MORE than the ideal count for its
+    byte size (total bytes / ``GEO_CACHE_TARGET_FILE_BYTES``, min 1)
+    the commit falls back to the stage-and-swap rewrite of ``merged``,
+    repartitioned to that ideal count — bounding reader listing/open
+    costs at O(ideal + threshold) files while the amortized per-tick
+    write stays O(delta + cache/threshold). Trigger and rewrite width
+    both derive from the same listing, so a cache whose HEALTHY layout
+    is wider than the threshold keeps appending normally instead of
+    rewriting itself every tick.
 
     DO NOT call this with a delta that may UPDATE existing keys — use
     :func:`commit_geo_cache`/:func:`update_geo_cache`; an appended
     update would leave two rows for the key and last-write-wins would
     be decided by the reader, which plain ``load_geo_cache`` does not
     do."""
-    if _cache_data_file_count(spark, cache_path) >= compact_files:
-        commit_geo_cache(spark, merged, cache_path)
+    n_files, n_bytes = _cache_layout(spark, cache_path)
+    ideal = max(1, -(-n_bytes // GEO_CACHE_TARGET_FILE_BYTES))
+    if n_files >= ideal + compact_files:
+        commit_geo_cache(spark, merged.repartition(ideal), cache_path)
         return
     delta.coalesce(1).write.mode("append").parquet(cache_path)
 

@@ -47,7 +47,7 @@ TABLE_NAMES = (
 #: overwritten OR in-place-mutated fixture is re-read with a fresh file
 #: listing. Entries from stopped applications are evicted when a new
 #: application first loads.
-_TABLE_MEMO: dict[tuple[str, str], tuple[tuple[int, int], DataFrame]] = {}
+_TABLE_MEMO: dict[tuple[str, str], tuple[tuple, DataFrame]] = {}
 
 
 def _path_stamp(path: str) -> tuple:
@@ -76,7 +76,11 @@ def _path_stamp(path: str) -> tuple:
             entries.append(
                 (os.path.relpath(fp, path), fst.st_mtime_ns, fst.st_size)
             )
-    return (st.st_mtime_ns, hash(tuple(sorted(entries))))
+    # the listing tuple itself is the stamp — never a hash() of it
+    # (64-bit truncation could collide and silently serve a stale
+    # plan, and str hashes are per-process salted anyway). Fixture
+    # dirs hold a handful of files, so the memory cost is noise.
+    return (st.st_mtime_ns, tuple(sorted(entries)))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -114,7 +114,11 @@ def main() -> None:
             "  python scripts/make_sf1.py /root/testdata/sf0.1 /tmp/sf1 10"
         )
     names = args.names or DEFAULT_QUERIES
-    cpu_list = [c.strip() for c in args.cpus.split(",")]
+    # numeric sort: ratio_low_over_high picks first/last, so
+    # "--cpus 32,8" must not silently record inverted ratios
+    cpu_list = sorted(
+        (c.strip() for c in args.cpus.split(",")), key=int
+    )
     commit = _git_head()
 
     book: dict = {}

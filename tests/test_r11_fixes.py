@@ -88,34 +88,44 @@ def test_append_delta_commits_merge_identical_content(spark, tmp_path):
     assert len(_data_files(cache_path)) == n_files_before + 1
 
 
-def test_append_delta_compacts_at_threshold(spark, tmp_path):
-    """At the file-count threshold the commit falls back to the
-    stage-and-swap rewrite of the merge: file count collapses, content
-    is the merge."""
+def test_append_delta_compacts_past_ideal_plus_threshold(spark, tmp_path):
+    """The compaction trigger is RELATIVE to the ideal file count for
+    the cache's byte size (review r11: an absolute threshold would
+    make a cache whose healthy layout is wider than the threshold
+    rewrite itself every tick). At fixture scale ideal == 1, so with
+    compact_files=1 a 2-file directory compacts back to ONE file whose
+    content is the merge."""
     from elb_log_etl_enrichment_spark.operators.dedup import upsert_keep_latest
     from elb_log_etl_enrichment_spark.sources.geo_cache import (
         append_geo_cache_delta,
-        commit_geo_cache,
         load_geo_cache,
     )
 
     cache_path = str(tmp_path / "cache.parquet")
-    commit_geo_cache(
-        spark, _geo_rows(spark, ["1.1.1.1"], "2026-01-01 00:00:00"), cache_path
-    )
-    old = load_geo_cache(spark, cache_path)
-    delta = _geo_rows(spark, ["2.2.2.2"], "2026-01-01 00:02:00")
-    merged = upsert_keep_latest(old, delta, ["client_ip"], "api_fetch_timestamp")
-    # threshold 1: the single existing file already trips compaction
-    append_geo_cache_delta(
-        spark, delta, cache_path, merged=merged, compact_files=1
-    )
+
+    def step(ip: str, ts: str, **kw):
+        old = load_geo_cache(spark, cache_path)
+        delta = _geo_rows(spark, [ip], ts)
+        merged = upsert_keep_latest(
+            old, delta, ["client_ip"], "api_fetch_timestamp"
+        )
+        append_geo_cache_delta(spark, delta, cache_path, merged=merged, **kw)
+
+    # build through the append path so the file count is deterministic
+    # (coalesce(1): exactly one file per step; a commit_geo_cache base
+    # write may split one row across several shuffle-task files)
+    step("1.1.1.1", "2026-01-01 00:00:00", compact_files=1)  # 0 -> 1 file
+    # 1 file + delta, threshold 1: 1 < ideal(1)+1 -> appends (2 files)
+    step("2.2.2.2", "2026-01-01 00:02:00", compact_files=1)
+    assert len(_data_files(cache_path)) == 2
+    # 2 files >= ideal(1)+1 -> compacts: the swap replaces the
+    # directory with ONE ideal-width file holding the full merge
+    step("3.3.3.3", "2026-01-01 00:04:00", compact_files=1)
+    assert len(_data_files(cache_path)) == 1
     got = load_geo_cache(spark, cache_path)
-    assert sorted(r.client_ip for r in got.collect()) == ["1.1.1.1", "2.2.2.2"]
-    # the rewrite self-compacts: strictly fewer files than append would
-    # have left is not guaranteed at this tiny scale, but there must be
-    # no unbounded growth — the swap replaced the directory wholesale
-    assert got.select("client_ip").distinct().count() == 2
+    assert sorted(r.client_ip for r in got.collect()) == [
+        "1.1.1.1", "2.2.2.2", "3.3.3.3",
+    ]
 
 
 def test_streaming_cache_append_path_matches_merge_across_ticks(spark, tmp_path):
